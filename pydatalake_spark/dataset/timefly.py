@@ -1,0 +1,165 @@
+"""TimeFly — snapshot time travel on plain parquet datasets.
+
+Re-implements the reference's snapshot-versioned dataset
+(``src/pydala/dataset/timefly.py``) with the same on-disk shape:
+
+    <base>/current/                      — live data (timefly.py:150-151)
+    <base>/snapshot/<YYYYmmdd_HHMMSS>/   — immutable snapshots
+    <base>/_dataset.json                 — metadata (the reference uses
+                                           TOML, `_dataset.toml`
+                                           timefly.py:50; JSON here because
+                                           the runtime has no TOML writer —
+                                           same keys, documented divergence)
+
+Semantics preserved:
+
+- snapshot ids are ``%Y%m%d_%H%M%S`` wall-clock strings (timefly.py:72-78);
+- ``add_snapshot`` copies current → snapshot dir and records it under
+  ``history.available`` (timefly.py:246-310);
+- ``delete_snapshot`` removes the dir and moves the id available → deleted
+  (timefly.py:313-325);
+- ``load_snapshot`` restores a snapshot over current (timefly.py:355-387);
+- **as-of rule**: given a timestamp, pick the FIRST snapshot strictly AFTER
+  it, else current (timefly.py:337-352). This is deliberately the
+  reference's rule (a snapshot taken at T captures state from before T), and
+  deliberately NOT Delta's last-version-≤-ts rule — SURVEY §7.3.4.
+
+Design note (Delta Lake): the natural Spark backend is a Delta table where
+every commit is a version; delta-spark jars are not in this runtime, so the
+engine implements the snapshot log directly on parquet + JSON metadata. The
+public API (``as_of``, ``add_snapshot``, ``load_snapshot``) would be
+unchanged over a Delta backend; only copy-vs-log mechanics differ. Snapshot
+creation uses filesystem copies like the reference — at real scale a Delta /
+Iceberg metadata-only snapshot replaces the copy, and this class is the
+single place to swap that in.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pydatalake_spark.dataset.writer import write_dataset
+from pydatalake_spark.sources.read import read_dataset
+
+SNAPSHOT_FMT = "%Y%m%d_%H%M%S"
+
+
+class TimeFly:
+    def __init__(self, spark: SparkSession, base: str, fmt: str = "parquet") -> None:
+        self.spark = spark
+        self.base = base
+        self.fmt = fmt
+        self.config_path = os.path.join(base, "_dataset.json")
+        self.current_path = os.path.join(base, "current")
+        self.snapshot_root = os.path.join(base, "snapshot")
+        self.config: dict = {}
+        if os.path.exists(self.config_path):
+            with open(self.config_path) as f:
+                self.config = json.load(f)
+
+    # --- metadata ---------------------------------------------------------
+    def _write_config(self) -> None:
+        os.makedirs(self.base, exist_ok=True)
+        with open(self.config_path, "w") as f:
+            json.dump(self.config, f, indent=2, default=str)
+
+    @staticmethod
+    def _now_id(now: dt.datetime | None = None) -> str:
+        return (now or dt.datetime.now()).strftime(SNAPSHOT_FMT)
+
+    # --- lifecycle (T1-T5) ------------------------------------------------
+    def init(self, name: str | None = None, description: str = "") -> "TimeFly":
+        """Create current/ + snapshot/ + metadata (T1, timefly.py:131-156).
+        Adopts any pre-existing root data files into current/ (T2,
+        timefly.py:172-174)."""
+        os.makedirs(self.current_path, exist_ok=True)
+        os.makedirs(self.snapshot_root, exist_ok=True)
+        for entry in os.listdir(self.base):
+            full = os.path.join(self.base, entry)
+            if os.path.isfile(full) and not entry.startswith(("_", ".")):
+                shutil.move(full, os.path.join(self.current_path, entry))
+        self.config = {
+            "name": name or os.path.basename(self.base.rstrip("/")),
+            "init": self._now_id(),
+            "description": description,
+            "format": self.fmt,
+            "current": {"created": self._now_id()},
+            "history": {"available": [], "deleted": []},
+        }
+        self._write_config()
+        return self
+
+    def add_snapshot(self, now: dt.datetime | None = None, description: str = "") -> str:
+        """Freeze current → snapshot/<id>/ (T3, timefly.py:246-310)."""
+        snap_id = self._now_id(now)
+        dest = os.path.join(self.snapshot_root, snap_id)
+        if os.path.exists(dest):
+            raise FileExistsError(f"snapshot {snap_id} already exists")
+        shutil.copytree(self.current_path, dest)
+        self.config.setdefault("history", {"available": [], "deleted": []})
+        self.config["history"]["available"].append(snap_id)
+        self.config[f"snapshot.{snap_id}"] = {
+            "created": snap_id,
+            "description": description,
+        }
+        self._write_config()
+        return snap_id
+
+    def delete_snapshot(self, snap_id: str) -> None:
+        """T4 (timefly.py:313-325)."""
+        dest = os.path.join(self.snapshot_root, snap_id)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        hist = self.config.get("history", {"available": [], "deleted": []})
+        if snap_id in hist["available"]:
+            hist["available"].remove(snap_id)
+        hist.setdefault("deleted", []).append(snap_id)
+        self._write_config()
+
+    def load_snapshot(self, snap_id: str) -> None:
+        """Restore snapshot over current (T5, timefly.py:355-387)."""
+        src = os.path.join(self.snapshot_root, snap_id)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(f"no snapshot {snap_id}")
+        shutil.rmtree(self.current_path)
+        shutil.copytree(src, self.current_path)
+        self.config["current"] = {"created": self._now_id(), "restored_from": snap_id}
+        self._write_config()
+
+    # --- as-of resolution (T6, timefly.py:337-352) ------------------------
+    def snapshots(self) -> list[str]:
+        return sorted(self.config.get("history", {}).get("available", []))
+
+    def resolve_as_of(self, as_of: dt.datetime | str | None) -> str:
+        """Reference rule: first snapshot STRICTLY AFTER the timestamp, else
+        current (timefly.py:346-347)."""
+        if as_of is None:
+            return self.current_path
+        if isinstance(as_of, str):
+            as_of = dt.datetime.fromisoformat(as_of)
+        wanted = as_of.strftime(SNAPSHOT_FMT)
+        later = [s for s in self.snapshots() if s > wanted]
+        if later:
+            return os.path.join(self.snapshot_root, later[0])
+        return self.current_path
+
+    # --- read / write (T7/T8) --------------------------------------------
+    def read(self, as_of: dt.datetime | str | None = None) -> DataFrame:
+        """As-of reader (T7, reader.py:584-680)."""
+        return read_dataset(self.spark, self.resolve_as_of(as_of), fmt=self.fmt)
+
+    def write(self, df: DataFrame, mode: str = "append", **kwargs) -> None:
+        """Versioned writer into current/ (T8, writer.py:574-687); metadata
+        updated after the write (W11, writer.py:646-687)."""
+        if not self.config:
+            self.init()
+        write_dataset(df, self.current_path, mode=mode, fmt=self.fmt, **kwargs)
+        self.config["current"] = dict(
+            self.config.get("current", {}), updated=self._now_id(), last_mode=mode
+        )
+        self._write_config()

@@ -1,0 +1,84 @@
+"""Exact deduplication: full-row DISTINCT and keyed keep-first/last.
+
+Semantics from the reference's ``distinct_table``
+(``src/pydala/utils/table.py:230-288``):
+
+- no ``subset`` → full-row distinct (polars ``unique()`` / DuckDB
+  ``rel.distinct()``, ``table.py:242-249, 270-274``);
+- with ``subset`` → group by the subset keys, keep the FIRST or LAST row
+  per group in ``presort_by`` order (``table.py:252-258`` polars,
+  ``:276-284`` DuckDB ``FIRST(col)/LAST(col)`` aggregates);
+- optional ``postsort_by`` re-sort of the result (the reference has a bug
+  here — it sorts by ``presort_by``, ``table.py:260-261``; we implement the
+  intended semantics).
+
+The reference's ``FIRST()``/``LAST()`` are only deterministic because DuckDB
+scans in a stable order after ``rel.order(presort)``. Spark's
+``F.first/last`` in groupBy carry NO ordering guarantee, so the engine uses
+the classic deterministic form: ``row_number() OVER (PARTITION BY subset
+ORDER BY presort [, tiebreak])`` and keeps rn=1 (SURVEY §7.3.2). When
+``presort_by`` is absent, all non-key columns are the documented
+deterministic tiebreak.
+
+Scale: one hash-partition shuffle on ``subset`` — the minimum any keyed
+dedup needs. No driver materialization; skewed keys are handled by AQE
+skew-join/partition splitting since the window is a plain shuffle exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RN = "__pydatalake_rn__"
+
+
+def distinct_table(
+    df: DataFrame,
+    subset: str | Sequence[str] | None = None,
+    keep: str = "first",
+    presort_by: str | Sequence[str] | None = None,
+    postsort_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Drop duplicate rows; with ``subset``, keep first/last per key group."""
+    if subset is None:
+        out = df.distinct()
+    else:
+        keys = [subset] if isinstance(subset, str) else list(subset)
+        if keep not in ("first", "last"):
+            raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+        presort = (
+            [presort_by]
+            if isinstance(presort_by, str)
+            else list(presort_by or [])
+        )
+        order_cols = presort or [c for c in df.columns if c not in keys]
+        ordering = [
+            F.col(c).asc_nulls_first() if keep == "first" else F.col(c).desc_nulls_last()
+            for c in order_cols
+        ]
+        w = Window.partitionBy(*keys).orderBy(*ordering)
+        out = (
+            df.withColumn(_RN, F.row_number().over(w))
+            .filter(F.col(_RN) == 1)
+            .drop(_RN)
+        )
+    if postsort_by:
+        post = [postsort_by] if isinstance(postsort_by, str) else list(postsort_by)
+        out = out.orderBy(*post)
+    return out
+
+
+def is_unique(df: DataFrame, subset: Sequence[str] | None = None) -> bool:
+    """Uniqueness test (≙ ``pl.is_unique().all()``, ``utils/table.py:248``).
+
+    Single aggregation pass: compares total count with distinct count.
+    """
+    probe = df.select(*subset) if subset else df
+    row = probe.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct(*probe.columns)).alias("d"),
+    ).first()
+    return row["n"] == row["d"]

@@ -1,0 +1,833 @@
+"""Relational operator corpus (SURVEY §2.1, §2.3-2.9) with DuckDB oracles.
+
+Each entry: Spark-first DataFrame implementation + ANSI-SQL oracle string.
+Aliases match exactly between both sides (the driver hashes values after
+sorting columns by name).
+
+Plan-quality notes (verified with ``.explain("formatted")`` in
+tests/test_plans.py): filters/projections in these queries reach the parquet
+scan as PushedFilters/ReadSchema; small dimensions are broadcast; aggregates
+are partial (map-side) before the exchange; dedup/windows shuffle once on
+their keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pydatalake_spark.operators.asof import asof_join
+from pydatalake_spark.operators.dedup import distinct_table
+from pydatalake_spark.operators.diff import tables_diff
+from pydatalake_spark.queries.tables import load_table as _t
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# aggregation pipelines (A1-A6, S1-S3: scan → filter → group → agg)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                        AS sum_qty,
+           sum(l_extendedprice)                                   AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+           avg(l_quantity)                                        AS avg_qty,
+           avg(l_extendedprice)                                   AS avg_price,
+           avg(l_discount)                                        AS avg_disc,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: the §7.1 minimum slice. Partial aggregation happens
+    map-side; the only shuffle is the 6-group exchange."""
+    l = _t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q6_revenue_delta",
+    """
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape — every predicate pushes to the parquet scan."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape. Filtered customer is small → broadcast to both other
+    sides; lineitem (the big fact) is never shuffled for the join."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region/nation/supplier broadcast; the
+    orders↔lineitem join is the only shuffle pair and AQE can still flip it
+    to broadcast once the date filter's selectivity is observed."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@q(
+    "agg_min_max",
+    """
+    SELECT min(ts) AS ts_min, max(ts) AS ts_max,
+           min(value) AS value_min, max(value) AS value_max
+    FROM events
+    """,
+)
+def agg_min_max(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar min/max (A3, ≙ writer.py:196-200 delta-window bounds)."""
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+
+
+@q(
+    "distinct_counts",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    """,
+)
+def distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_supps"),
+    )
+
+
+@q(
+    "uniqueness_probe",
+    "SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids FROM events",
+)
+def uniqueness_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 uniqueness test as a one-pass aggregate (utils/table.py:248)."""
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("event_id")).alias("n_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# projections / filters / predicates (P1-P7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity > 45
+    """,
+)
+def filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """P3+P5: projection prunes the scan to 4 columns, filter pushes down."""
+    l = _t(spark, sf, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_partkey", "l_extendedprice")
+
+
+@q(
+    "sql_predicate_filter",
+    "SELECT * FROM events WHERE value > 100 AND event_type = 'click'",
+)
+def sql_predicate_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P5: free-form SQL predicate string passed verbatim
+    (≙ rel.filter(str), writer.py:227-232)."""
+    return _t(spark, sf, "events").filter("value > 100 AND event_type = 'click'")
+
+
+@q(
+    "time_range_filter",
+    """
+    SELECT * FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def time_range_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 time-range predicate (≙ writer.py:373-375)."""
+    e = _t(spark, sf, "events")
+    return e.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    )
+
+
+@q(
+    "drop_columns",
+    "SELECT event_id, ts, user_id, event_type FROM events",
+)
+def drop_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """P1/P2 drop ≙ SELECT * exclude(...) (utils/table.py:291-333)."""
+    return _t(spark, sf, "events").drop("value", "props")
+
+
+@q(
+    "cast_projection",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS orderkey_str,
+           CAST(o_orderstatus AS VARCHAR) AS status_str,
+           CAST(o_custkey AS INTEGER) AS custkey_int
+    FROM orders
+    """,
+)
+def cast_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """P4/F1 cast projection (utils/table.py:160-181)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("orderkey_str"),
+        F.col("o_orderstatus").cast("string").alias("status_str"),
+        F.col("o_custkey").cast("int").alias("custkey_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / distinct (A1-A2) and diffs / set ops (J1-J2, E1-E2)
+# ---------------------------------------------------------------------------
+
+
+@q("distinct_full", "SELECT DISTINCT user_id, event_type FROM events")
+def distinct_full(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 full-row DISTINCT (on a projection)."""
+    return distinct_table(_t(spark, sf, "events").select("user_id", "event_type"))
+
+
+@q(
+    "dedup_keep_first",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 keyed dedup keep-first with presort (utils/table.py:230-288),
+    deterministic via row_number (SURVEY §7.3.2)."""
+    return distinct_table(
+        _t(spark, sf, "events"),
+        subset=["user_id", "event_type"],
+        keep="first",
+        presort_by=["ts", "event_id"],
+    )
+
+
+@q(
+    "dedup_keep_last",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def dedup_keep_last(spark: SparkSession, sf: str) -> DataFrame:
+    return distinct_table(
+        _t(spark, sf, "events"),
+        subset=["user_id", "event_type"],
+        keep="last",
+        presort_by=["ts", "event_id"],
+    )
+
+
+@q(
+    "tables_diff_full",
+    """
+    SELECT * FROM events WHERE user_id < 8
+    EXCEPT
+    SELECT * FROM events WHERE value > 100
+    """,
+)
+def tables_diff_full(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 full-row anti-diff with EXCEPT *set* semantics
+    (utils/table.py:135-210; SURVEY §7.3.1)."""
+    e = _t(spark, sf, "events")
+    return tables_diff(e.filter(F.col("user_id") < 8), e.filter(F.col("value") > 100))
+
+
+@q(
+    "tables_diff_subset",
+    """
+    SELECT o.* FROM orders o
+    ANTI JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def tables_diff_subset(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 subset mode: full t1 rows whose key tuple is absent from t2 —
+    one left_anti join instead of the reference's driver-side key list."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    return tables_diff(o, l, subset="o_orderkey")
+
+
+@q(
+    "tables_diff_cast",
+    """
+    SELECT o.* FROM orders o
+    ANTI JOIN (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+               WHERE o_orderstatus = 'O') t
+    ON CAST(o.o_orderkey AS VARCHAR) = t.k
+    """,
+)
+def tables_diff_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 cast_as_str mode — type-insensitive key compare
+    (utils/table.py:160-181)."""
+    o = _t(spark, sf, "orders")
+    return tables_diff(
+        o, o.filter(F.col("o_orderstatus") == "O"), subset="o_orderkey",
+        cast_as_str=True,
+    )
+
+
+@q(
+    "delta_append_diff",
+    """
+    WITH incoming AS (
+        SELECT * FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    ), existing AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT * FROM incoming EXCEPT SELECT * FROM existing
+    """,
+)
+def delta_append_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """J2/W5: the rows a delta-mode write would append — anti-diff of the
+    incoming batch vs existing data (writer.py:219-249). The engine's
+    writer prunes the existing side to the batch's [min,max] window first;
+    result-identical, scan-cheaper."""
+    e = _t(spark, sf, "events")
+    incoming = e.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    )
+    existing = e.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    return tables_diff(incoming, existing)
+
+
+@q(
+    "semi_join",
+    """
+    SELECT * FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+    """,
+)
+def semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """E2 membership semi-join (≙ pl.struct(...).is_in, table.py:183-185)."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 49)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+
+
+@q(
+    "intersect_keys",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer
+    """,
+)
+def intersect_keys(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.intersect(c)
+
+
+@q(
+    "except_keys",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def except_keys(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+@q(
+    "union_by_name",
+    """
+    SELECT event_id, user_id, value FROM events
+    UNION ALL BY NAME
+    SELECT event_id, event_type FROM events
+    """,
+)
+def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """Implicit union-by-name over heterogeneous fragments (SURVEY §1.4/§2.8
+    — mixed-schema dataset scan ≙ unionByName(allowMissingColumns))."""
+    e = _t(spark, sf, "events")
+    a = e.select("event_id", "user_id", "value")
+    b = e.select("event_id", "event_type")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits (O1-O5)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sort_multi",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def sort_multi(spark: SparkSession, sf: str) -> DataFrame:
+    """O1 multi-column directional sort (utils/table.py:95-132)."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return o.orderBy(
+        F.col("o_orderstatus").asc(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    )
+
+
+@q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k with deterministic tiebreak — Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge, no global sort)."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions (SURVEY §2.6 — latent in the reference, native here)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_running_sum",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum("o_totalprice").over(w).alias("running_total"),
+    )
+
+
+@q(
+    "window_rank",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS prev_price
+    FROM orders
+    """,
+)
+def window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / pivot
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_extendedprice) AS sum_price, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").alias("sum_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar functions / intervals / series (F1-F8)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scalar_functions",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority)                    AS prio_upper,
+           substr(o_orderpriority, 1, 1)             AS prio_code,
+           length(o_orderpriority)                   AS prio_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS combo,
+           year(o_orderdate)                         AS yr,
+           month(o_orderdate)                        AS mon,
+           floor(o_totalprice)                       AS price_floor,
+           ceil(o_totalprice)                        AS price_ceil,
+           abs(o_totalprice - 1000.0)                AS dev,
+           o_orderkey % 7                            AS m7,
+           sqrt(o_totalprice)                        AS price_sqrt,
+           CASE WHEN o_totalprice > 5000 THEN 'big' ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2
+    FROM orders
+    """,
+)
+def scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """String/date/math scalar coverage (SURVEY §2.9 — free in Spark SQL,
+    proven equivalent to the oracle here)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("combo"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("dev"),
+        (F.col("o_orderkey") % 7).alias("m7"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.when(F.col("o_totalprice") > 5000, "big").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status2"),
+    )
+
+
+@q(
+    "interval_arith",
+    """
+    SELECT event_id, ts,
+           ts + INTERVAL 3 DAY   AS ts_plus_3d,
+           ts - INTERVAL 1 HOUR  AS ts_minus_1h,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start
+    FROM events
+    """,
+)
+def interval_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """F4/F5 interval constructors + timestamp arithmetic
+    (writer.py:312-334)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "ts",
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("ts_plus_3d"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts_minus_1h"),
+        F.date_trunc("day", "ts").alias("day_start"),
+    )
+
+
+@q(
+    "time_bucket",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           count(*)   AS n_events,
+           sum(value) AS total_value,
+           avg(value) AS avg_value
+    FROM events GROUP BY bucket, event_type
+    """,
+)
+def time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form (the Structured Streaming
+    twin lives in streaming/ingest.py and is tested in tests/)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+@q(
+    "date_series",
+    """
+    SELECT unnest(generate_series(
+        date_trunc('day', (SELECT min(ts) FROM events)),
+        date_trunc('day', (SELECT max(ts) FROM events)),
+        INTERVAL 1 DAY)) AS day_start
+    """,
+)
+def date_series(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 generate_series (writer.py:342-350) ≙ sequence() + explode —
+    the boundary generator behind time-interval batched writes (W7)."""
+    e = _t(spark, sf, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference time-series joins
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "asof_join_events",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts       AS ts_right,
+           p.event_id AS event_id_right,
+           p.value    AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent purchase
+    at-or-before it. One shuffle, no UDF (operators/asof.py)."""
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        right_cols=["event_id", "value"],
+    )
+
+
+@q(
+    "range_join_events",
+    """
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           a.user_id, a.ts AS a_ts, b.ts AS b_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join: successor events within 5 minutes per user — equi-join on
+    the key plus a range predicate, so Catalyst still hash-partitions on
+    user_id and the range filter runs post-join (no nested-loop)."""
+    e = _t(spark, sf, "events")
+    a = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(b, (a.user_id == b.b_user))
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTE"))
+        )
+        .select("a_id", "b_id", "user_id", "a_ts", "b_ts")
+    )

@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Replaces the reference's per-object DuckDB connection management
+(``src/pydala/dataset/base.py:67-75`` — shared ``duckdb.connect()`` +
+``SET temp_directory`` / ``SET memory_limit``) with one tuned SparkSession:
+
+- AQE on (runtime re-planning, partition coalescing, skew-join splitting) —
+  the scale story for 100 TB runs.
+- Arrow-backed pandas interchange (columnar edges, like the reference's
+  zero-copy Arrow registration, ``reader.py:252``).
+- UTC session timezone so timestamps agree with UTC-naive engines (DuckDB
+  oracle parity).
+- zstd parquet compression default (reference default: ``writer.py:33``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "pydatalake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    In local mode the driver is the only JVM; on a cluster the same config
+    block is what you'd pass to spark-submit. Nothing here is
+    local-mode-specific except the master default.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or max(DEFAULT_CPUS, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # --- planner / runtime adaptivity (the 100 TB story) ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- columnar edges ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # --- deterministic semantics for oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # nanosecond parquet timestamps (events.ts) -> usec, not error
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # --- quieter local runs ---
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if "local" in master:
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

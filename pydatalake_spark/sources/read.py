@@ -1,0 +1,200 @@
+"""Source readers: format dispatch, partition flavors, schema retry.
+
+Covers the reference's scan surface (SURVEY §2.1):
+
+- S1/S3 parquet dataset scan with optional explicit schema
+  (``src/pydala/dataset/reader.py:214-233, 140-191``);
+- S5 csv (``reader.py:193-209``);
+- S4 feather/IPC — no distributed Spark source exists, so it is a
+  driver-edge read via pyarrow → ``createDataFrame`` (documented
+  small-data path, SURVEY §1.3);
+- S6 path-string dispatch on extension (``src/pydala/utils/table.py:81-89``);
+- hive (`key=value/`) partition discovery is Spark-native; **directory
+  flavor** (bare `value/` dirs, ``writer.py:136-137``) is recovered by
+  parsing the path with an explicit partition schema;
+- schema-mismatch retry with the unified promoted schema
+  (``reader.py:186-188, 228-230``) via
+  :func:`pydatalake_spark.dataset.schema.read_unified`.
+
+Scale: everything returns a lazy DataFrame over a file listing; partition
+discovery and footer reads are metadata-only. The feather path is the one
+deliberate exception and says so.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pydatalake_spark.dataset.schema import read_unified
+
+PARQUET_EXTS = {".parquet", ".parq"}
+CSV_EXTS = {".csv", ".tsv", ".txt"}
+FEATHER_EXTS = {".feather", ".ipc", ".arrow"}
+
+
+def _list_files(path: str, exts: set[str]) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if os.path.splitext(f)[1] in exts and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    unify: bool = False,
+) -> DataFrame:
+    """Parquet scan; ``unify=True`` is the schema-conflict retry path."""
+    if unify:
+        files = _list_files(path, PARQUET_EXTS)
+        df, _ = read_unified(spark, files)
+        return df
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        df = reader.option("mergeSchema", "true").parquet(path)
+        df.schema  # force analysis to surface merge conflicts now
+        return df
+    except Exception:
+        if schema is not None:
+            raise
+        # genuine type conflict between fragments -> promote + cast per file
+        # (same retry semantics as reference reader.py:186-188)
+        files = _list_files(path, PARQUET_EXTS)
+        df, _ = read_unified(spark, files)
+        return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "false" if schema else "true"}
+    opts.update({k: str(v) for k, v in options.items()})
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_feather(spark: SparkSession, path: str) -> DataFrame:
+    """Driver-edge feather read (small data only — documented, SURVEY §1.3).
+
+    The reference reads feather eagerly into Arrow (``reader.py:118-135``);
+    Spark has no distributed IPC source, so files are read on the driver via
+    pyarrow and parallelized. Fine for config/dimension tables; not a 100 TB
+    path and not pretending to be.
+    """
+    import pyarrow.feather as feather
+
+    files = _list_files(path, FEATHER_EXTS)
+    if not files:
+        raise FileNotFoundError(f"no feather files under {path}")
+    tables = [feather.read_table(f) for f in files]
+    import pyarrow as pa
+
+    table = pa.concat_tables(tables, promote_options="permissive")
+    return spark.createDataFrame(table.to_pandas())
+
+
+def read_directory_partitioned(
+    spark: SparkSession,
+    base: str,
+    partition_schema: list[tuple[str, str]],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read a *directory-flavor* partitioned dataset (bare ``value/`` dirs,
+    no ``key=`` prefix — reference write side ``writer.py:136-137``, read
+    side via explicit partitioning schema ``reader.py:222``).
+
+    ``partition_schema`` is ordered ``[(name, type_str), ...]`` matching the
+    directory nesting depth. Implementation: scan leaf files with
+    ``input_file_name()`` and parse the partition values out of the path —
+    stays fully distributed (the parse is a Catalyst expression per row, and
+    partition values are dictionary-encoded by parquet so the cost is tiny).
+    """
+    depth = len(partition_schema)
+    pattern = os.path.join(base, *(["*"] * depth))
+    df = spark.read.format(fmt).load(pattern)
+    df = df.withColumn("__path__", F.input_file_name())
+    # path = .../<v1>/<v2>/file -> split and take the trailing segments
+    parts = F.split(F.col("__path__"), "/")
+    n = F.size(parts)
+    for i, (name, type_str) in enumerate(partition_schema):
+        # element_at is 1-indexed; file name is the last element
+        idx = n - (depth - i)
+        df = df.withColumn(name, F.element_at(parts, idx).cast(type_str))
+    return df.drop("__path__")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    fmt: str | None = None,
+    **options,
+) -> DataFrame:
+    """Path-string dispatch (≙ ``utils/table.py:81-89``): extension → reader."""
+    ext = os.path.splitext(path)[1].lower()
+    fmt = fmt or (
+        "parquet"
+        if ext in PARQUET_EXTS
+        else "csv"
+        if ext in CSV_EXTS
+        else "feather"
+        if ext in FEATHER_EXTS
+        else None
+    )
+    if fmt is None:
+        # a directory: sniff the first data file
+        for candidate, name in (
+            (PARQUET_EXTS, "parquet"),
+            (CSV_EXTS, "csv"),
+            (FEATHER_EXTS, "feather"),
+        ):
+            if _list_files(path, candidate):
+                fmt = name
+                break
+        else:
+            raise ValueError(f"cannot infer format for {path}")
+    if fmt == "parquet":
+        return read_parquet(spark, path, schema=schema)
+    if fmt == "csv":
+        return read_csv(spark, path, schema=schema, **options)
+    if fmt == "feather":
+        return read_feather(spark, path)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def read_dataset(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    partition_schema: list[tuple[str, str]] | None = None,
+    unify: bool = False,
+    **options,
+) -> DataFrame:
+    """Dataset scan over a file/directory with partition discovery.
+
+    Hive-layout partitions are discovered natively by Spark; pass
+    ``partition_schema`` for directory-flavor layouts.
+    """
+    if partition_schema:
+        return read_directory_partitioned(spark, path, partition_schema, fmt=fmt)
+    if fmt == "parquet":
+        return read_parquet(spark, path, schema=schema, unify=unify)
+    return read_any(spark, path, schema=schema, fmt=fmt, **options)
