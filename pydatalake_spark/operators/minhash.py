@@ -1,0 +1,142 @@
+"""MinHash + LSH near-duplicate detection (beyond-reference north-star op).
+
+Classic shingle → minhash → band → bucket-join pipeline (Broder 1997;
+Leskovec/Rajaraman/Ullman ch.3), expressed entirely in Catalyst array
+expressions — no Python in the hot path:
+
+1. token k-gram shingles per document;
+2. ``num_hashes`` MinHash values — the hash family is
+   ``h_j(s) = md5(j || ':' || s)`` with the **lexicographic minimum** as the
+   signature component (md5 is uniform, so lexicographic-min over hex
+   strings is a valid permutation-min; it keeps the whole pipeline
+   string-typed and portable to any SQL oracle);
+3. signatures grouped into ``num_bands`` bands, each band hashed to one
+   bucket key;
+4. candidate pairs = documents sharing any band bucket — found with a
+   self-equi-join on (band_index, bucket), i.e. ONE shuffle keyed by
+   bucket; Jaccard-similar docs collide with probability
+   ``1 - (1 - j^r)^b``;
+5. optional exact n-gram Jaccard verification of the candidates.
+
+Scale: the band self-join is the standard LSH trick precisely because it
+avoids the O(n²) all-pairs compare — only same-bucket docs meet. Hot
+buckets (boilerplate docs) are the skew hazard; AQE skew handling splits
+them, and `jaccard_threshold` verification keeps output honest. At 100 TB,
+shingle arrays should not be carried through the join — only doc ids +
+buckets move (payload re-joined afterwards), which is how this is written.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pydatalake_spark.functions.text import shingles, tokenize
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, shingles, mh_0..mh_{n-1}) — one narrow projection, no shuffle."""
+    toks = tokenize(text_col)
+    sh = shingles(toks, k=shingle_size)
+    out = df.select(F.col(id_col), sh.alias("shingles"))
+
+    # NB: closure factory, not `lambda s, j=j` — PySpark infers higher-order
+    # lambda arity from the Python signature, so a default arg would turn
+    # this into the (element, index) form and silently break the hash family
+    def hasher(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    for j in range(num_hashes):
+        out = out.withColumn(
+            f"mh_{j}", F.array_min(F.transform(F.col("shingles"), hasher(j)))
+        )
+    return out
+
+
+def band_buckets(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    num_bands: int = 2,
+) -> DataFrame:
+    """(id, band, bucket) — exploded band keys, the LSH index."""
+    rows_per_band = num_hashes // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    num_bands: int = 2,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    bb = band_buckets(sig, id_col, num_hashes, num_bands)
+    a = bb.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    num_bands: int = 2,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
+
+    Only candidate pairs (already pruned by LSH) pay the set-compare cost;
+    shingle arrays are joined back by id so the band join stayed narrow.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    sets = sig.select(
+        F.col(id_col), F.array_distinct("shingles").alias("sset")
+    )
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, num_bands, shingle_size
+    )
+    j = (
+        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        j.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,60 @@
+"""SimHash document fingerprinting (beyond-reference north-star op).
+
+Charikar-style simhash over whitespace tokens: each token hashes to a bit
+vector; per bit position the +1/-1 contributions are summed over all tokens
+(term frequency included); the sign of each sum is the fingerprint bit.
+Near-duplicate docs differ in few bits (small Hamming distance).
+
+Portable construction: token bit j = "is hex digit j of md5(token) >= '8'"
+(the top bit of each hex nibble), giving a 32-bit fingerprint from the 32
+hex digits — every step (md5 / substr / CASE / sum) exists identically in
+Spark SQL and any ANSI oracle, so correctness is externally checkable.
+A production 64/128-bit variant only changes how bits are extracted.
+
+All Catalyst expressions (one ``transform`` to hash each token once, then
+32 ``aggregate`` sums) — zero shuffles, zero Python; the fingerprint is a
+narrow per-row map over the corpus, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pydatalake_spark.functions.text import tokenize
+
+SIMHASH_BITS = 32
+
+
+def simhash_col(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
+    """The simhash fingerprint as a '0'/'1' bit string column."""
+    toks = tokenize(text_col)
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    # closure factory (not default-arg lambdas): PySpark infers lambda arity
+    # from the Python signature, and aggregate's merge fn must be 2-arg
+    def bit_sum(j: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, j + 1, 1) >= F.lit("8"), 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        s = F.aggregate(hashes, F.lit(0), bit_sum(j))
+        bit_cols.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two bit-string fingerprints."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)), 1).otherwise(0),
+    )

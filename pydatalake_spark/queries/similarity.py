@@ -1,2 +1,133 @@
+"""Embedding similarity-search query corpus (north-star ops) with oracles.
+
+The oracle SQL computes cosine/projection sums with the same left-to-right
+double-precision order as the Spark ``aggregate`` expressions, so values
+agree within the 9-significant-digit comparison tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_spark.functions.vector import l2_norm, to_double_array
+from pydatalake_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_buckets,
+    lsh_bucket_candidates,
+)
+from pydatalake_spark.queries.tables import load_table as _t
+
 QUERIES: dict = {}
 ORACLE: dict = {}
+
+_DIM = 64
+_PLANES = 8
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, {d}+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b, d=_DIM)
+
+
+@q(
+    "embedding_stats",
+    f"""
+    SELECT vec_id, label,
+           sqrt({_dot('embedding', 'embedding')}) AS l2_norm,
+           list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding) AS mean_val,
+           list_max(list_transform(embedding, x -> x::DOUBLE)) AS max_val
+    FROM embeddings
+    """,
+)
+def embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    v = to_double_array("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        l2_norm(v).alias("l2_norm"),
+        (F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding")).alias(
+            "mean_val"
+        ),
+        F.array_max(v).alias("max_val"),
+    )
+
+
+@q(
+    "cosine_topk",
+    f"""
+    WITH qs AS (
+        SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), pairs AS (
+        SELECT q_id, c.vec_id AS c_id,
+               {_dot('qv', 'c.embedding')}
+                 / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('c.embedding', 'c.embedding')}))
+               AS sim
+        FROM qs, embeddings c
+        WHERE q_id <> c.vec_id
+    )
+    SELECT q_id, c_id, sim FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) <= 10
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact ANN baseline: broadcast query set × corpus scan,
+    rank window per query (operators/similarity.py)."""
+    e = _t(spark, sf, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=10)
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for p in range(_PLANES):
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIM}+1), "
+            f"i -> CASE WHEN substr(md5('{p}:' || i), 1, 1) >= '8' "
+            f"THEN {vec}[i]::DOUBLE ELSE -{vec}[i]::DOUBLE END))"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@q(
+    "ann_lsh_buckets",
+    f"""
+    SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment — the scale path for ANN: bucket
+    equi-join replaces all-pairs cosine (operators/similarity.py)."""
+    e = _t(spark, sf, "embeddings")
+    return hyperplane_buckets(e, num_planes=_PLANES, dim=_DIM)
+
+
+@q(
+    "ann_bucket_candidates",
+    f"""
+    WITH b AS (
+        SELECT vec_id, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings WHERE vec_id < 500
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.bucket
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    """,
+)
+def ann_bucket_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    return lsh_bucket_candidates(e, num_planes=_PLANES, dim=_DIM)

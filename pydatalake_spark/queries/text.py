@@ -1,2 +1,381 @@
+"""Text-analysis & dedup query corpus (north-star ops) with DuckDB oracles.
+
+The repetitive oracle SQL (minhash hashes, simhash bits, language CASE
+chain) is generated from the same constants the Spark operators use, so the
+two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    predicted_language,
+    tokenize,
+)
+from pydatalake_spark.operators.minhash import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+)
+from pydatalake_spark.operators.simhash import SIMHASH_BITS, simhash_table
+from pydatalake_spark.queries.tables import load_table as _t
+
 QUERIES: dict = {}
 ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# token statistics / quality / language-ID / fingerprints
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_token_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           length(text)                                  AS n_chars,
+           len(toks)                                     AS n_tokens,
+           len(list_distinct(toks))                      AS n_unique_tokens,
+           length(replace(text, ' ', '')) / len(toks)    AS avg_token_len
+    FROM tok
+    """,
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting over documents (whitespace tokenization), all
+    JVM-side expressions — the per-doc map phase of a corpus-stats job."""
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@q(
+    "text_quality_score",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / len(toks) AS stopword_ratio,
+           (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               / length(text)                                          AS punct_ratio,
+           len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / len(toks) * 0.3
+             + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / length(text)) * 0.2
+             + least(len(toks) / 100, 1.0) * 0.5                       AS quality_score
+    FROM tok
+    """,
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio + punctuation ratio +
+    length saturation, the standard pre-training corpus filters."""
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    ) / F.length("text")
+    quality = (
+        stop_ratio * 0.3
+        + (F.lit(1) - punct_ratio) * 0.2
+        + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
+    )
+    return d.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def _langid_sql() -> str:
+    score_cols = ",\n               ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents
+    ), scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {score_cols}
+        FROM tok
+    )
+    SELECT doc_id, labeled_lang, {case_sql} AS pred_lang FROM scored
+    """
+
+
+@q("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language ID heuristic (deterministic argmax, ties to the
+    priority order shared with the oracle generator)."""
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted_language(toks).alias("pred_lang"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS fp_shape
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprints: exact content hash + order-insensitive
+    "shape" hash (sorted-token bag) for shuffled-copy detection."""
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.md5(F.array_join(F.array_sort(toks), " ")).alias("fp_shape"),
+    )
+
+
+@q(
+    "exact_dedup_docs",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle on the 16-byte fingerprint
+    (never on the full text), min-id row kept — the canonical-copy choice
+    is deterministic."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@q(
+    "token_frequencies",
+    """
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM t GROUP BY token
+    """,
+)
+def token_frequencies(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus term frequencies (explode + partial-agg; the map-side combine
+    keeps the shuffle at |vocab|, not |tokens|)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dedup (operators/minhash.py)
+# ---------------------------------------------------------------------------
+
+_MH_N = 8
+_MH_BANDS = 2
+_MH_K = 3
+
+
+def _shingle_cte() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_MH_K}
+                    THEN list_transform(range(1, len(toks) - {_MH_K - 2}),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM tok
+    ), mh AS (
+        SELECT doc_id, shingles,
+               {", ".join(
+                   f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS mh_{j}"
+                   for j in range(_MH_N)
+               )}
+        FROM sh
+    )"""
+
+
+def _bands_sql() -> str:
+    rows = _MH_N // _MH_BANDS
+    parts = []
+    for b in range(_MH_BANDS):
+        cols = "||".join(f"mh_{b * rows + r}" for r in range(rows))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@q(
+    "minhash_signatures",
+    _shingle_cte()
+    + f"""
+    SELECT doc_id, {", ".join(f"mh_{j}" for j in range(_MH_N))} FROM mh
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(d, num_hashes=_MH_N, shingle_size=_MH_K)
+    return sig.select("doc_id", *[f"mh_{j}" for j in range(_MH_N)])
+
+
+@q(
+    "lsh_candidate_pairs",
+    _shingle_cte()
+    + f""", bb AS ({_bands_sql()})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bb a JOIN bb b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return lsh_candidate_pairs(
+        d, num_hashes=_MH_N, num_bands=_MH_BANDS, shingle_size=_MH_K
+    )
+
+
+@q(
+    "near_dup_pairs",
+    _shingle_cte()
+    + f""", bb AS ({_bands_sql()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bb a JOIN bb b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sets AS (
+        SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sset, sb.sset))
+             / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))
+             AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.sset, sb.sset))
+            / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))
+          >= 0.5
+    """,
+)
+def near_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return near_dup_pairs(
+        d,
+        num_hashes=_MH_N,
+        num_bands=_MH_BANDS,
+        shingle_size=_MH_K,
+        jaccard_threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (operators/simhash.py)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql() -> str:
+    bits = ", ".join(
+        f"""CASE WHEN list_sum(list_transform(hs,
+            h -> CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+            THEN '1' ELSE '0' END"""
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_transform(string_split(trim(text), ' '), t -> md5(t)) AS hs
+        FROM documents
+    )
+    SELECT doc_id, concat({bits}) AS simhash FROM tok
+    """
+
+
+@q("simhash_fingerprints", _simhash_sql())
+def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_table(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal column plumbing (binary payload + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS checksum
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: documents as opaque binary payloads with
+    extracted metadata. The decode/feature UDF stage (images/audio) lives
+    in operators/multimodal.py as mapInPandas with a stubbed codec; this
+    query proves the schema + expression path over binary columns."""
+    d = _t(spark, sf, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
