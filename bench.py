@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion with the noop sink (full plan runs,
+nothing materializes on the driver) and timed wall-clock. A tiny warm-up
+action runs first so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# representative slice of SURVEY §2 + north-star ops: scans/aggs, joins,
+# dedup, diffs, windows, time-series joins, text dedup, similarity
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q6_revenue_delta",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "filter_project",
+    "dedup_keep_last",
+    "distinct_full",
+    "tables_diff_full",
+    "delta_append_diff",
+    "semi_join",
+    "topk_orders",
+    "window_running_sum",
+    "rollup_agg",
+    "time_bucket",
+    "asof_join_events",
+    "range_join_events",
+    "exact_dedup_docs",
+    "token_frequencies",
+    "text_quality_score",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "simhash_fingerprints",
+    "embedding_stats",
+    "cosine_topk",
+    "ann_lsh_buckets",
+]
+
+
+def main() -> None:
+    from pydatalake_spark.session import get_spark
+    from pydatalake_spark.queries import QUERIES
+
+    spark = get_spark("bench")
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else 0.0
+
+    # warm-up: JVM, codegen, parquet footer caches
+    QUERIES["q1_pricing_summary"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -242,13 +242,17 @@ def _shingle_cte() -> str:
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                     ELSE [array_to_string(toks, ' ')] END AS shingles
         FROM tok
+    ), hs AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles, s -> md5(s)) AS h
+        FROM sh
     ), mh AS (
         SELECT doc_id, shingles,
                {", ".join(
-                   f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS mh_{j}"
+                   f"list_min(list_transform(h, x -> substr(x, {3 * j + 1}, 8))) AS mh_{j}"
                    for j in range(_MH_N)
                )}
-        FROM sh
+        FROM hs
     )"""
 
 

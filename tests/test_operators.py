@@ -1,0 +1,146 @@
+"""Operator semantics the oracle gate can't see: dedup determinism on
+duplicate-bearing data (FIXTURES B4), diff set-semantics, as-of join,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pydatalake_spark.operators.asof import asof_join
+from pydatalake_spark.operators.dedup import distinct_table, is_unique
+from pydatalake_spark.operators.diff import tables_diff
+from pydatalake_spark.operators.multimodal import attach_payload, extract_features
+from pydatalake_spark.operators.simhash import hamming_distance, simhash_table
+
+
+@pytest.fixture(scope="module")
+def dupes(spark, events):
+    """events ∪ exact duplicate of 10% ∪ keyed near-dupes (FIXTURES B4)."""
+    exact = events.limit(100)
+    keyed = (
+        events.limit(10)
+        .withColumn("value", F.col("value") + 1000)
+        .withColumn("event_id", F.col("event_id") + 1_000_000)
+    )
+    return events.unionByName(exact).unionByName(keyed)
+
+
+def test_full_row_distinct(spark, events, dupes):
+    # exact duplicates collapse; keyed near-dupes (different value) survive
+    assert dupes.distinct().count() == events.count() + 10
+    assert not is_unique(dupes)
+    assert is_unique(events)
+
+
+def test_keep_first_last_deterministic(spark, dupes):
+    first = distinct_table(
+        dupes, subset=["user_id", "event_type"], keep="first",
+        presort_by=["ts", "event_id"],
+    )
+    last = distinct_table(
+        dupes, subset=["user_id", "event_type"], keep="last",
+        presort_by=["ts", "event_id"],
+    )
+    # deterministic across runs
+    assert sorted(r["event_id"] for r in first.collect()) == sorted(
+        r["event_id"] for r in first.collect()
+    )
+    k = first.count()
+    assert last.count() == k
+    # keep=first picks the minimum (ts, event_id) row per key
+    want = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in dupes.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "event_type", F.col("m.event_id").alias("event_id"))
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["event_type"]): r["event_id"] for r in first.collect()
+    }
+    assert got == want
+
+
+def test_tables_diff_set_semantics(spark, events):
+    """EXCEPT dedups its result (SURVEY §7.3.1): diffing a table-with-dupes
+    against empty returns DISTINCT rows."""
+    doubled = events.limit(10).unionByName(events.limit(10))
+    empty = events.limit(0)
+    assert tables_diff(doubled, empty).count() == 10
+
+
+def test_tables_diff_null_safe(spark):
+    t1 = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+    t2 = spark.createDataFrame([(1, None)], "id int, v string")
+    # NULLs compare equal in EXCEPT semantics -> row (1, NULL) is NOT new
+    got = {r["id"] for r in tables_diff(t1, t2).collect()}
+    assert got == {2}
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "k"), (2, 20.0, "k"), (3, 5.0, "j")],
+        "id long, t double, k string",
+    )
+    right = spark.createDataFrame(
+        [(100, 9.0, "k"), (101, 15.0, "k"), (102, 99.0, "j")],
+        "rid long, t double, k string",
+    )
+    out = asof_join(
+        left, right.withColumnRenamed("rid", "rid"),
+        on="t", by="k", right_cols=["rid"],
+    )
+    m = {r["id"]: r["rid_right"] for r in out.collect()}
+    # id1@t10 -> rid100@t9; id2@t20 -> rid101@t15; id3@t5 -> no j <= 5
+    assert m == {1: 100, 2: 101, 3: None}
+    # pandas merge_asof agrees
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    want = pd.merge_asof(lp, rp, on="t", by="k")
+    wm = {int(r.id): (None if pd.isna(r.rid) else int(r.rid)) for r in want.itertuples()}
+    assert m == wm
+
+
+def test_asof_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, 10.0, "k")], "id long, t double, k string")
+    right = spark.createDataFrame([(7, 10.0, "k")], "rid long, t double, k string")
+    out = asof_join(left, right, on="t", by="k", right_cols=["rid"]).collect()
+    assert out[0]["rid_right"] == 7
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy cat today"),
+            (3, "completely different words appear here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = simhash_table(docs)
+    a = sh.alias("a").filter(F.col("doc_id") == 1)
+    pairs = (
+        sh.alias("b")
+        .filter(F.col("doc_id") != 1)
+        .crossJoin(a.select(F.col("simhash").alias("ref")))
+        .select("doc_id", hamming_distance(F.col("simhash"), F.col("ref")).alias("d"))
+    )
+    d = {r["doc_id"]: r["d"] for r in pairs.collect()}
+    assert d[2] < d[3]
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    media = attach_payload(docs, "doc_id", "text")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media, decode_stub="fake")
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == 11
+    assert rows[1]["checksum"] == "5eb63bbbe01eeed093cb22bb8f5acdc3"  # md5('hello world')
+    assert rows[2]["n_bytes"] == 0 and rows[2]["width"] == 1
+    with pytest.raises(Exception):
+        extract_features(media, decode_stub="error").collect()

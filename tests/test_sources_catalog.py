@@ -1,0 +1,102 @@
+"""Source format dispatch, partition flavors, catalog, fluent chain."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.feather as feather
+import pytest
+from pyspark.sql import functions as F
+
+from pydatalake_spark.dataset.table import DataLakeTable
+from pydatalake_spark.dataset.writer import write_dataset
+from pydatalake_spark.datalake.catalog import DataLake
+from pydatalake_spark.sources.read import (
+    read_any,
+    read_directory_partitioned,
+    read_dataset,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_any_dispatch_parquet(spark):
+    df = read_any(spark, f"{SF}/nation.parquet")
+    assert df.count() == 25
+
+
+def test_csv_roundtrip(spark, tmpdir_path):
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    path = os.path.join(tmpdir_path, "nation_csv")
+    write_dataset(nation, path, mode="append", fmt="csv")
+    back = read_any(spark, path, fmt="csv")
+    assert back.count() == 25
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_feather_edge_reader(spark, tmpdir_path):
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = os.path.join(tmpdir_path, "t.feather")
+    feather.write_feather(t, p)
+    df = read_any(spark, p)
+    assert df.count() == 3
+    assert set(df.columns) == {"a", "b"}
+
+
+def test_directory_flavor_partitions(spark, events, tmpdir_path):
+    """Bare value/ dirs (writer.py:136-137) read back with an explicit
+    partition schema (SURVEY §1.5)."""
+    base = os.path.join(tmpdir_path, "dirflavor")
+    for r in events.select("event_type").distinct().collect():
+        et = r["event_type"]
+        events.filter(F.col("event_type") == et).drop("event_type").write.parquet(
+            os.path.join(base, et)
+        )
+    df = read_directory_partitioned(spark, base, [("event_type", "string")])
+    assert df.count() == events.count()
+    assert set(r["event_type"] for r in df.select("event_type").distinct().collect()) == {
+        "click", "error", "purchase", "signup", "view"
+    }
+
+
+def test_fluent_chain_order(spark, events):
+    """drop -> distinct -> sort fixed order (dataset/base.py:118-142)."""
+    t = DataLakeTable(spark, df=events, name="events")
+    out = (
+        t.drop(["props"])
+        .distinct(["user_id"], keep="last", presort_by=["ts"])
+        .sort("user_id")
+        .to_df()
+    )
+    assert "props" not in out.columns
+    assert out.count() == events.select("user_id").distinct().count()
+    # keep=last with presort ts -> max ts per user survives
+    want = events.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    got = out.select("user_id", "ts")
+    assert got.exceptAll(want).count() == 0
+
+
+def test_table_sql_passthrough(spark):
+    t = DataLakeTable(spark, path=f"{SF}/orders.parquet", name="orders_t")
+    df = t.query("SELECT count(*) AS n FROM orders_t")
+    assert df.first()["n"] == 1500
+
+
+def test_datalake_catalog(spark, events, tmpdir_path):
+    lake = DataLake(spark, tmpdir_path)
+    tf = lake.create("ev", description="events dataset")
+    tf.write(events.limit(100), mode="append")
+    assert "ev" in lake.tables()
+
+    # rediscovery from disk by a fresh manager (manager.py:92-95)
+    lake2 = DataLake(spark, tmpdir_path)
+    assert "ev" in lake2.tables()
+    assert lake2.table("ev").count() == 100
+
+    # cross-dataset SQL
+    n = lake2.sql("SELECT count(*) AS n FROM ev").first()["n"]
+    assert n == 100
+
+    lake2.remove("ev", delete_data=True)
+    assert "ev" not in lake2.tables()

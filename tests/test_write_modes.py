@@ -1,0 +1,108 @@
+"""Write-mode semantics (W1-W8, reference writer.py:185-527)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydatalake_spark.dataset.writer import write_dataset
+from pydatalake_spark.sources.read import read_dataset
+
+
+def test_raise_mode(spark, events, tmpdir_path):
+    path = os.path.join(tmpdir_path, "ds")
+    write_dataset(events, path, mode="raise")
+    assert read_dataset(spark, path).count() == events.count()
+    with pytest.raises(FileExistsError):
+        write_dataset(events, path, mode="raise")
+
+
+def test_overwrite_and_append(spark, events, tmpdir_path):
+    path = os.path.join(tmpdir_path, "ds")
+    write_dataset(events, path, mode="append")
+    write_dataset(events, path, mode="append")
+    assert read_dataset(spark, path).count() == 2 * events.count()
+    write_dataset(events, path, mode="overwrite")
+    assert read_dataset(spark, path).count() == events.count()
+
+
+def test_delta_mode_idempotent(spark, events, tmpdir_path):
+    """Delta mode appends only genuinely new rows; rewriting the same batch
+    adds zero (writer.py:219-249; FIXTURES B3)."""
+    path = os.path.join(tmpdir_path, "ds")
+    days_1_5 = events.filter(F.col("ts") < F.lit("2024-01-06").cast("timestamp"))
+    days_4_8 = events.filter(
+        (F.col("ts") >= F.lit("2024-01-04").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-09").cast("timestamp"))
+    )
+    write_dataset(days_1_5, path, mode="delta", datetime_column="ts")
+    n1 = read_dataset(spark, path).count()
+    assert n1 == days_1_5.count()
+
+    write_dataset(days_4_8, path, mode="delta", datetime_column="ts")
+    n2 = read_dataset(spark, path).count()
+    expected = days_1_5.unionByName(days_4_8).distinct().count()
+    assert n2 == expected
+
+    # idempotency: same batch again adds nothing
+    write_dataset(days_4_8, path, mode="delta", datetime_column="ts")
+    assert read_dataset(spark, path).count() == n2
+
+
+def test_delta_subset(spark, events, tmpdir_path):
+    """delta_subset: rows matching an existing KEY are not re-appended even
+    if non-key columns differ (utils/table.py:158-185)."""
+    path = os.path.join(tmpdir_path, "ds")
+    base = events.limit(100)
+    write_dataset(base, path, mode="delta", delta_subset=["event_id"])
+    modified = base.withColumn("value", F.col("value") + 1)
+    write_dataset(modified, path, mode="delta", delta_subset=["event_id"])
+    assert read_dataset(spark, path).count() == 100
+
+
+def test_partitioned_write_hive_layout(spark, events, tmpdir_path):
+    path = os.path.join(tmpdir_path, "ds")
+    write_dataset(events, path, mode="append", partition_by="event_type")
+    subdirs = {d for d in os.listdir(path) if not d.startswith(("_", "."))}
+    assert all(d.startswith("event_type=") for d in subdirs)
+    back = read_dataset(spark, path)
+    assert back.count() == events.count()
+    # partition pruning: reading one partition touches only its dir
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_time_interval_batched_write(spark, events, tmpdir_path):
+    """W7: '1w' interval batching produces the same dataset as one write."""
+    path = os.path.join(tmpdir_path, "ds")
+    write_dataset(
+        events, path, mode="append", batch_size="1w", datetime_column="ts"
+    )
+    assert read_dataset(spark, path).count() == events.count()
+
+
+def test_transform_hook(spark, events, tmpdir_path):
+    """U1/W8: per-write transform_func."""
+    path = os.path.join(tmpdir_path, "ds")
+    write_dataset(
+        events,
+        path,
+        mode="append",
+        transform_func=lambda df, factor: df.withColumn(
+            "value", F.col("value") * factor
+        ),
+        transform_func_kwargs={"factor": 2.0},
+    )
+    got = read_dataset(spark, path).agg(F.sum("value")).first()[0]
+    want = events.agg(F.sum("value") * 2).first()[0]
+    assert abs(got - want) < 1e-6 * abs(want)
+
+
+def test_max_records_per_file(spark, events, tmpdir_path):
+    path = os.path.join(tmpdir_path, "ds")
+    write_dataset(events.coalesce(1), path, mode="append", max_records_per_file=100)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= events.count() // 100
