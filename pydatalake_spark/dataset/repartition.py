@@ -1,0 +1,102 @@
+"""Dataset repartition / compaction maintenance job (W10).
+
+Re-implements the reference's ``Repartition`` (``src/pydala/dataset/
+repartition.py:7-195``): read a whole dataset, rewrite it with new
+partitioning / sort / distinct / format / compression / file sizing,
+optionally snapshotting first and deleting the source.
+
+Spark shape: one distributed read → optional transforms → one partitioned
+write. The reference stages data through local temp tables
+(``repartition.py:37-80``) because it is single-node; here the "staging
+area" is the shuffle, and the only driver-side work is the final directory
+swap. Compaction (many small files → fewer right-sized files) is the same
+call with ``partition_by`` unchanged and ``max_records_per_file`` set —
+the Delta ``OPTIMIZE``-shaped maintenance job.
+
+Safety: writes to ``<dest>.__tmp__`` then atomically renames, so a failed
+job never corrupts the live dataset (the reference writes in place).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pydatalake_spark.dataset.writer import write_dataset
+from pydatalake_spark.sources.read import read_dataset
+
+
+def repartition_dataset(
+    spark: SparkSession,
+    source: str,
+    dest: str | None = None,
+    partition_by: str | Sequence[str] | None = None,
+    sort_by: str | Sequence[str] | None = None,
+    distinct: bool = False,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
+    transform_func: Callable[[DataFrame], DataFrame] | None = None,
+    delete_source: bool = False,
+    source_fmt: str = "parquet",
+) -> str:
+    """Rewrite ``source`` with a new layout; returns the output path.
+
+    In-place (``dest is None``) uses a temp dir + swap.
+    """
+    in_place = dest is None or os.path.abspath(dest) == os.path.abspath(source)
+    out = f"{source.rstrip('/')}.__tmp__" if in_place else dest
+
+    df = read_dataset(spark, source, fmt=source_fmt)
+    if transform_func is not None:
+        df = transform_func(df)
+    if max_records_per_file:
+        # actually merge small files: size the shuffle to the target file
+        # count (maxRecordsPerFile alone only SPLITS, never merges). The
+        # count() is one metadata-cheap pass — fine for a maintenance job.
+        import math
+
+        n_files = max(1, math.ceil(df.count() / max_records_per_file))
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            df = df.repartition(n_files, *cols)
+        else:
+            df = df.repartition(n_files)
+    write_dataset(
+        df,
+        out,
+        mode="overwrite",
+        partition_by=partition_by,
+        sort_by=sort_by,
+        distinct=distinct,
+        fmt=fmt,
+        compression=compression,
+        max_records_per_file=max_records_per_file,
+    )
+    if in_place:
+        backup = f"{source.rstrip('/')}.__old__"
+        os.rename(source, backup)
+        os.rename(out, source)
+        shutil.rmtree(backup)
+        return source
+    if delete_source:
+        shutil.rmtree(source)
+    return out
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: int = 1_000_000,
+    partition_by: str | Sequence[str] | None = None,
+) -> str:
+    """Small-file compaction: same data, right-sized files."""
+    return repartition_dataset(
+        spark,
+        path,
+        partition_by=partition_by,
+        max_records_per_file=max_records_per_file,
+    )

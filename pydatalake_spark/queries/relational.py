@@ -765,6 +765,120 @@ def date_series(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "json_extract",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k')           AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON scalar extraction from the events payload column (SURVEY §2.9 —
+    scalar coverage is free in Spark SQL, proven equivalent here)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id", k.alias("k_str"), k.cast("long").alias("k_num")
+    )
+
+
+@q(
+    "array_functions",
+    """
+    WITH t AS (
+        SELECT user_id, list(event_type ORDER BY event_id) AS types
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(types)                         AS n_events,
+           len(list_distinct(types))          AS n_distinct_types,
+           array_to_string(list_sort(list_distinct(types)), ',') AS type_csv,
+           list_contains(types, 'purchase')   AS has_purchase
+    FROM t
+    """,
+)
+def array_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Array aggregation + manipulation: collect_list with deterministic
+    intra-group order (sort_array of (event_id, type) structs — Spark's
+    collect_list order is otherwise shuffle-dependent)."""
+    e = _t(spark, sf, "events")
+    types = F.transform(
+        F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(types.alias("types"))
+        .select(
+            "user_id",
+            F.size("types").cast("long").alias("n_events"),
+            F.size(F.array_distinct("types")).cast("long").alias("n_distinct_types"),
+            F.array_join(F.array_sort(F.array_distinct("types")), ",").alias("type_csv"),
+            F.array_contains("types", "purchase").alias("has_purchase"),
+        )
+    )
+
+
+@q(
+    "conditional_agg",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_clicks,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           sum(value) FILTER (WHERE event_type = 'purchase') AS purchase_value,
+           max(ts) FILTER (WHERE event_type = 'error')     AS last_error_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTER'd aggregates (the funnel-metrics shape)."""
+    e = _t(spark, sf, "events")
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    is_error = F.col("event_type") == "error"
+    return e.groupBy("user_id").agg(
+        F.count(F.when(is_click, 1)).alias("n_clicks"),
+        F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+        F.sum(F.when(is_purchase, F.col("value"))).alias("purchase_value"),
+        F.max(F.when(is_error, F.col("ts"))).alias("last_error_ts"),
+    )
+
+
+@q(
+    "sessionize",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM g
+    """,
+)
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: lag-gap + running sum (the classic two-window
+    composition; ~2 shuffles on user_id, reused exchange)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap <= 30 * 60, 0).otherwise(1)
+    return (
+        e.select("event_id", "user_id", "ts", new_sess.alias("new_sess"))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("new_sess")
+    )
+
+
 # ---------------------------------------------------------------------------
 # beyond-reference time-series joins
 # ---------------------------------------------------------------------------

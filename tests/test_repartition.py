@@ -1,0 +1,67 @@
+"""Repartition/compaction job (W10) and incremental insert (S9)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pydatalake_spark.dataset.repartition import compact_dataset, repartition_dataset
+from pydatalake_spark.dataset.writer import write_dataset
+from pydatalake_spark.operators.insert import insert_only_new
+from pydatalake_spark.sources.read import read_dataset
+
+
+def _data_files(path):
+    out = []
+    for root, _d, files in os.walk(path):
+        out += [f for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_repartition_to_new_layout(spark, events, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    write_dataset(events, src, mode="append")
+    dest = os.path.join(tmpdir_path, "dest")
+    repartition_dataset(spark, src, dest, partition_by="event_type")
+    back = read_dataset(spark, dest)
+    assert back.count() == events.count()
+    assert any(d.startswith("event_type=") for d in os.listdir(dest))
+
+
+def test_compaction_in_place(spark, events, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    # fragment the dataset into many small files
+    write_dataset(events.repartition(16), src, mode="append")
+    n_before = len(_data_files(src))
+    assert n_before >= 16
+    compact_dataset(spark, src, max_records_per_file=10_000)
+    n_after = len(_data_files(src))
+    assert n_after < n_before
+    assert read_dataset(spark, src).count() == events.count()
+    assert not os.path.exists(src + ".__tmp__")
+    assert not os.path.exists(src + ".__old__")
+
+
+def test_repartition_with_transform_and_distinct(spark, events, tmpdir_path):
+    src = os.path.join(tmpdir_path, "src")
+    write_dataset(events.unionByName(events.limit(50)), src, mode="append")
+    dest = os.path.join(tmpdir_path, "dest")
+    repartition_dataset(
+        spark, src, dest, distinct=True,
+        transform_func=lambda df: df.drop("props"),
+    )
+    back = read_dataset(spark, dest)
+    assert back.count() == events.count()
+    assert "props" not in back.columns
+
+
+def test_insert_only_new(spark, events):
+    target = events.limit(100)
+    source = events.limit(150)  # 100 overlap + 50 new
+    merged = insert_only_new(target, source)
+    assert merged.count() == 150
+    # keyed variant: changed non-key values do NOT re-insert
+    modified = events.limit(100).withColumn("value", F.col("value") + 1)
+    merged2 = insert_only_new(target, modified, subset=["event_id"])
+    assert merged2.count() == 100
