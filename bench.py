@@ -63,8 +63,13 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else 0.0
 
-    # warm-up: JVM, codegen, parquet footer caches
-    QUERIES["q1_pricing_summary"](spark, SF_DIR).collect()
+    # warm-up: one untimed pass over the full query set so JVM JIT,
+    # whole-stage codegen, and the interpreted higher-order-function eval
+    # paths (transform/aggregate/zip_with used by the text + vector ops)
+    # are compiled before measurement — steady-state throughput is the
+    # number that predicts cluster behavior, not first-iteration JIT cost
+    for name in BENCH_QUERIES:
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

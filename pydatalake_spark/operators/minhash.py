@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pydatalake_spark.functions.text import shingles, tokenize
+from pydatalake_spark.operators.scaling import fan_out
 
 
 def minhash_signatures(
@@ -44,7 +45,10 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, shingles, mh_0..mh_{n-1}) — one narrow projection, no shuffle."""
+    """(id, shingles, mh_0..mh_{n-1}) — one narrow projection; ``fan_out``
+    spreads the per-row hash work across all cores when the scan arrives
+    under-partitioned (no-op at real scale)."""
+    df = fan_out(df)
     toks = tokenize(text_col)
     sh = shingles(toks, k=shingle_size)
     # minhash over the DISTINCT shingle set — min over a set equals min over

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pydatalake_spark.functions.text import tokenize
+from pydatalake_spark.operators.scaling import fan_out
 
 SIMHASH_BITS = 32
 
@@ -56,7 +57,9 @@ def simhash_table(
     32 partial-aggregated SUMs, shuffling only 32 ints per doc. Measured
     ~2× faster at sf0.1; identical output (integer sums commute).
     """
-    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    )
     hashed = toks.select(id_col, F.md5("tok").alias("h"))
     sums = hashed.groupBy(id_col).agg(
         *[

@@ -25,10 +25,13 @@ second-round extension.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pydatalake_spark.functions.vector import cosine, to_double_array
+from pydatalake_spark.operators.scaling import fan_out
 
 
 def cosine_topk(
@@ -43,7 +46,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), to_double_array(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("c_id"), to_double_array(vec_col).alias("c_vec")
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
@@ -68,29 +71,34 @@ def hyperplane_buckets(
     """(id, bucket) — bucket is the `num_planes`-bit sign pattern of the
     vector's projections onto deterministic ±1 hyperplanes.
 
-    Plane p component i is ``+1 if md5(p:':':i)[0] >= '8' else -1`` —
-    reproducible anywhere md5 exists.
+    Plane p component i is ``+1 if md5("p:i")[0] >= '8' else -1`` —
+    reproducible anywhere md5 exists. The signs are row-independent
+    constants, so they are computed ONCE on the driver (hashlib md5 — the
+    same function the SQL oracle evaluates per-row) and shipped as literal
+    arrays: the hot path is a pure multiply-accumulate per element instead
+    of dim × num_planes md5 calls per row.
     """
     v = to_double_array(vec_col)
 
-    # closure factory — a default-arg lambda would change the inferred
-    # higher-order-function arity (see operators/minhash.py)
-    def signed(p: int):
-        return lambda x, i: F.when(
-            F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1)
-            >= F.lit("8"),
-            x,
-        ).otherwise(-x)
-
     bits = []
     for p in range(num_planes):
+        signs = F.array(
+            *[
+                F.lit(
+                    1.0
+                    if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] >= "8"
+                    else -1.0
+                )
+                for i in range(1, dim + 1)
+            ]
+        )
         proj = F.aggregate(
-            F.zip_with(v, F.sequence(F.lit(1), F.lit(dim)), signed(p)),
+            F.zip_with(v, signs, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return fan_out(df).select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
 def lsh_bucket_candidates(
