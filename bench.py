@@ -48,9 +48,12 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "near_dup_pairs",
     "simhash_fingerprints",
+    "simhash_near_dup",
     "embedding_stats",
     "cosine_topk",
     "ann_lsh_buckets",
+    "embedding_near_dup",
+    "ivf_topk",
 ]
 
 

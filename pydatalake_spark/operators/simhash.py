@@ -76,6 +76,57 @@ def simhash_table(
     return sums.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by banded simhash + exact Hamming verify.
+
+    Pigeonhole: two fingerprints within ``max_hamming < num_bands`` bits
+    must agree on at least one of ``num_bands`` equal-width bands, so the
+    candidate set is an equi-join on (band_index, band_value) — ONE shuffle
+    keyed by band value, never an all-pairs compare (the OR-of-bands form
+    would plan as a nested-loop join). Candidates then pay the exact
+    32-bit Hamming check; output (id_a, id_b, hamming ≤ threshold).
+    """
+    width = bits // num_bands
+    sh = simhash_table(df, id_col, text_col, bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("simhash", b * width + 1, width).alias("val"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bb = sh.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    a = bb.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "val"
+    )
+    c = bb.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "val"
+    )
+    cand = (
+        a.join(c, on=["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hd = hamming_distance(F.col("sh_a"), F.col("sh_b"), bits)
+    return (
+        cand.withColumn("hamming", hd.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
     """Hamming distance between two bit-string fingerprints."""
     return F.aggregate(

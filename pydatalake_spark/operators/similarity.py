@@ -101,6 +101,155 @@ def hyperplane_buckets(
     return fan_out(df).select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2).
+
+    Centroids ship as literal arrays (they are tiny — the coarse quantizer
+    is `num_cells × dim` floats), so assignment is a narrow per-row
+    argmin with no join and no shuffle; Catalyst folds the centroid
+    constants into codegen.
+    """
+    v = to_double_array(vec_col)
+
+    def dist2(c: list[float]):
+        return F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(dist2(c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(out_col, F.array_min(dists)["i"])
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_sample: int = 100_000,
+) -> list[list[float]]:
+    """k-means coarse quantizer on a bounded sample (MLlib KMeans||).
+
+    The sample cap keeps driver/trainer cost independent of corpus size —
+    at 100 TB the quantizer still trains on ≤ `max_sample` vectors; only
+    the assignment pass (narrow, shuffle-free) touches every row.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    sample = corpus if n <= max_sample else corpus.sample(max_sample / n, seed=seed)
+    train = sample.select(
+        array_to_vector(to_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(k=num_cells, seed=seed, maxIter=10).fit(train)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: probe the `nprobe` nearest cells per query, exact
+    cosine only within probed cells, per-query top-k.
+
+    Scale shape: corpus-side work is one narrow assignment pass + ONE
+    shuffle keyed by cell for the probe join; with `nprobe/num_cells`
+    fraction probed, the exact-cosine cost drops proportionally vs
+    brute force. `nprobe = num_cells` degrades to exact search (used by
+    the tests as the equivalence oracle).
+    """
+    assigned = ivf_assign(fan_out(corpus), centroids, vec_col, "cell").select(
+        F.col(id_col).alias("c_id"),
+        to_double_array(vec_col).alias("c_vec"),
+        "cell",
+    )
+    v = to_double_array(vec_col)
+
+    def dist2(c: list[float]):
+        return F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    probe_arr = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(dist2(c).alias("d"), F.lit(i).alias("i"))
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        v.alias("q_vec"),
+        F.explode(F.transform(probe_arr, lambda s: s["i"])).alias("cell"),
+    )
+    pairs = assigned.join(F.broadcast(q), "cell").filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    sim = pairs.select(
+        "q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "sim")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH candidates
+    verified with exact cosine ≥ threshold.
+
+    The two-stage shape every large-scale dedup uses: the bucket equi-join
+    prunes all-pairs down to same-bucket candidates (one shuffle), and only
+    those pay the exact O(dim) cosine. Vectors are re-joined by id after
+    candidate generation so the band join moves only (id, bucket).
+    """
+    cand = lsh_bucket_candidates(df, id_col, vec_col, num_planes, dim).select(
+        "id_a", "id_b"
+    )
+    vecs = df.select(F.col(id_col), to_double_array(vec_col).alias("__v"))
+    j = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("v_a")), "id_a"
+    ).join(vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("v_b")), "id_b")
+    return (
+        j.withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def lsh_bucket_candidates(
     df: DataFrame,
     id_col: str = "vec_id",

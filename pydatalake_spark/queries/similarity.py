@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 from pydatalake_spark.functions.vector import l2_norm, to_double_array
 from pydatalake_spark.operators.similarity import (
     cosine_topk,
+    embedding_near_dup,
     hyperplane_buckets,
+    ivf_topk,
     lsh_bucket_candidates,
+    train_ivf_centroids,
 )
 from pydatalake_spark.queries.tables import load_table as _t
 
@@ -131,3 +134,38 @@ def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 def ann_bucket_candidates(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
     return lsh_bucket_candidates(e, num_planes=_PLANES, dim=_DIM)
+
+
+@q(
+    "embedding_near_dup",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ), p AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               {_dot('x.embedding', 'y.embedding')}
+                 / (sqrt({_dot('x.embedding', 'x.embedding')})
+                    * sqrt({_dot('y.embedding', 'y.embedding')})) AS sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
+    """,
+)
+def embedding_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dedup: LSH prune then exact cosine verify
+    (operators/similarity.py:embedding_near_dup)."""
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup(e, threshold=0.3, num_planes=_PLANES, dim=_DIM)
+
+
+@q("ivf_topk")  # no SQL oracle: k-means training is not SQL-expressible;
+# exactness is pytest-proven instead (nprobe=num_cells == brute force,
+# tests/test_operators.py::test_ivf_full_probe_equals_brute_force)
+def ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (bounded sample), probe-cells
+    search, exact cosine within probed cells
+    (operators/similarity.py:ivf_topk)."""
+    e = _t(spark, sf, "embeddings")
+    cents = train_ivf_centroids(e, num_cells=8)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), cents, k=10, nprobe=6)

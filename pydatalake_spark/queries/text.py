@@ -21,7 +21,11 @@ from pydatalake_spark.operators.minhash import (
     minhash_signatures,
     near_dup_pairs,
 )
-from pydatalake_spark.operators.simhash import SIMHASH_BITS, simhash_table
+from pydatalake_spark.operators.simhash import (
+    SIMHASH_BITS,
+    simhash_near_dup,
+    simhash_table,
+)
 from pydatalake_spark.queries.tables import load_table as _t
 
 QUERIES: dict = {}
@@ -355,6 +359,45 @@ def _simhash_sql() -> str:
 @q("simhash_fingerprints", _simhash_sql())
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_table(_t(spark, sf, "documents"))
+
+
+_SNB = 4  # simhash near-dup bands
+_SNH = 3  # max hamming distance (< _SNB, so banding loses no pair)
+
+
+def _simhash_near_dup_sql() -> str:
+    width = SIMHASH_BITS // _SNB
+    band_eq = " OR ".join(
+        f"substr(x.simhash, {b * width + 1}, {width}) = "
+        f"substr(y.simhash, {b * width + 1}, {width})"
+        for b in range(_SNB)
+    )
+    return f"""
+    WITH sh AS ({_simhash_sql()}),
+    cand AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.simhash AS sa, y.simhash AS sb
+        FROM sh x JOIN sh y ON x.doc_id < y.doc_id AND ({band_eq})
+    ), h AS (
+        SELECT id_a, id_b,
+               list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
+                   i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1)
+                        THEN 1 ELSE 0 END)) AS hamming
+        FROM cand
+    )
+    SELECT id_a, id_b, hamming FROM h WHERE hamming <= {_SNH}
+    """
+
+
+@q("simhash_near_dup", _simhash_near_dup_sql())
+def simhash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-simhash near-dedup: band equi-join candidates + exact Hamming
+    verify (operators/simhash.py:simhash_near_dup). The oracle states the
+    OR-of-bands membership predicate directly; the engine's exploded band
+    equi-join computes the identical distinct-pair set with one shuffle."""
+    return simhash_near_dup(
+        _t(spark, sf, "documents"), num_bands=_SNB, max_hamming=_SNH
+    )
 
 
 # ---------------------------------------------------------------------------

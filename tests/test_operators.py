@@ -144,3 +144,55 @@ def test_multimodal_plumbing(spark):
     assert rows[2]["n_bytes"] == 0 and rows[2]["width"] == 1
     with pytest.raises(Exception):
         extract_features(media, decode_stub="error").collect()
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe = num_cells probes every cell -> IVF degrades to exact
+    search and must equal the brute-force cosine top-k."""
+    from pydatalake_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = train_ivf_centroids(emb, num_cells=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+
+    exact = cosine_topk(emb, queries, k=5)
+    ivf = ivf_topk(emb, queries, cents, k=5, nprobe=8)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    i = {(r.q_id, r.c_id) for r in ivf.collect()}
+    assert e == i
+
+
+def test_ivf_partial_probe_subset(spark):
+    """nprobe < num_cells returns <= k rows per query, all candidates
+    coming from probed cells only."""
+    from pydatalake_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = train_ivf_centroids(emb, num_cells=8)
+    rows = ivf_topk(emb, queries, cents, k=5, nprobe=2).collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+        assert -1.0 <= r.sim <= 1.0
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_embedding_near_dup_threshold(spark):
+    from pydatalake_spark.operators.similarity import embedding_near_dup
+    from pydatalake_spark.queries.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = embedding_near_dup(emb, threshold=0.2).collect()
+    assert all(r.sim >= 0.2 and r.id_a < r.id_b for r in rows)

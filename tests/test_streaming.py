@@ -64,3 +64,61 @@ def test_stream_time_bucket_matches_batch(spark, events, src):
     want = {(r["bucket"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
             for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_sessionize_stream(spark, events, tmpdir_path):
+    """applyInPandasWithState session windows: every emitted session must
+    match the batch-computed gap-sessionization, and every session that
+    provably closed (successor gap or watermark timeout) must be emitted."""
+    import pandas as pd
+
+    from pydatalake_spark.streaming.stateful import sessionize_stream
+
+    gap_s = 300
+    src_dir = os.path.join(tmpdir_path, "sess_src")
+    data = events.select("user_id", "ts", "value").limit(500)
+    data.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = spark.readStream.format("parquet").schema(schema).load(src_dir)
+    out = sessionize_stream(stream, gap_s=gap_s, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+
+    # batch expectation: same gap logic in pandas
+    pdf = data.toPandas().sort_values(["user_id", "ts"])
+    expected = {}
+    for uid, g in pdf.groupby("user_id"):
+        start = end = None
+        n, total = 0, 0.0
+        for ts, v in zip(g["ts"], g["value"]):
+            v = 0.0 if pd.isna(v) else float(v)
+            if start is None:
+                start, end, n, total = ts, ts, 1, v
+            elif (ts - end).total_seconds() <= gap_s:
+                end, n, total = max(end, ts), n + 1, total + v
+            else:
+                expected[(uid, start, end)] = (n, round(total, 6))
+                start, end, n, total = ts, ts, 1, v
+        if start is not None:
+            expected[(uid, start, end)] = (n, round(total, 6))
+
+    # every emitted session is a true session
+    for k, v in got.items():
+        assert expected.get(k) == v, f"spurious/mismatched session {k}"
+    # every session closed well before the watermark must have been emitted
+    max_ts = pdf["ts"].max()
+    wm = max_ts - pd.Timedelta(minutes=10)
+    for (uid, start, end), v in expected.items():
+        if pd.Timestamp(end) + pd.Timedelta(seconds=gap_s) < wm:
+            assert (uid, start, end) in got, f"missing closed session {uid} {start}"
