@@ -102,3 +102,101 @@ def extract_features(
             yield out
 
     return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Image resize as an Arrow-batched 1→1 payload transform.
+
+    Production wiring point: ``PIL.Image.open(...).resize((w, h))`` per
+    payload. The 'fake' stub deterministically truncates/pads the payload
+    to ``width*height`` bytes so the binary-in/binary-out batch shape,
+    schema, and partitioning are exercised for real. Payload stays in the
+    output here by design — resize feeds a write, not a shuffle; keep a
+    ``select`` downstream narrow if joining.
+    """
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "image codec not available in this runtime; "
+                    "install PIL and replace the 'fake' resize stub"
+                )
+            resized = pdf["payload"].map(
+                lambda b: bytes(b)[:target].ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    num_frames: int = 4,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: 1 row in → ``num_frames`` rows out.
+
+    Production wiring point: ffmpeg/pyav keyframe extraction. The 'fake'
+    stub slices the payload into ``num_frames`` equal chunks, which
+    exercises the row-expanding mapInPandas shape (the part that matters
+    for partition sizing: output rows ≈ input rows × num_frames, so
+    size input partitions accordingly).
+    """
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "video codec not available in this runtime; "
+                    "install ffmpeg/pyav and replace the 'fake' frame stub"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                step = max(1, len(b) // num_frames)
+                for i in range(num_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            ).astype({"frame_idx": "int32"})
+
+    return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -196,3 +196,31 @@ def test_embedding_near_dup_threshold(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     rows = embedding_near_dup(emb, threshold=0.2).collect()
     assert all(r.sim >= 0.2 and r.id_a < r.id_b for r in rows)
+
+
+def test_multimodal_resize_and_frames(spark):
+    from pydatalake_spark.operators.multimodal import (
+        attach_payload,
+        resize_images,
+        sample_frames,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = attach_payload(docs, "doc_id", "text")
+
+    resized = resize_images(media, width=8, height=4)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4 for r in rows)
+
+    frames = sample_frames(media, num_frames=4)
+    fr = frames.collect()
+    assert len(fr) == 80
+    by_id: dict = {}
+    for r in fr:
+        by_id.setdefault(r.media_id, set()).add(r.frame_idx)
+    assert all(v == {0, 1, 2, 3} for v in by_id.values())
+
+    with pytest.raises(Exception):
+        resize_images(media, 4, 4, decode_stub="error").collect()
