@@ -60,17 +60,36 @@ def simhash_table(
     toks = fan_out(df).select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
     )
-    hashed = toks.select(id_col, F.md5("tok").alias("h"))
+    # bit j of the fingerprint is the top bit of md5 hex digit j. Rather
+    # than 32 substr+CASE string ops per token, convert each 8-hex-digit
+    # chunk to a 32-bit int once and extract top bits with shift/mask —
+    # integer intrinsics inside whole-stage codegen. sum(bit) relates to
+    # the ±1 formulation by s_j = 2*sum(bit_j) - n_tokens, so the sign
+    # test `s_j > 0` becomes `2*sum - n > 0`; results are identical to
+    # the string form (which remains the oracle's formulation).
+    hashed = toks.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(F.md5("tok"), 8 * c + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"c_{c}")
+            for c in range(bits // 8)
+        ],
+    )
     sums = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.when(F.substring("h", j + 1, 1) >= F.lit("8"), 1).otherwise(-1)
+                F.shiftrightunsigned(F.col(f"c_{j // 8}"), 35 - 4 * (j % 8 + 1))
+                % F.lit(2)
             ).alias(f"s_{j}")
             for j in range(bits)
-        ]
+        ],
     )
     bit_cols = [
-        F.when(F.col(f"s_{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(2 * F.col(f"s_{j}") - F.col("__n") > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
         for j in range(bits)
     ]
     return sums.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))

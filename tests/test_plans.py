@@ -67,3 +67,41 @@ def test_topk_no_global_sort(spark):
 def test_semi_join_is_join_not_aggregate(spark):
     p = physical_plan(spark, "semi_join")
     assert "LeftSemi" in p
+
+
+def test_near_dup_joins_are_equi_joins(spark):
+    """LSH/banded candidate generation must plan as hash equi-joins on the
+    bucket key — a CartesianProduct or BroadcastNestedLoopJoin here would
+    be the O(n^2) all-pairs scan the whole design exists to avoid."""
+    from pydatalake_spark.operators.simhash import simhash_near_dup
+    from pydatalake_spark.operators.similarity import embedding_near_dup
+    from pydatalake_spark.operators.minhash import near_dup_pairs
+    from pydatalake_spark.queries.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    for df in (
+        simhash_near_dup(docs),
+        embedding_near_dup(emb),
+        near_dup_pairs(docs),
+    ):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_broadcasts_query_side(spark):
+    """IVF probe join must broadcast the (small) query side, never shuffle
+    the corpus by anything but its cell assignment."""
+    from pydatalake_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from pydatalake_spark.queries.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = train_ivf_centroids(emb, num_cells=4)
+    df = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), cents, k=3, nprobe=2)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
