@@ -1,0 +1,185 @@
+"""Reference-compatible API shim: the names a PyDaLa user already knows.
+
+Thin aliases over the engine's native surface so code written against the
+reference (``src/pydala/dataset/reader.py`` / ``writer.py`` /
+``datalake/manager.py``) ports with import changes only:
+
+==============================  =========================================
+reference                       here
+==============================  =========================================
+``Reader(path).load_dataset()``  ``Reader(path).load_dataset()`` (temp view)
+``Reader.to_relation()``         lazy ``DataFrame`` (Spark plan ≙ relation)
+``Reader.to_polars()/pandas()``  ``to_pandas()`` (Arrow-backed)
+``Reader.query()/execute()``     ``spark.sql`` passthrough
+``Reader.sort/distinct/drop``    same fluent record-only chain
+``Writer.write_dataset(...)``    partitioned write w/ raise/overwrite/
+                                 append/delta modes + batching + hooks
+``Manager`` (``_pydala.toml``)   ``Manager`` over the JSON lake registry
+``TimeFly`` snapshots            ``TimeFly`` (same as-of first-after rule)
+==============================  =========================================
+
+Interchange collapse: the reference juggles five table types (pa.Table,
+polars, pandas, duckdb relation, pyarrow dataset — ``utils/table.py:8-92``);
+here everything is ONE lazy DataFrame, with pandas/Arrow at the edges.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pydatalake_spark.datalake.catalog import DataLake
+from pydatalake_spark.dataset.table import DataLakeTable
+from pydatalake_spark.dataset.timefly import TimeFly
+from pydatalake_spark.dataset.writer import write_dataset
+from pydatalake_spark.session import get_spark
+
+__all__ = ["Reader", "Writer", "TimeFlyReader", "Manager", "TimeFly"]
+
+
+class Reader(DataLakeTable):
+    """≙ ``pydala.dataset.Reader`` (``reader.py:22-63``).
+
+    ``bucket``/``protocol`` collapse into the path (Spark reads object
+    storage natively via s3a:///gs:///abfss:// URIs — no cache sync, no
+    fsspec; SURVEY §2.1 S11).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        bucket: str | None = None,
+        name: str = "dataset",
+        format: str = "parquet",  # noqa: A002 - reference kwarg name
+        partitioning: str | list | None = None,
+        schema=None,
+        spark: SparkSession | None = None,
+        **kwargs,
+    ) -> None:
+        full = f"{bucket.rstrip('/')}/{path}" if bucket else path
+        # reference "hive" flavor is Spark's native partition discovery;
+        # "directory"-flavor (bare value dirs) needs the explicit
+        # partition_schema path of read_directory_partitioned
+        part_schema = partitioning if isinstance(partitioning, list) else None
+        super().__init__(
+            spark or get_spark(),
+            full,
+            fmt=format,
+            schema=schema,
+            partition_schema=part_schema,
+            name=name,
+            **kwargs,
+        )
+
+    # --- reference method names -----------------------------------------
+    def load_dataset(self, name: str | None = None) -> "Reader":
+        """≙ ``reader.py:235-255`` — bind files + register SQL view."""
+        self.load()
+        self.create_temp_table(name or self.name)
+        return self
+
+    def load_pa_table(self, name: str | None = None) -> "Reader":
+        """≙ ``reader.py:257-290`` — eager load; here: cache + register."""
+        self.load_dataset(name)
+        self._df = self.df.cache()
+        return self
+
+    def to_relation(self) -> DataFrame:
+        """≙ ``reader.py:372-404`` — the lazy query handle."""
+        return self.to_df()
+
+    def to_polars(self):
+        """≙ ``reader.py:406-440`` — returns pandas (polars not required
+        here; both are Arrow-backed columnar frames)."""
+        return self.to_pandas()
+
+    def execute(self, sql: str) -> DataFrame:
+        """≙ ``reader.py:478-481`` raw SQL passthrough."""
+        return self.query(sql)
+
+    def add_existing_ddb_table(self, existing_table: str) -> DataFrame:
+        """≙ ``reader.py:367-370`` — adopt a pre-registered table."""
+        return self.spark.table(existing_table)
+
+
+class Writer:
+    """≙ ``pydala.dataset.Writer`` (``writer.py:430-527``)."""
+
+    def __init__(
+        self,
+        path: str,
+        bucket: str | None = None,
+        partitioning: str | Sequence[str] | None = None,
+        format: str = "parquet",  # noqa: A002
+        compression: str = "zstd",
+        mode: str = "append",
+        spark: SparkSession | None = None,
+    ) -> None:
+        self.path = f"{bucket.rstrip('/')}/{path}" if bucket else path
+        self.partitioning = partitioning
+        self.format = format
+        self.compression = compression
+        self.mode = mode
+        self.spark = spark or get_spark()
+
+    def write_dataset(
+        self,
+        table: DataFrame,
+        mode: str | None = None,
+        batch_size: int | str | None = None,
+        datetime_column: str | None = None,
+        start_time=None,
+        end_time=None,
+        delta_subset: Sequence[str] | None = None,
+        transform_func: Callable[[DataFrame], DataFrame] | None = None,
+        transform_func_kwargs: dict | None = None,
+        row_group_size: int | None = None,
+        **_ignored,
+    ) -> None:
+        write_dataset(
+            table,
+            self.path,
+            mode=mode or self.mode,
+            partition_by=self.partitioning,
+            compression=self.compression,
+            fmt=self.format,
+            max_records_per_file=row_group_size,
+            batch_size=batch_size,
+            datetime_column=datetime_column,
+            start_time=start_time,
+            end_time=end_time,
+            delta_subset=delta_subset,
+            transform_func=transform_func,
+            transform_func_kwargs=transform_func_kwargs,
+        )
+
+
+class TimeFlyReader(Reader):
+    """≙ ``reader.py:584-680`` — Reader rooted at the snapshot resolved
+    from a timestamp by the reference's first-snapshot-AFTER rule."""
+
+    def __init__(
+        self,
+        base_path: str,
+        timefly: dt.datetime | str | None = None,
+        spark: SparkSession | None = None,
+        **kwargs,
+    ) -> None:
+        self._tf = TimeFly(spark or get_spark(), base_path)
+        self._base = base_path
+        super().__init__(self._tf.resolve_as_of(timefly), spark=spark, **kwargs)
+
+    def set_snapshot(self, timefly: dt.datetime | str | None = None) -> None:
+        """≙ ``reader.py:655-675`` — rebind to another snapshot."""
+        self.path = self._tf.resolve_as_of(timefly)
+        self._df = None
+
+
+class Manager(DataLake):
+    """≙ ``pydala.datalake.Manager`` (``manager.py:16-209``); JSON registry
+    instead of ``_pydala.toml``, same create/register/remove/tables surface."""
+
+    def __init__(self, root: str, spark: SparkSession | None = None) -> None:
+        super().__init__(spark or get_spark(), root)
