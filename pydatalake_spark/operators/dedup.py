@@ -54,7 +54,12 @@ def distinct_table(
             if isinstance(presort_by, str)
             else list(presort_by or [])
         )
-        order_cols = presort or [c for c in df.columns if c not in keys]
+        # presort first, then ALL remaining columns as tiebreak: row_number
+        # over a non-total order is shuffle-dependent, and a dedup that
+        # returns different rows per run is wrong at any scale
+        # (SURVEY §7.3.2 — the documented deterministic-tiebreak rule)
+        rest = [c for c in df.columns if c not in keys and c not in presort]
+        order_cols = presort + rest
         ordering = [
             F.col(c).asc_nulls_first() if keep == "first" else F.col(c).desc_nulls_last()
             for c in order_cols

@@ -35,6 +35,7 @@ from pydatalake_spark.dataset.schema import read_unified
 PARQUET_EXTS = {".parquet", ".parq"}
 CSV_EXTS = {".csv", ".tsv", ".txt"}
 FEATHER_EXTS = {".feather", ".ipc", ".arrow"}
+JSON_EXTS = {".json", ".jsonl", ".ndjson"}
 
 
 def _list_files(path: str, exts: set[str]) -> list[str]:
@@ -110,6 +111,23 @@ def read_feather(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(table.to_pandas())
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Line-delimited JSON (distributed, schema-inferred or explicit).
+
+    Beyond the reference's formats (parquet/feather/csv — SURVEY §1.3);
+    JSON-lines is the lingua franca of LLM-pipeline interchange, and
+    Spark's reader splits it natively."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).json(path)
+
+
 def read_directory_partitioned(
     spark: SparkSession,
     base: str,
@@ -156,6 +174,8 @@ def read_any(
         if ext in CSV_EXTS
         else "feather"
         if ext in FEATHER_EXTS
+        else "json"
+        if ext in JSON_EXTS
         else None
     )
     if fmt is None:
@@ -164,6 +184,7 @@ def read_any(
             (PARQUET_EXTS, "parquet"),
             (CSV_EXTS, "csv"),
             (FEATHER_EXTS, "feather"),
+            (JSON_EXTS, "json"),
         ):
             if _list_files(path, candidate):
                 fmt = name
@@ -176,6 +197,8 @@ def read_any(
         return read_csv(spark, path, schema=schema, **options)
     if fmt == "feather":
         return read_feather(spark, path)
+    if fmt == "json":
+        return read_json(spark, path, schema=schema, **options)
     raise ValueError(f"unsupported format {fmt!r}")
 
 

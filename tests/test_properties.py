@@ -1,0 +1,72 @@
+"""Property-based checks (hypothesis) for the semantic-trap operators.
+
+SURVEY §7.3.1/7.3.2: EXCEPT must be SET-semantics and keep-first/last dedup
+must be deterministic under an explicit presort. Both are modeled in plain
+Python/pandas and compared against the Spark operators on randomized
+small inputs — the cases unit fixtures miss (all-duplicate tables, NULL
+keys, ties in the presort column) fall out of the generators.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pydatalake_spark.operators.dedup import distinct_table
+from pydatalake_spark.operators.diff import tables_diff
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(
+        pd.DataFrame(data, columns=["k", "v"]).astype({"k": "int64", "v": "object"}),
+        schema="k long, v long",
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(a=rows, b=rows)
+def test_tables_diff_matches_set_model(spark, a, b):
+    """tables_diff == set(a) - set(b), regardless of duplication in either
+    side (DuckDB EXCEPT set semantics, utils/table.py:172)."""
+    got = {
+        (r.k, r.v) for r in tables_diff(_df(spark, a), _df(spark, b)).collect()
+    }
+    want = set(a) - set(b)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=12,
+))
+def test_keep_first_matches_pandas_model(spark, data):
+    """distinct_table(keep='first', presort_by=ts) picks, per key, the row
+    with min (ts, payload) — the documented all-columns tiebreak."""
+    pdf = pd.DataFrame(data, columns=["k", "ts", "p"])
+    df = spark.createDataFrame(pdf, schema="k long, ts long, p long")
+    got = {
+        (r.k, r.ts, r.p)
+        for r in distinct_table(df, subset=["k"], keep="first", presort_by=["ts"]).collect()
+    }
+    want = {
+        tuple(g.sort_values(["ts", "p"]).iloc[0])
+        for _, g in pdf.groupby("k")
+    }
+    assert got == want
