@@ -597,6 +597,30 @@ def window_rank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary grouping sets via the SQL surface (U2 passthrough — the
+    reference exposes this only through raw SQL; Spark SQL plans it as one
+    Expand + partial aggregation, no per-set rescans)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,

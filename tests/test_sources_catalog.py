@@ -100,3 +100,15 @@ def test_datalake_catalog(spark, events, tmpdir_path):
 
     lake2.remove("ev", delete_data=True)
     assert "ev" not in lake2.tables()
+
+
+def test_read_any_json_dispatch(spark, tmpdir_path):
+    import os
+
+    from pydatalake_spark.sources.read import read_any
+
+    d = os.path.join(tmpdir_path, "j")
+    spark.range(6).selectExpr("id", "id * 3 AS v").write.json(d)
+    back = read_any(spark, d, fmt="json")
+    assert back.count() == 6
+    assert set(back.columns) == {"id", "v"}
