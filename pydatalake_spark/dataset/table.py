@@ -188,6 +188,16 @@ class DataLakeTable:
             df=fn(self.to_df(), **kwargs) if kwargs else fn(self.to_df()),
         )
 
+    # --- write surface ------------------------------------------------------
+    def write_dataset(self, path: str, **kwargs) -> "DataLakeTable":
+        """Write the configured plan as a dataset (full write-mode surface
+        of ``dataset/writer.py:write_dataset`` — raise/overwrite/append/
+        delta, partitioning, batching, transform hook)."""
+        from pydatalake_spark.dataset.writer import write_dataset as _write
+
+        _write(self.to_df(), path, **kwargs)
+        return self
+
     # --- introspection ----------------------------------------------------
     def count(self) -> int:
         return self.to_df().count()

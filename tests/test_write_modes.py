@@ -106,3 +106,20 @@ def test_max_records_per_file(spark, events, tmpdir_path):
     write_dataset(events.coalesce(1), path, mode="append", max_records_per_file=100)
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) >= events.count() // 100
+
+
+def test_table_chain_write_dataset(spark, tmpdir_path):
+    import os
+
+    from pydatalake_spark.dataset.table import DataLakeTable
+
+    src = os.path.join("/root/testdata/sf0.001", "nation.parquet")
+    dest = os.path.join(tmpdir_path, "nation_chain")
+    t = DataLakeTable(spark, src, name="nation_chain")
+    t.drop("n_comment").sort("n_name").write_dataset(
+        dest, mode="overwrite", partition_by="n_regionkey"
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == 25
+    assert "n_comment" not in back.columns
+    assert "n_regionkey" in back.columns
