@@ -29,6 +29,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pydatalake_spark.functions.vector import cosine, to_double_array
 from pydatalake_spark.operators.scaling import fan_out
@@ -99,6 +100,67 @@ def hyperplane_buckets(
         )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
     return fan_out(df).select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def cosine_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k, vectorized: one numpy matmul per Arrow
+    batch instead of interpreted per-element array expressions.
+
+    The expression form (`cosine_topk`) is oracle-exact and fine at the
+    64-dim fixture width; at production embedding widths (768–4096) the
+    interpreted `zip_with`/`aggregate` loop is the bottleneck and this
+    path wins by orders of magnitude. Shape is identical: query matrix
+    broadcast (as a plan literal via crossJoin-free closure capture),
+    corpus streamed per partition, per-batch scores, global rank window.
+    Ties and float associativity differ from the expression form at ~1e-15
+    relative — rank order may differ only on exact ties.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()  # |Q| is small by contract
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([list(map(float, r[vec_col])) for r in q_rows])
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array([list(map(float, v)) for v in pdf[vec_col]])
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # (batch, |Q|)
+            c_ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, len(c_ids)),
+                    "c_id": np.tile(c_ids, len(q_ids)),
+                    "sim": sims.T.ravel(),
+                }
+            )
+
+    scored = fan_out(corpus).select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "sim")
+    )
 
 
 def ivf_assign(

@@ -224,3 +224,41 @@ def test_multimodal_resize_and_frames(spark):
 
     with pytest.raises(Exception):
         resize_images(media, 4, 4, decode_stub="error").collect()
+
+
+def test_cosine_topk_numpy_matches_expression(spark):
+    """The vectorized numpy path must return the same (q_id, c_id) top-k
+    sets as the oracle-exact expression path."""
+    from pydatalake_spark.operators.similarity import cosine_topk, cosine_topk_numpy
+    from pydatalake_spark.queries.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    e = {(r.q_id, r.c_id) for r in cosine_topk(emb, queries, k=8).collect()}
+    n = {(r.q_id, r.c_id) for r in cosine_topk_numpy(emb, queries, k=8).collect()}
+    assert e == n
+
+
+def test_salted_agg_matches_plain_groupby(spark, events):
+    from pydatalake_spark.operators.scaling import salted_agg
+
+    got = {
+        (r.event_type): (r.n, round(r.total, 6), r.lo, r.hi)
+        for r in salted_agg(
+            events,
+            ["event_type"],
+            {"n": "count(*)", "total": "sum(value)", "lo": "min(value)", "hi": "max(value)"},
+        ).collect()
+    }
+    want = {
+        (r.event_type): (r.n, round(r.total, 6), r.lo, r.hi)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
