@@ -400,6 +400,20 @@ def simhash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("approx_profile")  # no SQL oracle: sketch estimates are engine-specific
+# (DataSketches HLL + KLL); bounded-error vs exact is pytest-proven in
+# tests/test_operators.py::test_sketch_summary_bounded_error
+def approx_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch profile of the events stream: per event_type row
+    count, HLL distinct-user estimate, approximate value quantiles — the
+    one-pass cardinality/quantile tooling a 100 TB pipeline uses instead
+    of exact COUNT(DISTINCT) (functions/sketch.py)."""
+    from pydatalake_spark.functions.sketch import sketch_summary
+
+    e = _t(spark, sf, "events")
+    return sketch_summary(e, ["event_type"], "user_id", "value")
+
+
 # ---------------------------------------------------------------------------
 # multimodal column plumbing (binary payload + typed metadata)
 # ---------------------------------------------------------------------------

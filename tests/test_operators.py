@@ -262,3 +262,46 @@ def test_salted_agg_matches_plain_groupby(spark, events):
         .collect()
     }
     assert got == want
+
+
+def test_sketch_summary_bounded_error(spark, events):
+    from pydatalake_spark.functions.sketch import sketch_summary
+
+    got = {
+        r.event_type: r
+        for r in sketch_summary(
+            events, ["event_type"], "user_id", "value"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("d"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert got[k].n == e.n
+        assert abs(got[k].approx_distinct - e.d) <= max(2, 0.05 * e.d)
+        assert len(got[k].approx_quantiles) == 4
+
+
+def test_hll_rollup_merges_without_rescan(spark, events):
+    """Coarse-level estimates from UNIONED fine sketches must track the
+    directly-computed coarse estimates (same sketch family, same data)."""
+    from pydatalake_spark.functions.sketch import hll_rollup
+
+    ev = events.withColumn("day", F.to_date("ts"))
+    fine, coarse = hll_rollup(ev, ["day", "event_type"], ["event_type"], "user_id")
+    assert fine.count() > coarse.count() > 0
+    direct = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("d"))
+        .collect()
+    }
+    merged = {r.event_type: r.approx_distinct for r in coarse.collect()}
+    assert merged == direct  # identical sketches -> identical estimates
