@@ -39,11 +39,18 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join. Right payload columns come back suffixed; the
-    matched right timestamp is ``{on}{suffix}``. Unmatched → NULLs."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    matched right timestamp is ``{on}{suffix}``. Unmatched → NULLs.
+
+    ``direction='nearest'`` takes whichever of the backward/forward match
+    is closer in time (ties → backward), still over ONE exchange (two
+    sorts share the partitioning). ``tolerance`` (seconds) nulls out
+    matches farther than the bound — ``pd.merge_asof`` semantics.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     keys = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in (right_cols or right.columns) if c not in keys and c != on]
 
@@ -59,17 +66,41 @@ def asof_join(
     l_part = left.withColumn(_SIDE, F.lit(1))
     combined = l_part.unionByName(r_part, allowMissingColumns=True)
 
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal ts → equality matches
-        order = [F.col(on).asc_nulls_first(), F.col(_SIDE).asc()]
+    def filled_col(d: str):
+        if d == "backward":
+            # right rows sort BEFORE left rows at equal ts → equality matches
+            order = [F.col(on).asc_nulls_first(), F.col(_SIDE).asc()]
+        else:
+            order = [F.col(on).desc_nulls_last(), F.col(_SIDE).asc()]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(_RV, ignorenulls=True).over(w)
+
+    def within_tol(match):
+        if tolerance is None:
+            return match
+        gap = F.abs(
+            F.col(on).cast("double") - match[f"{on}{suffix}"].cast("double")
+        )
+        return F.when(gap <= F.lit(float(tolerance)), match)
+
+    if direction == "nearest":
+        back = within_tol(filled_col("backward"))
+        fwd = within_tol(filled_col("forward"))
+        gap_b = F.col(on).cast("double") - back[f"{on}{suffix}"].cast("double")
+        gap_f = fwd[f"{on}{suffix}"].cast("double") - F.col(on).cast("double")
+        pick = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(gap_f < gap_b, fwd)
+            .otherwise(back)
+        )
+        filled = combined.withColumn(_RV, pick)
     else:
-        order = [F.col(on).desc_nulls_last(), F.col(_SIDE).asc()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = combined.withColumn(_RV, F.last(_RV, ignorenulls=True).over(w))
+        filled = combined.withColumn(_RV, within_tol(filled_col(direction)))
     out_cols = list(left.columns) + [
         F.col(f"{_RV}.{f}").alias(f)
         for f in [f"{on}{suffix}"] + [f"{c}{suffix}" for c in payload]

@@ -871,6 +871,32 @@ def conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "window_time_range_avg",
+    """
+    SELECT event_id, user_id, ts, value,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                                      AND CURRENT ROW) AS avg_10m
+    FROM events
+    """,
+)
+def window_time_range_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing 10-minute moving average —
+    the time-based frame spec (rows frames can't express it when event
+    spacing is irregular). One shuffle on user_id."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))  # microsecond precision: a plain
+        # cast-to-long truncates to seconds and shifts the frame boundary
+        .rangeBetween(-600 * 1_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", "ts", "value", F.avg("value").over(w).alias("avg_10m")
+    )
+
+
+@q(
     "sessionize",
     """
     WITH g AS (

@@ -305,3 +305,38 @@ def test_hll_rollup_merges_without_rescan(spark, events):
     }
     merged = {r.event_type: r.approx_distinct for r in coarse.collect()}
     assert merged == direct  # identical sketches -> identical estimates
+
+
+def test_asof_nearest_and_tolerance_match_pandas(spark):
+    """nearest/tolerance directions vs pd.merge_asof on random-ish data."""
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2], "t": [10.0, 25.0, 40.0, 5.0, 100.0]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 1, 2], "t": [8.0, 27.0, 60.0, 50.0], "px": [1.0, 2.0, 3.0, 4.0]}
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+
+    for direction, tol in [("nearest", None), ("backward", 10.0), ("nearest", 5.0)]:
+        got = {
+            (r.k, r.t): r.px_right
+            for r in asof_join(
+                ldf, rdf, on="t", by="k", direction=direction, tolerance=tol
+            ).collect()
+        }
+        want_pdf = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t",
+            by="k",
+            direction=direction,
+            tolerance=tol,
+        )
+        want = {
+            (r.k, r.t): (None if pd.isna(r.px) else r.px)
+            for r in want_pdf.itertuples()
+        }
+        assert got == want, f"direction={direction} tolerance={tol}"
