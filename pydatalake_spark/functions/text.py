@@ -67,3 +67,46 @@ def predicted_language(tokens: Column) -> Column:
             cond = term if cond is None else (cond & term)
         out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
     return out.otherwise(F.lit(langs[0]))
+
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_tokenize(col: str | Column, pattern: str = BPE_PATTERN) -> Column:
+    """BPE-ish pre-tokenization: letter runs, digit runs, and single
+    punctuation marks as separate tokens (the GPT-2-style split BEFORE
+    byte-pair merges). The default pattern is deliberately limited to
+    syntax that Java regex (Spark) and RE2 (DuckDB/oracle) interpret
+    identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
+def rolling_hashes(col: str | Column, k: int = 8) -> Column:
+    """Hash of every k-char window of the text — the rolling-hash stream
+    winnowing selects from. Short docs (< k chars) hash whole. The hash is
+    the first 8 hex chars of md5: a 32-bit-entropy STRING, so minima are
+    lexicographic and identical in any engine with md5 (the oracle
+    requirement; crc32 exists only on the Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - k + 1, F.lit(1))),
+        lambda i: F.substring(F.md5(F.substring(c, i, k)), 1, 8),
+    )
+    return grams
+
+
+def winnow_fingerprints(col: str | Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing (Schleimer/Wilkerson/Aiken 2003): the distinct minima of
+    each w-length window over the rolling k-gram hash stream — a compact,
+    position-robust document fingerprint set; near-identical docs share
+    most fingerprints even under insertion/reordering edits.
+
+    Pure array expressions (sequence/transform/slice/array_min), so the
+    fingerprint is a narrow per-row map — embarrassingly parallel."""
+    hs = rolling_hashes(col, k)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -226,6 +226,69 @@ def token_frequencies(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "bpe_token_stats",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0) AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks)                    AS n_tokens,
+           len(list_distinct(toks))     AS n_unique,
+           len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))      AS n_number,
+           len(list_filter(toks, t -> NOT regexp_matches(t, '^[A-Za-z0-9]'))) AS n_punct
+    FROM tok
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish pre-tokenization stats (letter runs / digit runs /
+    punctuation marks — functions/text.py:regex_tokenize): the token
+    accounting an LLM-data pipeline runs before byte-pair encoding."""
+    from pydatalake_spark.functions.text import regex_tokenize
+
+    d = _t(spark, sf, "documents")
+    toks = regex_tokenize("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_number"),
+        F.size(F.filter(toks, lambda t: ~t.rlike("^[A-Za-z0-9]")))
+        .cast("long")
+        .alias("n_punct"),
+    )
+
+
+@q(
+    "winnow_fingerprints",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(text) - 8 + 1, 1) + 1),
+                              i -> substr(md5(substr(text, i, 8)), 1, 8)) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                              i -> list_min(hs[i:i+3]))
+           )) AS fingerprints
+    FROM h
+    """,
+)
+def winnow_fingerprints_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 chars, window w=4):
+    position-robust doc signatures (functions/text.py:winnow_fingerprints)."""
+    from pydatalake_spark.functions.text import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", winnow_fingerprints("text", k=8, w=4).alias("fingerprints"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dedup (operators/minhash.py)
 # ---------------------------------------------------------------------------

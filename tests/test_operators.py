@@ -340,3 +340,26 @@ def test_asof_nearest_and_tolerance_match_pandas(spark):
             for r in want_pdf.itertuples()
         }
         assert got == want, f"direction={direction} tolerance={tol}"
+
+
+def test_winnow_fingerprints_edit_robust(spark):
+    """Winnowing property: an insertion edit leaves most fingerprints
+    shared; an unrelated doc shares almost none."""
+    import pandas as pd
+
+    from pydatalake_spark.functions.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edited = base.replace("jumps over", "jumps right over")
+    other = "completely different content with zero overlap whatsoever here"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, edited, other]})
+    )
+    fps = {
+        r.doc_id: set(r.f)
+        for r in df.select("doc_id", winnow_fingerprints("text").alias("f")).collect()
+    }
+    sim_edit = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    sim_other = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    assert sim_edit > 0.5
+    assert sim_other < 0.1
