@@ -42,9 +42,12 @@ BENCH_QUERIES = [
     "time_bucket",
     "asof_join_events",
     "range_join_events",
+    "window_time_range_avg",
     "exact_dedup_docs",
     "token_frequencies",
     "text_quality_score",
+    "bpe_token_stats",
+    "winnow_fingerprints",
     "minhash_signatures",
     "near_dup_pairs",
     "simhash_fingerprints",

@@ -83,13 +83,16 @@ def unify_schemas(schemas: list[T.StructType], sort_fields: bool = True) -> T.St
 def list_fragment_schemas(paths: list[str]) -> list[T.StructType]:
     """Per-file physical schemas from parquet footers (driver-side metadata
     read ≙ ``frag.physical_schema`` listing, ``utils/dataset.py:94-106``)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    out = []
-    for p in paths:
-        out.append(from_arrow_schema(pq.read_schema(p)))
-    return out
+    # footer reads are tiny IO-bound requests; a thread pool keeps the
+    # driver-side metadata pass O(files/32) wall-clock on object storage
+    # (order preserved — unification is left-to-right by contract)
+    with ThreadPoolExecutor(max_workers=32) as pool:
+        return list(pool.map(lambda p: from_arrow_schema(pq.read_schema(p)), paths))
 
 
 def read_unified(

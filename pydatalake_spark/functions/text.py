@@ -110,3 +110,30 @@ def winnow_fingerprints(col: str | Column, k: int = 8, w: int = 4) -> Column:
         lambda i: F.array_min(F.slice(hs, i, w)),
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_table(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+):
+    """Winnowing as a two-projection plan: the rolling-hash array is bound
+    to a real column FIRST, then the window minima reference that column.
+
+    This boundary matters: inlined as one expression (the plain
+    `winnow_fingerprints` column), Catalyst substitutes the whole
+    rolling-hash `transform` into every window-minimum lambda and the
+    hash stream is recomputed per window — O(len^2) md5 calls per doc.
+    Bound as a column (non-cheap, multiply-referenced, so CollapseProject
+    keeps the projection), it is computed once — O(len).
+    """
+    hs = F.col("__hs")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return df.select(F.col(id_col), rolling_hashes(text_col, k).alias("__hs")).select(
+        id_col, F.array_sort(F.array_distinct(mins)).alias("fingerprints")
+    )

@@ -282,11 +282,13 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 )
 def winnow_fingerprints_q(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=8 chars, window w=4):
-    position-robust doc signatures (functions/text.py:winnow_fingerprints)."""
-    from pydatalake_spark.functions.text import winnow_fingerprints
+    position-robust doc signatures (functions/text.py:winnow_table — the
+    two-projection form that computes the hash stream once per doc)."""
+    from pydatalake_spark.functions.text import winnow_table
+    from pydatalake_spark.operators.scaling import fan_out
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", winnow_fingerprints("text", k=8, w=4).alias("fingerprints"))
+    return winnow_table(fan_out(d), "doc_id", "text", k=8, w=4)
 
 
 # ---------------------------------------------------------------------------
