@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pydatalake_spark.functions.vector import cosine, to_double_array
+from pydatalake_spark.functions.vector import cosine, dot, l2_norm, to_double_array
 from pydatalake_spark.operators.scaling import fan_out
 
 
@@ -44,15 +44,24 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. Returns
     (q_id, c_id, sim) with rank ≤ k, self-matches excluded."""
+    # norms bind to columns per side BEFORE the pair join: recomputing a
+    # norm inside the pair expression would pay it |Q| times per corpus row
+    # (the projection boundary keeps CollapseProject from inlining it)
     q = queries.select(
         F.col(id_col).alias("q_id"), to_double_array(vec_col).alias("q_vec")
-    )
-    c = fan_out(corpus).select(
-        F.col(id_col).alias("c_id"), to_double_array(vec_col).alias("c_vec")
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
+    c = (
+        fan_out(corpus)
+        .select(F.col(id_col).alias("c_id"), to_double_array(vec_col).alias("c_vec"))
+        .withColumn("c_norm", l2_norm(F.col("c_vec")))
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
     sim = pairs.select(
-        "q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+        "q_id",
+        "c_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
     return (
@@ -77,9 +86,10 @@ def hyperplane_buckets(
     constants, so they are computed ONCE on the driver (hashlib md5 — the
     same function the SQL oracle evaluates per-row) and shipped as literal
     arrays: the hot path is a pure multiply-accumulate per element instead
-    of dim × num_planes md5 calls per row.
+    of dim × num_planes md5 calls per row. The cast vector binds to a
+    column so the per-plane projections share it (projection boundary).
     """
-    v = to_double_array(vec_col)
+    v = F.col("__v")
 
     bits = []
     for p in range(num_planes):
@@ -99,7 +109,11 @@ def hyperplane_buckets(
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    return fan_out(df).select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return (
+        fan_out(df)
+        .select(F.col(id_col), to_double_array(vec_col).alias("__v"))
+        .select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    )
 
 
 def cosine_topk_numpy(
@@ -174,9 +188,13 @@ def ivf_assign(
     Centroids ship as literal arrays (they are tiny — the coarse quantizer
     is `num_cells × dim` floats), so assignment is a narrow per-row
     argmin with no join and no shuffle; Catalyst folds the centroid
-    constants into codegen.
+    constants into codegen. The cast vector binds to a column first so the
+    per-centroid distance expressions reference it instead of re-casting
+    `num_cells` times per row (the winnowing lesson: multiply-referenced
+    non-cheap expressions need a projection boundary).
     """
-    v = to_double_array(vec_col)
+    tmp = df.withColumn("__v", to_double_array(vec_col))
+    v = F.col("__v")
 
     def dist2(c: list[float]):
         return F.aggregate(
@@ -191,7 +209,7 @@ def ivf_assign(
             for i, c in enumerate(centroids)
         ]
     )
-    return df.withColumn(out_col, F.array_min(dists)["i"])
+    return tmp.withColumn(out_col, F.array_min(dists)["i"]).drop("__v")
 
 
 def train_ivf_centroids(
@@ -237,12 +255,16 @@ def ivf_topk(
     brute force. `nprobe = num_cells` degrades to exact search (used by
     the tests as the equivalence oracle).
     """
-    assigned = ivf_assign(fan_out(corpus), centroids, vec_col, "cell").select(
-        F.col(id_col).alias("c_id"),
-        to_double_array(vec_col).alias("c_vec"),
-        "cell",
+    assigned = (
+        ivf_assign(fan_out(corpus), centroids, vec_col, "cell")
+        .select(
+            F.col(id_col).alias("c_id"),
+            to_double_array(vec_col).alias("c_vec"),
+            "cell",
+        )
+        .withColumn("c_norm", l2_norm(F.col("c_vec")))
     )
-    v = to_double_array(vec_col)
+    v = F.col("__v")
 
     def dist2(c: list[float]):
         return F.aggregate(
@@ -263,16 +285,24 @@ def ivf_topk(
         1,
         nprobe,
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        v.alias("q_vec"),
-        F.explode(F.transform(probe_arr, lambda s: s["i"])).alias("cell"),
+    q = (
+        queries.withColumn("__v", to_double_array(vec_col))
+        .select(
+            F.col(id_col).alias("q_id"),
+            v.alias("q_vec"),
+            F.explode(F.transform(probe_arr, lambda s: s["i"])).alias("cell"),
+        )
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
     )
     pairs = assigned.join(F.broadcast(q), "cell").filter(
         F.col("q_id") != F.col("c_id")
     )
     sim = pairs.select(
-        "q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+        "q_id",
+        "c_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
     return (
