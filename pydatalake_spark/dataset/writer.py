@@ -160,8 +160,31 @@ def write_dataset(
         writer.option("compression", compression).parquet(path)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
+    elif fmt == "feather":
+        if parts:
+            raise ValueError("feather write edge does not support partition_by")
+        write_feather(df, path, mode=spark_mode)
     else:
         raise ValueError(f"unsupported write format {fmt!r}")
+
+
+def write_feather(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Driver-edge feather/IPC write (≙ ``pl.write_ipc``, reference
+    ``writer.py:398-409``). Small-data path only, like the feather reader
+    (SURVEY §1.3): the table materializes on the driver via Arrow. For
+    anything large, write parquet."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    if mode == "append" and os.path.isfile(path):
+        existing = feather.read_table(path)
+        table = pa.concat_tables(
+            [existing, pa.Table.from_pandas(df.toPandas())], promote_options="default"
+        )
+    else:
+        table = pa.Table.from_pandas(df.toPandas())
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    feather.write_feather(table, path)
 
 
 def _delta_diff(

@@ -123,3 +123,37 @@ def test_table_chain_write_dataset(spark, tmpdir_path):
     assert back.count() == 25
     assert "n_comment" not in back.columns
     assert "n_regionkey" in back.columns
+
+
+def test_feather_write_roundtrip(spark, tmpdir_path):
+    import os
+
+    from pydatalake_spark.dataset.writer import write_dataset
+    from pydatalake_spark.sources.read import read_feather
+
+    dest = os.path.join(tmpdir_path, "region.feather")
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    write_dataset(src, dest, mode="overwrite", fmt="feather")
+    back = read_feather(spark, dest)
+    assert back.count() == 5
+    # append concatenates
+    write_dataset(src, dest, mode="append", fmt="feather")
+    assert read_feather(spark, dest).count() == 10
+
+
+def test_operators_on_empty_input(spark):
+    """Core operators must not blow up on empty inputs (the first batch of
+    a new pipeline is often empty)."""
+    from pydatalake_spark.operators.dedup import distinct_table, is_unique
+    from pydatalake_spark.operators.diff import tables_diff
+    from pydatalake_spark.operators.minhash import near_dup_pairs
+    from pydatalake_spark.operators.simhash import simhash_table
+
+    empty_kv = spark.createDataFrame([], schema="k long, v string, ts timestamp")
+    empty_doc = spark.createDataFrame([], schema="doc_id long, text string")
+
+    assert distinct_table(empty_kv, subset=["k"], presort_by="ts").count() == 0
+    assert tables_diff(empty_kv, empty_kv).count() == 0
+    assert is_unique(empty_kv)
+    assert simhash_table(empty_doc).count() == 0
+    assert near_dup_pairs(empty_doc).count() == 0
