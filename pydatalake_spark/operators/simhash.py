@@ -5,15 +5,22 @@ vector; per bit position the +1/-1 contributions are summed over all tokens
 (term frequency included); the sign of each sum is the fingerprint bit.
 Near-duplicate docs differ in few bits (small Hamming distance).
 
-Portable construction: token bit j = "is hex digit j of md5(token) >= '8'"
-(the top bit of each hex nibble), giving a 32-bit fingerprint from the 32
-hex digits — every step (md5 / substr / CASE / sum) exists identically in
-Spark SQL and any ANSI oracle, so correctness is externally checkable.
-A production 64/128-bit variant only changes how bits are extracted.
+**64-bit fingerprints** (the industry-standard width): token bits come from
+md5's 32 hex digits, two bits per nibble — bit ``2d`` is the nibble's top
+bit (digit ≥ '8'), bit ``2d+1`` its second bit (digit in 4-7/c-f). Every
+step (md5 / substr / CASE / sum) exists identically in Spark SQL and any
+ANSI oracle, so correctness is externally checkable.
 
-All Catalyst expressions (one ``transform`` to hash each token once, then
-32 ``aggregate`` sums) — zero shuffles, zero Python; the fingerprint is a
-narrow per-row map over the corpus, embarrassingly parallel at any scale.
+Width is a SCALE decision, not cosmetics: banded candidate generation
+collides with probability 2^-width_per_band per band, so 32-bit/8-bit-band
+fingerprints blow up at ~10^5 docs (n²/256 candidate pairs) while
+64-bit/16-bit bands hold to ~10^7 docs per band-bucket domain — and the
+Hamming verify is one xor+popcount either way.
+
+All Catalyst expressions — zero shuffles beyond the fingerprint groupBy,
+zero Python; the per-token bit extraction converts each 8-hex-digit md5
+chunk to a 32-bit int once and uses shift/mask (whole-stage codegen), not
+per-bit string ops.
 """
 
 from __future__ import annotations
@@ -24,19 +31,26 @@ from pyspark.sql import functions as F
 from pydatalake_spark.functions.text import tokenize
 from pydatalake_spark.operators.scaling import fan_out
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+
+_SECOND_BIT_DIGITS = ("4", "5", "6", "7", "c", "d", "e", "f")
 
 
 def simhash_col(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
-    """The simhash fingerprint as a '0'/'1' bit string column."""
+    """The simhash fingerprint as a '0'/'1' bit string column (array-
+    expression form; `simhash_table` is the faster explode form)."""
     toks = tokenize(text_col)
     hashes = F.transform(toks, lambda t: F.md5(t))
+
     # closure factory (not default-arg lambdas): PySpark infers lambda arity
     # from the Python signature, and aggregate's merge fn must be 2-arg
     def bit_sum(j: int):
-        return lambda acc, h: acc + F.when(
-            F.substring(h, j + 1, 1) >= F.lit("8"), 1
-        ).otherwise(-1)
+        d = j // 2
+        if j % 2 == 0:
+            cond = lambda h: F.substring(h, d + 1, 1) >= F.lit("8")  # noqa: E731
+        else:
+            cond = lambda h: F.substring(h, d + 1, 1).isin(*_SECOND_BIT_DIGITS)  # noqa: E731
+        return lambda acc, h: acc + F.when(cond(h), 1).otherwise(-1)
 
     bit_cols = []
     for j in range(bits):
@@ -50,37 +64,41 @@ def simhash_table(
 ) -> DataFrame:
     """Corpus-wide simhash via explode + hash aggregate.
 
-    Higher-order array functions run interpreted (outside whole-stage
-    codegen), so the array-expression form of simhash pays ~2k interpreted
-    ops per doc. This form explodes to one row per token — scalar ``md5``/
-    ``substring``/``CASE`` all codegen'd and vectorized — and reduces with
-    32 partial-aggregated SUMs, shuffling only 32 ints per doc. Measured
-    ~2× faster at sf0.1; identical output (integer sums commute).
+    One row per token — scalar md5/conv/shift all codegen'd — reduced with
+    ``bits`` partial-aggregated SUMs; the shuffle moves only the per-doc
+    partial sums (map-side combine), never the tokens.
+
+    Bit ``j`` reads nibble ``j//2`` of the md5: the nibble's top bit for
+    even ``j``, its second bit for odd ``j`` — via shift/mask on 32-bit
+    chunk ints. ``s_j = 2*sum(bit_j) - n_tokens`` relates the bit sums to
+    the ±1 formulation (which remains the oracle's spelling); the sign
+    tests are identical.
     """
     toks = fan_out(df).select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
     )
-    # bit j of the fingerprint is the top bit of md5 hex digit j. Rather
-    # than 32 substr+CASE string ops per token, convert each 8-hex-digit
-    # chunk to a 32-bit int once and extract top bits with shift/mask —
-    # integer intrinsics inside whole-stage codegen. sum(bit) relates to
-    # the ±1 formulation by s_j = 2*sum(bit_j) - n_tokens, so the sign
-    # test `s_j > 0` becomes `2*sum - n > 0`; results are identical to
-    # the string form (which remains the oracle's formulation).
+    n_chunks = (bits // 2 + 7) // 8
     hashed = toks.select(
         F.col(id_col),
         *[
             F.conv(F.substring(F.md5("tok"), 8 * c + 1, 8), 16, 10)
             .cast("long")
             .alias(f"c_{c}")
-            for c in range(bits // 8)
+            for c in range(n_chunks)
         ],
     )
+
+    def bit_shift(j: int) -> tuple[int, int]:
+        d = j // 2  # nibble index 0..31
+        chunk, pos = d // 8, d % 8
+        nibble_shift = 28 - 4 * pos
+        return chunk, nibble_shift + (3 if j % 2 == 0 else 2)
+
     sums = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.shiftrightunsigned(F.col(f"c_{j // 8}"), 35 - 4 * (j % 8 + 1))
+                F.shiftrightunsigned(F.col(f"c_{bit_shift(j)[0]}"), bit_shift(j)[1])
                 % F.lit(2)
             ).alias(f"s_{j}")
             for j in range(bits)
@@ -109,46 +127,68 @@ def simhash_near_dup(
     must agree on at least one of ``num_bands`` equal-width bands, so the
     candidate set is an equi-join on (band_index, band_value) — ONE shuffle
     keyed by band value, never an all-pairs compare (the OR-of-bands form
-    would plan as a nested-loop join). Candidates then pay the exact
-    32-bit Hamming check; output (id_a, id_b, hamming ≤ threshold).
+    would plan as a nested-loop join). At 64 bits / 4 bands the band
+    domain is 2^16 per band, which keeps candidate density ~n²·4/65536
+    instead of the n²·4/256 a 32-bit fingerprint gives.
+
+    The fingerprint packs into two BIGINTs (hi/lo 32 bits — one long would
+    overflow signed range at 64 bits): band keys are shift/mask, Hamming is
+    bit_count(xor)+bit_count(xor) — codegen'd integer intrinsics. The
+    verify runs BEFORE the pair-distinct so popcount shrinks the dedup
+    input.
     """
     width = bits // num_bands
-    # pack the fingerprint into one BIGINT: band keys become shift/mask,
-    # Hamming becomes bit_count(xor) — all codegen'd integer intrinsics.
-    # The candidate join at band-collision density is the hot path; moving
-    # (long, long) pairs instead of 32-char strings and replacing the
-    # 32-step interpreted higher-order loop per pair with one xor+popcount
-    # took this from 91 s to ~2 s at sf0.1 (5k docs, ~7M candidates).
+    half = bits // 2
     sh = simhash_table(df, id_col, text_col, bits).select(
-        F.col(id_col), F.conv("simhash", 2, 10).cast("long").alias("sh_int")
+        F.col(id_col),
+        F.conv(F.substring("simhash", 1, half), 2, 10).cast("long").alias("sh_hi"),
+        F.conv(F.substring("simhash", half + 1, half), 2, 10)
+        .cast("long")
+        .alias("sh_lo"),
     )
+
+    def band_val(b: int):
+        # bands laid out hi→lo; width ≤ 32 keeps every value in signed range
+        start_bit = b * width  # from the string's left (MSB of hi)
+        if start_bit + width <= half:
+            src, off = F.col("sh_hi"), half - start_bit - width
+        else:
+            src, off = F.col("sh_lo"), bits - start_bit - width
+        return F.shiftrightunsigned(src, off) % F.lit(2**width)
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                (
-                    F.shiftrightunsigned("sh_int", (num_bands - 1 - b) * width)
-                    % F.lit(2**width)
-                ).alias("val"),
-            )
+            F.struct(F.lit(b).alias("band"), band_val(b).alias("val"))
             for b in range(num_bands)
         ]
     )
-    bb = sh.select(id_col, "sh_int", F.explode(bands).alias("bb")).select(
-        id_col, "sh_int", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    bb = sh.select(id_col, "sh_hi", "sh_lo", F.explode(bands).alias("bb")).select(
+        id_col,
+        "sh_hi",
+        "sh_lo",
+        F.col("bb.band").alias("band"),
+        F.col("bb.val").alias("val"),
     )
     a = bb.select(
-        F.col(id_col).alias("id_a"), F.col("sh_int").alias("sh_a"), "band", "val"
+        F.col(id_col).alias("id_a"),
+        F.col("sh_hi").alias("hi_a"),
+        F.col("sh_lo").alias("lo_a"),
+        "band",
+        "val",
     )
     c = bb.select(
-        F.col(id_col).alias("id_b"), F.col("sh_int").alias("sh_b"), "band", "val"
+        F.col(id_col).alias("id_b"),
+        F.col("sh_hi").alias("hi_b"),
+        F.col("sh_lo").alias("lo_b"),
+        "band",
+        "val",
     )
-    hd = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hd = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return (
         a.join(c, on=["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # verify BEFORE distinct: popcount is cheaper than deduplicating
-        # the full candidate multiset, and it shrinks the distinct's input
         .withColumn("hamming", hd.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -405,9 +405,18 @@ def near_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
+    # 64-bit scheme: two bits per md5 hex nibble — bit 2d is the nibble's
+    # top bit (digit >= '8'), bit 2d+1 its second bit (digit in 4-7/c-f);
+    # generated from the same constants the Spark operator uses
+    def cond(j: int) -> str:
+        d = j // 2
+        if j % 2 == 0:
+            return f"substr(h, {d + 1}, 1) >= '8'"
+        return f"substr(h, {d + 1}, 1) IN ('4','5','6','7','c','d','e','f')"
+
     bits = ", ".join(
         f"""CASE WHEN list_sum(list_transform(hs,
-            h -> CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+            h -> CASE WHEN {cond(j)} THEN 1 ELSE -1 END)) > 0
             THEN '1' ELSE '0' END"""
         for j in range(SIMHASH_BITS)
     )
