@@ -105,3 +105,46 @@ def test_ivf_broadcasts_query_side(spark):
     df = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), cents, k=3, nprobe=2)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on the join key must join with ZERO Exchange
+    nodes — the write-time shuffle is reused by every subsequent join."""
+    import uuid
+
+    from pydatalake_spark.dataset.bucketing import is_bucketed, write_bucketed
+    from pydatalake_spark.queries.tables import load_table
+
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    sfx = uuid.uuid4().hex[:6]
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    write_bucketed(
+        orders, f"orders_b_{sfx}", keys="o_custkey", num_buckets=8,
+        sort_by="o_custkey", path=f"{wh}/orders_b",
+    )
+    write_bucketed(
+        customer, f"customer_b_{sfx}", keys="c_custkey", num_buckets=8,
+        sort_by="c_custkey", path=f"{wh}/customer_b",
+    )
+    assert is_bucketed(spark, f"orders_b_{sfx}")
+
+    # at fixture scale the planner prefers broadcast (which needs no bucket
+    # co-location at all); disable it to observe the big-big join shape a
+    # cluster would use — bucketed SMJ with the shuffle already on disk
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table(f"orders_b_{sfx}")
+        cb = spark.table(f"customer_b_{sfx}")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        # result sanity vs plain join
+        plain = orders.join(customer, orders.o_custkey == customer.c_custkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE orders_b_{sfx}")
+        spark.sql(f"DROP TABLE customer_b_{sfx}")
