@@ -148,3 +148,26 @@ def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE orders_b_{sfx}")
         spark.sql(f"DROP TABLE customer_b_{sfx}")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path_factory):
+    """A partitioned fact joined to a filtered dim must plan a dynamic
+    partition pruning subquery: only the partitions matching the dim
+    filter are scanned — THE mechanism that turns a 100 TB scan into a
+    few-partition read on star-schema joins."""
+    from pydatalake_spark.queries.tables import load_table
+
+    wh = str(tmp_path_factory.mktemp("dpp"))
+    orders = load_table(spark, SF, "orders")
+    # partition the fact by a low-cardinality column
+    orders.withColumn("o_status", orders.o_orderstatus).write.partitionBy(
+        "o_status"
+    ).parquet(f"{wh}/orders_part")
+    fact = spark.read.parquet(f"{wh}/orders_part")
+    dim = spark.createDataFrame(
+        [("O", "open")], ["o_status", "label"]
+    )
+    joined = fact.join(dim, "o_status")
+    p = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower() or "PartitionFilters: [isnotnull(o_status" in p, p
+    assert joined.count() > 0
