@@ -70,3 +70,50 @@ def test_keep_first_matches_pandas_model(spark, data):
         for _, g in pdf.groupby("k")
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lts=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=10,
+    ),
+    rts=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=10,
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_matches_merge_asof(spark, lts, rts, direction):
+    """asof_join == pd.merge_asof across random keys/times/directions."""
+    from pydatalake_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(lts, columns=["k", "t"]).drop_duplicates(["k", "t"])
+    right = (
+        pd.DataFrame(rts, columns=["k", "t"])
+        .drop_duplicates(["k", "t"])
+        .assign(px=lambda d: d["t"] * 2 + d["k"])
+        .astype({"k": "int64", "t": "float64", "px": "float64"})
+    )
+    ldf = spark.createDataFrame(left, schema="k long, t double")
+    if len(right):
+        rdf = spark.createDataFrame(right, schema="k long, t double, px double")
+    else:
+        rdf = spark.createDataFrame([], schema="k long, t double, px double")
+    got = {
+        (r.k, r.t): r.px_right
+        for r in asof_join(ldf, rdf, on="t", by="k", direction=direction).collect()
+    }
+    want_pdf = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction=direction,
+    )
+    want = {
+        (r.k, r.t): (None if pd.isna(r.px) else r.px) for r in want_pdf.itertuples()
+    }
+    assert got == want
