@@ -61,8 +61,15 @@ class Reader(DataLakeTable):
         full = f"{bucket.rstrip('/')}/{path}" if bucket else path
         # reference "hive" flavor is Spark's native partition discovery;
         # "directory"-flavor (bare value dirs) needs the explicit
-        # partition_schema path of read_directory_partitioned
-        part_schema = partitioning if isinstance(partitioning, list) else None
+        # partition_schema path of read_directory_partitioned. The reference
+        # passes plain column-name lists — coerce to the (name, type) tuples
+        # the directory reader expects, defaulting untyped names to string
+        part_schema = None
+        if isinstance(partitioning, list):
+            part_schema = [
+                (p, "string") if isinstance(p, str) else tuple(p)
+                for p in partitioning
+            ]
         super().__init__(
             spark or get_spark(),
             full,

@@ -50,6 +50,18 @@ def repartition_dataset(
     in_place = dest is None or os.path.abspath(dest) == os.path.abspath(source)
     out = f"{source.rstrip('/')}.__tmp__" if in_place else dest
 
+    if in_place:
+        backup = f"{source.rstrip('/')}.__old__"
+        # crash recovery from a previous run: if the swap died between the
+        # two renames, the live data sits in __old__ — restore it; a stale
+        # __tmp__ is always safe to discard (never the only copy)
+        if os.path.exists(backup) and not os.path.exists(source):
+            os.rename(backup, source)
+        elif os.path.exists(backup):
+            shutil.rmtree(backup)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+
     df = read_dataset(spark, source, fmt=source_fmt)
     if transform_func is not None:
         df = transform_func(df)

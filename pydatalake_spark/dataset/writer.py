@@ -74,6 +74,11 @@ def parse_interval(spec: str) -> tuple[int, str]:
 def _has_data(path: str) -> bool:
     if not os.path.exists(path):
         return False
+    if os.path.isfile(path):
+        # single-file targets (the feather edge) count as data directly —
+        # os.walk on a file yields nothing, which would make mode='raise'
+        # silently fall through to append
+        return True
     for _root, _dirs, files in os.walk(path):
         for f in files:
             if not f.startswith(("_", ".")):
@@ -106,6 +111,12 @@ def write_dataset(
     """
     if mode not in WRITE_MODES:
         raise ValueError(f"mode must be one of {WRITE_MODES}, got {mode!r}")
+    if fmt == "feather" and mode == "delta":
+        # no distributed feather source exists to anti-diff against
+        raise ValueError(
+            "delta mode is not supported for the feather edge writer; "
+            "use parquet for incremental datasets"
+        )
     spark = df.sparkSession
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
 

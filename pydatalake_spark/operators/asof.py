@@ -87,9 +87,15 @@ def asof_join(
         )
         return F.when(gap <= F.lit(float(tolerance)), match)
 
+    def null_safe(match):
+        # a left row with a NULL timestamp matches nothing (pd.merge_asof
+        # semantics); without this mask the forward fill window places
+        # null-ts rows after every right row and fabricates a match
+        return F.when(F.col(on).isNotNull(), match)
+
     if direction == "nearest":
-        back = within_tol(filled_col("backward"))
-        fwd = within_tol(filled_col("forward"))
+        back = null_safe(within_tol(filled_col("backward")))
+        fwd = null_safe(within_tol(filled_col("forward")))
         gap_b = F.col(on).cast("double") - back[f"{on}{suffix}"].cast("double")
         gap_f = fwd[f"{on}{suffix}"].cast("double") - F.col(on).cast("double")
         pick = (
@@ -100,7 +106,9 @@ def asof_join(
         )
         filled = combined.withColumn(_RV, pick)
     else:
-        filled = combined.withColumn(_RV, within_tol(filled_col(direction)))
+        filled = combined.withColumn(
+            _RV, null_safe(within_tol(filled_col(direction)))
+        )
     out_cols = list(left.columns) + [
         F.col(f"{_RV}.{f}").alias(f)
         for f in [f"{on}{suffix}"] + [f"{c}{suffix}" for c in payload]

@@ -21,8 +21,18 @@ def insert_only_new(
     source: DataFrame,
     subset: str | Sequence[str] | None = None,
 ) -> DataFrame:
-    """target ∪ (source rows not already present) — one anti-join + union."""
+    """target ∪ (source rows not already present) — one anti-join + union.
+
+    With ``subset``, source rows are ALSO deduplicated on the keys
+    (deterministic keep-first) before the union: EXCEPT is set-semantics,
+    and inserting two source rows that share a key would leave the target
+    holding duplicate keys after one call.
+    """
     new_rows = tables_diff(source, target, subset=subset)
+    if subset is not None:
+        from pydatalake_spark.operators.dedup import distinct_table
+
+        new_rows = distinct_table(new_rows, subset=subset, keep="first")
     return target.unionByName(new_rows.select(*target.columns))
 
 

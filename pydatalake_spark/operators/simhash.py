@@ -139,6 +139,26 @@ def simhash_near_dup(
     """
     width = bits // num_bands
     half = bits // 2
+    if bits % num_bands:
+        raise ValueError(f"num_bands must divide bits ({bits}); got {num_bands}")
+    if max_hamming >= num_bands:
+        # pigeonhole only guarantees a shared band when strictly fewer
+        # differing bits than bands exist — beyond that, true pairs are
+        # silently missed
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < num_bands ({num_bands}) "
+            f"for the banding to be lossless"
+        )
+    for b in range(num_bands):
+        if (b * width) // half != (b * width + width - 1) // half:
+            # a band straddling the hi/lo word split would read zero-padded
+            # bits and silently MISS true near-duplicate pairs — reject
+            # rather than break the pigeonhole guarantee
+            raise ValueError(
+                f"band {b} (width {width}) straddles the {half}-bit hi/lo "
+                f"split; choose num_bands so each band fits one word "
+                f"(e.g. 2, 4, 8 for 64-bit fingerprints)"
+            )
     sh = simhash_table(df, id_col, text_col, bits).select(
         F.col(id_col),
         F.conv(F.substring("simhash", 1, half), 2, 10).cast("long").alias("sh_hi"),

@@ -143,10 +143,11 @@ def cosine_topk_numpy(
     q_mat = np.array([list(map(float, r[vec_col])) for r in q_rows])
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
+    id_type = corpus.schema[id_col].dataType  # follow the caller's id type
     out_schema = T.StructType(
         [
-            T.StructField("q_id", T.LongType()),
-            T.StructField("c_id", T.LongType()),
+            T.StructField("q_id", id_type),
+            T.StructField("c_id", id_type),
             T.StructField("sim", T.DoubleType()),
         ]
     )
@@ -177,11 +178,35 @@ def cosine_topk_numpy(
     )
 
 
+def _centroid_dist_structs(v, centroids: list[list[float]]):
+    """array<struct<d: squared-L2 to centroid i, i>> — shared by assignment
+    and query-side probing so the distance semantics cannot drift."""
+
+    def dist2(c: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array(
+        *[
+            F.struct(dist2(c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "cell",
+    keep_vec: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2).
 
@@ -191,25 +216,16 @@ def ivf_assign(
     constants into codegen. The cast vector binds to a column first so the
     per-centroid distance expressions reference it instead of re-casting
     `num_cells` times per row (the winnowing lesson: multiply-referenced
-    non-cheap expressions need a projection boundary).
+    non-cheap expressions need a projection boundary). ``keep_vec`` names
+    a column to retain the cast vector under (callers that need it next,
+    like the probe join, avoid a second full-corpus cast).
     """
     tmp = df.withColumn("__v", to_double_array(vec_col))
-    v = F.col("__v")
-
-    def dist2(c: list[float]):
-        return F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    dists = F.array(
-        *[
-            F.struct(dist2(c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return tmp.withColumn(out_col, F.array_min(dists)["i"]).drop("__v")
+    dists = _centroid_dist_structs(F.col("__v"), centroids)
+    out = tmp.withColumn(out_col, F.array_min(dists)["i"])
+    if keep_vec:
+        return out.withColumnRenamed("__v", keep_vec)
+    return out.drop("__v")
 
 
 def train_ivf_centroids(
@@ -256,32 +272,12 @@ def ivf_topk(
     the tests as the equivalence oracle).
     """
     assigned = (
-        ivf_assign(fan_out(corpus), centroids, vec_col, "cell")
-        .select(
-            F.col(id_col).alias("c_id"),
-            to_double_array(vec_col).alias("c_vec"),
-            "cell",
-        )
+        ivf_assign(fan_out(corpus), centroids, vec_col, "cell", keep_vec="c_vec")
+        .select(F.col(id_col).alias("c_id"), "c_vec", "cell")
         .withColumn("c_norm", l2_norm(F.col("c_vec")))
     )
-    v = F.col("__v")
-
-    def dist2(c: list[float]):
-        return F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     probe_arr = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(dist2(c).alias("d"), F.lit(i).alias("i"))
-                    for i, c in enumerate(centroids)
-                ]
-            )
-        ),
+        F.array_sort(_centroid_dist_structs(F.col("__v"), centroids)),
         1,
         nprobe,
     )
@@ -289,7 +285,7 @@ def ivf_topk(
         queries.withColumn("__v", to_double_array(vec_col))
         .select(
             F.col(id_col).alias("q_id"),
-            v.alias("q_vec"),
+            F.col("__v").alias("q_vec"),
             F.explode(F.transform(probe_arr, lambda s: s["i"])).alias("cell"),
         )
         .withColumn("q_norm", l2_norm(F.col("q_vec")))

@@ -915,8 +915,11 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
     composition; ~2 shuffles on user_id, reused exchange)."""
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap <= 30 * 60, 0).otherwise(1)
+    # microsecond precision: a plain cast-to-long floors to whole seconds,
+    # which misclassifies gaps that cross the 30-minute boundary by less
+    # than a second (events.ts carries sub-second precision)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap <= 30 * 60 * 1_000_000, 0).otherwise(1)
     return (
         e.select("event_id", "user_id", "ts", new_sess.alias("new_sess"))
         .withColumn(

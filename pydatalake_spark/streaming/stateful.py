@@ -70,24 +70,35 @@ def _sessionize_key(
         )
         return
 
-    if state.exists:
-        start_us, end_us, n, total = state.get
-    else:
-        start_us = end_us = n = 0
-        total = 0.0
-
-    closed: list[tuple[int, int, int, float]] = []
-    rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
+    # interval-merge sessionization: every incoming event is a [t, t] span
+    # and the open state session is one more span; merging the START-sorted
+    # spans with the gap rule handles out-of-order arrivals in both
+    # directions — a late event inside/adjacent to the open session extends
+    # it (moving session_start back if needed), and a late event disjoint
+    # BELOW it forms its own session, emitted closed immediately (any event
+    # that could still extend it is bounded by the watermark)
+    gap_us = gap_s * 1_000_000
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    spans: list[list] = []
     for ts, value in zip(rows["ts"], rows["value"]):
         t_us = int(pd.Timestamp(ts).value // 1_000)
         v = 0.0 if pd.isna(value) else float(value)
-        if n == 0:
-            start_us, end_us, n, total = t_us, t_us, 1, v
-        elif t_us - end_us <= gap_s * 1_000_000:
-            end_us, n, total = max(end_us, t_us), n + 1, total + v
+        spans.append([t_us, t_us, 1, v])
+    if state.exists:
+        spans.append(list(state.get))
+    spans.sort(key=lambda s: (s[0], s[1]))
+
+    merged: list[list] = []
+    for s in spans:
+        if merged and s[0] - merged[-1][1] <= gap_us:
+            last = merged[-1]
+            last[1] = max(last[1], s[1])
+            last[2] += s[2]
+            last[3] += s[3]
         else:
-            closed.append((start_us, end_us, n, total))
-            start_us, end_us, n, total = t_us, t_us, 1, v
+            merged.append(s)
+    *closed, open_span = merged
+    start_us, end_us, n, total = open_span
     state.update((start_us, end_us, n, total))
     state.setTimeoutTimestamp(end_us // 1_000 + gap_s * 1_000)
 

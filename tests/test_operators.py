@@ -363,3 +363,50 @@ def test_winnow_fingerprints_edit_robust(spark):
     sim_other = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
     assert sim_edit > 0.5
     assert sim_other < 0.1
+
+
+def test_asof_null_left_ts_matches_nothing(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [None, 6.0]}), schema="k long, t double"
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [5.0], "px": [9.0]}),
+        schema="k long, t double, px double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        rows = {r.t: r.px_right for r in asof_join(
+            left, right, on="t", by="k", direction=direction
+        ).collect()}
+        assert rows[None] is None, direction
+        assert rows[6.0] == (9.0 if direction != "forward" else None), direction
+
+
+def test_insert_only_new_dedups_source_keys(spark):
+    import pandas as pd
+
+    from pydatalake_spark.operators.insert import insert_only_new
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "v": ["a"]}), schema="k long, v string"
+    )
+    source = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 2, 1], "v": ["x", "y", "z"]}),
+        schema="k long, v string",
+    )
+    out = insert_only_new(target, source, subset="k").collect()
+    keys = sorted(r.k for r in out)
+    assert keys == [1, 2]  # one row per key — no duplicate-key inserts
+
+
+def test_simhash_near_dup_parameter_guards(spark):
+    from pydatalake_spark.operators.simhash import simhash_near_dup
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup(df, num_bands=5, max_hamming=3)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup(df, num_bands=2, max_hamming=3)
+    with pytest.raises(ValueError, match="straddles"):
+        simhash_near_dup(df, num_bands=1, max_hamming=0)
