@@ -79,6 +79,69 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS predicate adapted to the fixture schema,
+    which has no commit/receipt dates): correlated EXISTS — planned as a
+    LEFT SEMI join on l_orderkey, lineitem side filtered before the join
+    so only matching lineitems move."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    late = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "null_semantics",
+    """
+    SELECT e.event_id,
+           coalesce(e.value, 0.0)                    AS value_filled,
+           nullif(e.event_type, 'error')             AS type_or_null,
+           (e.value IS NOT DISTINCT FROM e.value)    AS self_eq_nullsafe,
+           (e.value IS NULL)                         AS value_missing,
+           CASE WHEN e.value IS NULL THEN 'missing'
+                WHEN e.value < 10 THEN 'small' ELSE 'large' END AS bucket3
+    FROM events e
+    """,
+)
+def null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL semantics: coalesce / nullif / null-safe equality (<=>) /
+    three-valued CASE — the traps every engine must agree on."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.col("value").eqNullSafe(F.col("value")).alias("self_eq_nullsafe"),
+        F.col("value").isNull().alias("value_missing"),
+        F.when(F.col("value").isNull(), "missing")
+        .when(F.col("value") < 10, "small")
+        .otherwise("large")
+        .alias("bucket3"),
+    )
+
+
+@q(
     "q6_revenue_delta",
     """
     SELECT sum(l_extendedprice * l_discount) AS revenue
