@@ -28,6 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q6_revenue_delta",
+    "q4_order_priority",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "filter_project",

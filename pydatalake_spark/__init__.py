@@ -27,6 +27,10 @@ from pydatalake_spark.session import get_spark, stop_spark
 from pydatalake_spark.dataset.table import DataLakeTable
 from pydatalake_spark.dataset.writer import write_dataset
 from pydatalake_spark.datalake.catalog import DataLake
+from pydatalake_spark.operators.asof import asof_join
+from pydatalake_spark.operators.dedup import distinct_table, is_unique
+from pydatalake_spark.operators.diff import tables_diff
+from pydatalake_spark.operators.insert import insert_only_new
 
 __version__ = "0.1.0"
 
@@ -36,5 +40,10 @@ __all__ = [
     "DataLakeTable",
     "write_dataset",
     "DataLake",
+    "asof_join",
+    "distinct_table",
+    "is_unique",
+    "tables_diff",
+    "insert_only_new",
     "__version__",
 ]

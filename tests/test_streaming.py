@@ -122,3 +122,39 @@ def test_stateful_sessionize_stream(spark, events, tmpdir_path):
     for (uid, start, end), v in expected.items():
         if pd.Timestamp(end) + pd.Timedelta(seconds=gap_s) < wm:
             assert (uid, start, end) in got, f"missing closed session {uid} {start}"
+
+
+def test_stream_sliding_window(spark, events, tmpdir_path):
+    """Sliding windows (10 min window, 5 min slide): each event lands in
+    two buckets; stream result must match the batch window aggregation."""
+    src_dir = os.path.join(tmpdir_path, "slide_src")
+    events.limit(300).select("ts", "value").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = spark.readStream.format("parquet").schema(schema).load(src_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w.start, r.w.end): r.n
+        for r in spark.sql("SELECT * FROM slide_test").collect()
+    }
+    want = {
+        (r.w.start, r.w.end): r.n
+        for r in spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 2 * 300  # every event in exactly 2 windows
