@@ -120,8 +120,14 @@ def simhash_near_dup(
     bits: int = SIMHASH_BITS,
     num_bands: int = 4,
     max_hamming: int = 3,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded simhash + exact Hamming verify.
+
+    ``fingerprints`` optionally supplies a precomputed ``(id, simhash)``
+    table (e.g. cached from `simhash_table`) — fingerprinting is the
+    expensive pass, and a dedup pipeline typically reuses one index for
+    several operations.
 
     Pigeonhole: two fingerprints within ``max_hamming < num_bands`` bits
     must agree on at least one of ``num_bands`` equal-width bands, so the
@@ -159,7 +165,10 @@ def simhash_near_dup(
                 f"split; choose num_bands so each band fits one word "
                 f"(e.g. 2, 4, 8 for 64-bit fingerprints)"
             )
-    sh = simhash_table(df, id_col, text_col, bits).select(
+    fp = fingerprints if fingerprints is not None else simhash_table(
+        df, id_col, text_col, bits
+    )
+    sh = fp.select(
         F.col(id_col),
         F.conv(F.substring("simhash", 1, half), 2, 10).cast("long").alias("sh_hi"),
         F.conv(F.substring("simhash", half + 1, half), 2, 10)

