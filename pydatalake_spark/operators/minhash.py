@@ -31,6 +31,8 @@ buckets move (payload re-joined afterwards), which is how this is written.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,6 +99,30 @@ def band_buckets(
     )
 
 
+def cap_bucket_size(
+    bb: DataFrame, max_bucket_size: int, key_cols: Sequence[str] = ("band", "bucket")
+) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_bucket_size`` members.
+
+    The degenerate-corpus guard (SCALE.md known-limits): a bucket shared by
+    k documents contributes k² candidate pairs, so one boilerplate bucket
+    with 10⁵ members adds 10¹⁰ pairs. Capping trades recall on EXTREMELY
+    common content for bounded join output — the standard production
+    choice (near-identical boilerplate that overflows a bucket is better
+    handled by exact-hash dedup first). One extra count-aggregation on the
+    (band, bucket) keys; the anti-join against the hot-key list is a
+    broadcast (the list is small by construction).
+    """
+    keys = list(key_cols)
+    hot = (
+        bb.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select(*keys)
+    )
+    return bb.join(F.broadcast(hot), on=keys, how="left_anti")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -104,10 +130,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     num_bands: int = 2,
     shingle_size: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket."""
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket.
+
+    ``max_bucket_size`` optionally drops hot buckets (see
+    `cap_bucket_size`) — recall-bounded but explosion-proof.
+    """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
     bb = band_buckets(sig, id_col, num_hashes, num_bands)
+    if max_bucket_size is not None:
+        bb = cap_bucket_size(bb, max_bucket_size)
     a = bb.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )

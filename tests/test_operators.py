@@ -410,3 +410,20 @@ def test_simhash_near_dup_parameter_guards(spark):
         simhash_near_dup(df, num_bands=2, max_hamming=3)
     with pytest.raises(ValueError, match="straddles"):
         simhash_near_dup(df, num_bands=1, max_hamming=0)
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """A corpus of identical docs makes one hot bucket with O(n^2) pairs;
+    the cap removes it entirely while distinct docs still pair up."""
+    import pandas as pd
+
+    from pydatalake_spark.operators.minhash import lsh_candidate_pairs
+
+    same = ["the same boilerplate text repeated verbatim in every document"] * 30
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30), "text": same})
+    )
+    uncapped = lsh_candidate_pairs(df).count()
+    assert uncapped == 30 * 29 / 2
+    capped = lsh_candidate_pairs(df, max_bucket_size=10).count()
+    assert capped == 0  # the single hot bucket exceeded the cap and dropped
