@@ -503,6 +503,45 @@ def approx_profile(spark: SparkSession, sf: str) -> DataFrame:
     return sketch_summary(e, ["event_type"], "user_id", "value")
 
 
+@q(
+    "train_test_split",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*)        AS n_docs,
+           min(doc_id)     AS min_id,
+           max(doc_id)     AS max_id
+    FROM b GROUP BY 1
+    """,
+)
+def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-split audit: per-split doc counts from the
+    engine's split assignment (functions/split.py:split_by_hash) — a pure
+    function of doc identity, so the oracle reproduces membership exactly
+    (unlike randomSplit, which depends on seed AND partitioning)."""
+    from pydatalake_spark.functions.split import split_by_hash
+
+    d = _t(spark, sf, "documents")
+    splits = split_by_hash(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    parts = [
+        df.select(F.lit(name).alias("split"), "doc_id")
+        for name, df in splits.items()
+    ]
+    u = parts[0]
+    for p_ in parts[1:]:
+        u = u.unionByName(p_)
+    return u.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal column plumbing (binary payload + typed metadata)
 # ---------------------------------------------------------------------------

@@ -427,3 +427,19 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     assert uncapped == 30 * 29 / 2
     capped = lsh_candidate_pairs(df, max_bucket_size=10).count()
     assert capped == 0  # the single hot bucket exceeded the cap and dropped
+
+
+def test_split_by_hash_stable_and_disjoint(spark):
+    from pydatalake_spark.functions.split import split_by_hash
+    from pydatalake_spark.queries.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = split_by_hash(docs, "doc_id", fr)
+    s2 = split_by_hash(docs.repartition(7), "doc_id", fr)  # different layout
+    ids1 = {k: {r.doc_id for r in v.select("doc_id").collect()} for k, v in s1.items()}
+    ids2 = {k: {r.doc_id for r in v.select("doc_id").collect()} for k, v in s2.items()}
+    assert ids1 == ids2  # membership is partitioning-independent
+    all_ids = set().union(*ids1.values())
+    assert sum(len(v) for v in ids1.values()) == len(all_ids) == docs.count()
+    assert 0.6 < len(ids1["train"]) / len(all_ids) < 0.95
