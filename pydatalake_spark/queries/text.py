@@ -542,6 +542,122 @@ def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pipeline_sql() -> str:
+    """Composed corpus-cleaning pipeline oracle: quality filter -> exact
+    dedup -> minhash near-dup removal -> deterministic split. Fragments
+    share the _MH constants with the standalone near-dup oracle."""
+    quality = f"""len(list_filter(toks0, t -> t IN ({_STOP_SQL}))) / len(toks0) * 0.3
+             + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / length(text)) * 0.2
+             + least(len(toks0) / 100, 1.0) * 0.5"""
+    mh_cols = ", ".join(
+        f"list_min(list_transform(h, x -> substr(x, {3 * j + 1}, 8))) AS mh_{j}"
+        for j in range(_MH_N)
+    )
+    rows_per_band = _MH_N // _MH_BANDS
+    band_rows = ", ".join(
+        f"(SELECT {b} AS band, md5(concat(mh_{b * rows_per_band}"
+        + "".join(f", mh_{b * rows_per_band + r}" for r in range(1, rows_per_band))
+        + ")) AS bucket)"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS toks0 FROM documents
+    ), docs0 AS (
+        SELECT doc_id, text FROM scored WHERE {quality} >= 0.45
+    ), keep1 AS (
+        SELECT min(doc_id) AS doc_id FROM docs0 GROUP BY md5(text)
+    ), docs1 AS (
+        SELECT d.doc_id, d.text FROM docs0 d JOIN keep1 k ON d.doc_id = k.doc_id
+    ), tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM docs1
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_MH_K}
+                    THEN list_transform(range(1, len(toks) - {_MH_K - 2}),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM tok
+    ), hs AS (
+        SELECT doc_id, list_distinct(shingles) AS sset,
+               list_transform(list_distinct(shingles), s -> md5(s)) AS h
+        FROM sh
+    ), mh AS (
+        SELECT doc_id, sset, {mh_cols} FROM hs
+    ), bb AS (
+        SELECT doc_id, band, bucket FROM mh, LATERAL ({band_rows.replace(") AS bucket), (", ") AS bucket) UNION ALL (")})
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bb a JOIN bb b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), nd AS (
+        SELECT DISTINCT id_b FROM cand
+        JOIN hs sa ON sa.doc_id = id_a
+        JOIN hs sb ON sb.doc_id = id_b
+        WHERE len(list_intersect(sa.sset, sb.sset))
+                / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))
+              >= 0.5
+    ), final AS (
+        SELECT doc_id FROM docs1 WHERE doc_id NOT IN (SELECT id_b FROM nd)
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+          FROM final)
+    GROUP BY 1
+    """
+
+
+@q("pipeline_clean_corpus", _pipeline_sql())
+def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed LLM-corpus pipeline in ONE lazy plan: quality filter ->
+    exact dedup (min-id per content hash) -> minhash near-dup removal
+    (drop the higher id of each verified pair) -> deterministic hash
+    split. Catalyst sees the whole chain, so column pruning and the
+    narrow dedup joins compose — nothing materializes between stages."""
+    from pydatalake_spark.functions.split import hash_bucket
+
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    ) / F.length("text")
+    quality = (
+        stop_ratio * 0.3
+        + (F.lit(1) - punct_ratio) * 0.2
+        + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
+    )
+    docs0 = d.filter(quality >= 0.45).select("doc_id", "text")
+    keep1 = docs0.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs1 = docs0.join(keep1.select("doc_id"), "doc_id")
+    nd = (
+        near_dup_pairs(docs1, num_hashes=_MH_N, num_bands=_MH_BANDS,
+                       shingle_size=_MH_K, jaccard_threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = docs1.join(nd, "doc_id", "left_anti")
+    return (
+        final.select("doc_id", hash_bucket("doc_id", 100).alias("__b"))
+        .select(
+            F.when(F.col("__b") < 80, "train")
+            .when(F.col("__b") < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal column plumbing (binary payload + typed metadata)
 # ---------------------------------------------------------------------------
