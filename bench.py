@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "minhash_signatures",
     "near_dup_pairs",
+    "pipeline_clean_corpus",
     "simhash_fingerprints",
     "simhash_near_dup",
     "embedding_stats",
