@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
     "filter_project",
     "dedup_keep_last",
     "distinct_full",

@@ -1061,3 +1061,269 @@ def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("a_id", "b_id", "user_id", "a_ts", "b_ts")
     )
+
+# ---------------------------------------------------------------------------
+# extended TPC-H-shape corpus: correlated subqueries, outer-join
+# distributions, disjunctive predicates, scalar-subquery anti-joins —
+# the SQL-passthrough shapes (SURVEY §2.4, §2.9 U2) a reference user
+# reaches via raw DuckDB SQL, re-expressed as Catalyst-friendly plans.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q2_min_price_part",
+    """
+    SELECT p.p_partkey, p.p_name, p.p_type, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_type = p.p_type)
+    """,
+)
+def q2_min_price_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery. Decorrelated by hand
+    into a grouped min (map-side partial agg → 6-row result) broadcast back
+    onto the scan — at 100 TB the per-group mins stay tiny no matter how
+    large `part` grows, so the join side never shuffles."""
+    p = _t(spark, sf, "part")
+    mins = p.groupBy(F.col("p_type").alias("mt")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (F.col("p_type") == F.col("mt"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution. Left outer join
+    preserves order-less customers (count(o_orderkey) skips NULLs); first
+    groupBy shuffles on c_custkey, the second is a near-free re-agg over
+    small-cardinality counts."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "q14_promo_revenue",
+    """
+    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-ratio aggregate over a fact↔dim join.
+    part is broadcast (only p_partkey/p_type survive pruning); the date
+    filter pushes to the lineitem scan; one partial-agg shuffle."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE + scalar-max equality. The revenue aggregate is
+    computed once and reused for both the join and the max (Spark reuses the
+    shuffle output of `rev` across both consumers); the 1-row max cross-joins
+    in as a broadcast."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average. Decorrelated: restrict
+    lineitem to the brand's parts first (broadcast semi-reduction), THEN
+    compute each part's avg over that already-reduced slice — equivalent
+    because the correlation key is the join key, and at scale it means the
+    avg shuffle sees only the brand's ~1/25th of the fact table."""
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    l = _t(spark, sf, "lineitem")
+    lb = l.join(F.broadcast(p), l.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgs = lb.groupBy(F.col("l_partkey").alias("k")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        lb.join(F.broadcast(avgs), lb.l_partkey == F.col("k"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@q(
+    "q18_large_volume_customer",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING → left-semi join against the
+    grouped-filtered orderkeys. The heavy groupBy(l_orderkey) happens once on
+    the semi side; the final agg reuses the same key so AQE keeps the
+    exchange count at two."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    big = big.withColumnRenamed("l_orderkey", "big_key")
+    return (
+        o.join(big, o.o_orderkey == F.col("big_key"), "left_semi")
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size <= 35 AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions spanning both join sides.
+    Catalyst extracts the common single-side implications (l_quantity
+    BETWEEN 1 AND 30, p_brand IN (...)) and pushes them below the join;
+    the full disjunction runs post-join. part broadcasts."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    q_ = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & q_.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 25) & q_.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 35) & q_.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q(
+    "q22_dormant_customers",
+    """
+    SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey standing in for phone country codes;
+    "dormant" = no orders since 2000 — every fixture customer has SOME
+    order, so the date predicate keeps the anti-join non-degenerate):
+    global scalar-avg subquery (1-row broadcast cross join, no driver
+    collect) + NOT EXISTS (left-anti against the filtered orders key
+    projection — only o_custkey moves through the anti-join shuffle)."""
+    c = _t(spark, sf, "customer")
+    o_keys = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cutoff")
+    )
+    return (
+        c.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+    )
