@@ -308,6 +308,109 @@ def ivf_topk(
     )
 
 
+def ivf_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search, vectorized: assignment + probe-mask + scoring fused
+    into one numpy pass per Arrow batch, then a global rank window.
+
+    Same semantics as `ivf_topk` (squared-L2 cell assignment, exact cosine
+    within the `nprobe` nearest cells per query, per-query top-k with
+    (sim desc, c_id asc) tie-break) — pytest proves the equivalence. Two
+    scale levers over the expression form:
+
+    - the per-row work is a matmul against the centroid matrix + one
+      matmul against the (tiny, closure-captured) query matrix instead of
+      interpreted `aggregate`/`zip_with` trees — the win grows with
+      embedding width (768–4096 in production vs the 64-dim fixture);
+    - **local top-k pruning**: top-k is decomposable, so each batch emits
+      at most k candidates per query instead of every same-cell pair; the
+      global window then ranks #batches × k × |Q| rows instead of
+      |probed corpus| × |Q|. At 100 TB this is the difference between a
+      shuffle proportional to the corpus and one proportional to the
+      task count.
+
+    The query side is driver-collected (|Q| small by contract, same as
+    `cosine_topk_numpy`); the corpus side streams — never collected,
+    never broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    c_sq = (C * C).sum(axis=1)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([list(map(float, r[vec_col])) for r in q_rows])
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # per-query probed cells: nprobe nearest centroids by squared L2
+    q_d = (q_mat * q_mat).sum(axis=1, keepdims=True) - 2 * q_mat @ C.T + c_sq
+    probe = np.argsort(q_d, axis=1, kind="stable")[:, :nprobe]  # (|Q|, nprobe)
+
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", id_type),
+            T.StructField("c_id", id_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array([list(map(float, v)) for v in pdf[vec_col]])
+            c_ids = pdf[id_col].to_numpy()
+            cells = (
+                (M * M).sum(axis=1, keepdims=True) - 2 * M @ C.T + c_sq
+            ).argmin(axis=1)
+            M_norm = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M_norm @ q_norm.T  # (batch, |Q|)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, probe[qi]) & (c_ids != q_ids[qi])
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                s = sims[idx, qi]
+                if len(idx) > k:
+                    # lossless local prune before the shuffle; the sort key
+                    # mirrors the global window's (sim desc, c_id asc) so a
+                    # tie at the k-boundary keeps the same winner
+                    keep = np.lexsort((c_ids[idx], -s))[:k]
+                    idx, s = idx[keep], s[keep]
+                out_q.append(np.full(len(idx), q_ids[qi]))
+                out_c.append(c_ids[idx])
+                out_s.append(s)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "c_id": np.concatenate(out_c),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = (
+        fan_out(corpus).select(id_col, vec_col).mapInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "sim")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",

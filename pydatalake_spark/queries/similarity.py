@@ -15,7 +15,7 @@ from pydatalake_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup,
     hyperplane_buckets,
-    ivf_topk,
+    ivf_topk_numpy,
     lsh_bucket_candidates,
     train_ivf_centroids,
 )
@@ -167,11 +167,17 @@ _IVF_CENTROIDS: dict = {}
 # tests/test_operators.py::test_ivf_full_probe_equals_brute_force)
 def ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (bounded sample), probe-cells
-    search, exact cosine within probed cells
-    (operators/similarity.py:ivf_topk). The quantizer is trained once per
-    corpus and memoized — an IVF index is build-once / search-many, so the
-    benchmark measures the search path, as production would."""
+    search, exact cosine within probed cells — the fused numpy path
+    (operators/similarity.py:ivf_topk_numpy): assignment + probe mask +
+    scoring + lossless per-batch top-k prune in one Arrow pass, so the
+    rank-window shuffle scales with task count, not probed-corpus size.
+    Equivalence to the pure expression form is pytest-proven. The
+    quantizer is trained once per corpus and memoized — an IVF index is
+    build-once / search-many, so the benchmark measures the search path,
+    as production would."""
     e = _t(spark, sf, "embeddings")
     if sf not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf] = train_ivf_centroids(e, num_cells=8)
-    return ivf_topk(e, e.filter(F.col("vec_id") < 10), _IVF_CENTROIDS[sf], k=10, nprobe=6)
+    return ivf_topk_numpy(
+        e, e.filter(F.col("vec_id") < 10), _IVF_CENTROIDS[sf], k=10, nprobe=6
+    )

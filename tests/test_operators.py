@@ -168,6 +168,28 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert e == i
 
 
+def test_ivf_numpy_equals_expression_form(spark):
+    """The fused numpy IVF path (assignment + probe-mask + scoring + local
+    top-k prune in one mapInPandas) returns the same pairs as the pure
+    expression form, at partial AND full probe."""
+    from pydatalake_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_numpy,
+        train_ivf_centroids,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = train_ivf_centroids(emb, num_cells=8)
+    for nprobe in (2, 8):
+        expr = ivf_topk(emb, queries, cents, k=5, nprobe=nprobe)
+        np_ = ivf_topk_numpy(emb, queries, cents, k=5, nprobe=nprobe)
+        e = {(r.q_id, r.c_id) for r in expr.collect()}
+        n = {(r.q_id, r.c_id) for r in np_.collect()}
+        assert e == n, f"nprobe={nprobe}"
+
+
 def test_ivf_partial_probe_subset(spark):
     """nprobe < num_cells returns <= k rows per query, all candidates
     coming from probed cells only."""
