@@ -1327,3 +1327,89 @@ def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
     )
+
+
+@q(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id, ts,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta,
+           ntile(4) OVER (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)
+             AS value_quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic offsets (lag/lead/delta) + ntile — per-user event sequences.
+    One shuffle on user_id serves all four window expressions (same
+    partitioning, two sort orders collapse into one exchange). The ORDER BY
+    includes event_id so ties on ts/value are deterministic across engines."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_first(), F.col("event_id")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.ntile(4).over(wv).alias("value_quartile"),
+    )
+
+
+@q(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)      AS median_qty,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
+           percentile_cont(0.99) WITHIN GROUP (ORDER BY l_discount)     AS p99_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (`percentile_cont`
+    semantics in both engines). The exact form sorts within each group —
+    fine per-key; at 100 TB the streaming-sketch variant (`approx_profile`,
+    functions/sketch.py) is the scale path and this is its accuracy
+    reference."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5D)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.9D)").alias("p90_price"),
+        F.expr("percentile(l_discount, 0.99D)").alias("p99_disc"),
+    )
+
+
+@q(
+    "string_agg_per_group",
+    """
+    SELECT r_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def string_agg_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered by contract in
+    a distributed engine, so the deterministic form is sort_array then
+    array_join — same result as DuckDB's ORDER BY'd string_agg regardless
+    of task scheduling."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

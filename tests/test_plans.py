@@ -171,3 +171,35 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     p = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in p.lower() or "PartitionFilters: [isnotnull(o_status" in p, p
     assert joined.count() > 0
+
+
+def test_q2_decorrelated_min_is_broadcast_partial_agg(spark):
+    """The correlated scalar-min subquery is decorrelated into a grouped
+    min broadcast back onto the scan: partial+final HashAggregate around
+    one exchange, BroadcastHashJoin, and never a sort-merge join."""
+    p = physical_plan(spark, "q2_min_price_part")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q19_pushes_common_predicates_below_join(spark):
+    """From the OR-of-conjunctions Catalyst must extract the single-side
+    implications and push them into both scans — the lineitem scan gets a
+    quantity range, the part scan gets a brand IN-list."""
+    p = physical_plan(spark, "q19_disjunctive_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\n]*)", p)
+    assert any("l_quantity" in f for f in pushed)
+    assert any("p_brand" in f for f in pushed)
+
+
+def test_q22_anti_join_moves_keys_only(spark):
+    """NOT EXISTS plans as a left-anti join whose build side reads ONLY the
+    o_custkey column (plus the pushed date filter) — not the whole orders
+    table."""
+    p = physical_plan(spark, "q22_dormant_customers")
+    assert "LeftAnti" in p
+    orders_schema = [
+        s for s in re.findall(r"ReadSchema: struct<([^\n]*)", p) if "o_custkey" in s
+    ]
+    assert orders_schema and all("o_totalprice" not in s for s in orders_schema)
