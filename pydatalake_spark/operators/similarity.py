@@ -18,9 +18,10 @@ Two tiers, per SURVEY §7.1.8 / the north-star brief:
   (k-means coarse quantizer) would slot in the same two-stage shape.
 
 At 100 TB: the corpus side never broadcasts, never collects; only the
-query set (or the bucket index) moves. Bucket skew → AQE; recall ↑ by
-querying neighboring buckets (Hamming-1 probes) — multiprobe left as a
-second-round extension.
+query set (or the bucket index) moves. Bucket skew → AQE; recall ↑ via
+`lsh_multiprobe_candidates` (Hamming-1 probes, one-sided constant
+fan-out). An IVF tier (`ivf_topk`/`ivf_topk_numpy`) covers the
+quantizer-based ANN shape.
 """
 
 from __future__ import annotations
@@ -305,6 +306,51 @@ def ivf_topk(
         sim.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "sim")
+    )
+
+
+def lsh_multiprobe_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Multiprobe candidate pairs: ids whose buckets are equal OR differ in
+    exactly one bit (Hamming ≤ 1).
+
+    The recall upgrade over `lsh_bucket_candidates`: a near-neighbor pair
+    split by ONE unlucky hyperplane still meets. Probes expand on one side
+    only — each row emits its own bucket plus the `num_planes` one-bit
+    flips — and the join stays a hash equi-join on the probe key, so the
+    cost is a constant (num_planes+1)× fan-out of the (id, bucket) rows,
+    never a wider join. One-sided expansion also means every qualifying
+    pair matches exactly once (equal buckets via the identity probe of the
+    smaller id; Hamming-1 via the single flip on the smaller id that lands
+    on the larger id's bucket), so no distinct pass is needed.
+    """
+    b = hyperplane_buckets(df, id_col, vec_col, num_planes, dim)
+    probes = [F.col("bucket")]
+    for i in range(num_planes):
+        flipped = (
+            F.when(F.substring("bucket", i + 1, 1) == "1", F.lit("0"))
+            .otherwise(F.lit("1"))
+        )
+        probes.append(
+            F.concat(
+                F.substring("bucket", 1, i),
+                flipped,
+                F.substring("bucket", i + 2, num_planes - i - 1),
+            )
+        )
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.explode(F.array(*probes)).alias("bucket")
+    )
+    c = b.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bucket")
     )
 
 

@@ -17,6 +17,7 @@ from pydatalake_spark.operators.similarity import (
     hyperplane_buckets,
     ivf_topk_numpy,
     lsh_bucket_candidates,
+    lsh_multiprobe_candidates,
     train_ivf_centroids,
 )
 from pydatalake_spark.queries.tables import load_table as _t
@@ -134,6 +135,39 @@ def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 def ann_bucket_candidates(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
     return lsh_bucket_candidates(e, num_planes=_PLANES, dim=_DIM)
+
+
+def _flip_sql(i: int) -> str:
+    return (
+        f"substr(bucket, 1, {i - 1}) || "
+        f"(CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(bucket, {i + 1}, {_PLANES - i})"
+    )
+
+
+@q(
+    "ann_multiprobe_candidates",
+    f"""
+    WITH b AS (
+        SELECT vec_id, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings WHERE vec_id < 500
+    ), probes AS (
+        SELECT vec_id,
+               unnest([bucket, {', '.join(_flip_sql(i) for i in range(1, _PLANES + 1))}])
+                 AS bucket
+        FROM b
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, y.bucket
+    FROM probes x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    """,
+)
+def ann_multiprobe_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiprobe (Hamming ≤ 1) LSH candidates — the recall upgrade over
+    exact-bucket probing; still a hash equi-join with a constant
+    (num_planes+1)× probe fan-out (operators/similarity.py:
+    lsh_multiprobe_candidates)."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    return lsh_multiprobe_candidates(e, num_planes=_PLANES, dim=_DIM)
 
 
 @q(

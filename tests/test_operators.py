@@ -211,6 +211,30 @@ def test_ivf_partial_probe_subset(spark):
     assert all(len(v) <= 5 for v in per_q.values())
 
 
+def test_multiprobe_superset_and_hamming_bound(spark):
+    """Multiprobe candidates strictly contain the exact-bucket candidates,
+    every extra pair has bucket Hamming distance exactly 1, and no pair is
+    emitted twice (the one-sided probe expansion is dedup-free by
+    construction)."""
+    from pydatalake_spark.operators.similarity import (
+        hyperplane_buckets,
+        lsh_bucket_candidates,
+        lsh_multiprobe_candidates,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.id_a, r.id_b) for r in lsh_bucket_candidates(emb).collect()}
+    multi_rows = lsh_multiprobe_candidates(emb).collect()
+    multi = [(r.id_a, r.id_b) for r in multi_rows]
+    assert len(multi) == len(set(multi))  # no duplicate pairs
+    assert exact <= set(multi) and len(multi) > len(exact)
+    buckets = {r.vec_id: r.bucket for r in hyperplane_buckets(emb).collect()}
+    for a, b in set(multi) - exact:
+        ham = sum(x != y for x, y in zip(buckets[a], buckets[b]))
+        assert ham == 1, (a, b)
+
+
 def test_embedding_near_dup_threshold(spark):
     from pydatalake_spark.operators.similarity import embedding_near_dup
     from pydatalake_spark.queries.tables import load_table
