@@ -464,6 +464,7 @@ def embedding_near_dup(
     threshold: float = 0.3,
     num_planes: int = 8,
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH candidates
     verified with exact cosine ≥ threshold.
@@ -472,10 +473,14 @@ def embedding_near_dup(
     prunes all-pairs down to same-bucket candidates (one shuffle), and only
     those pay the exact O(dim) cosine. Vectors are re-joined by id after
     candidate generation so the band join moves only (id, bucket).
+
+    ``multiprobe=True`` routes candidates through Hamming-1 probing
+    (`lsh_multiprobe_candidates`): higher recall near the threshold at a
+    constant (num_planes+1)× candidate fan-out — the exact-cosine verify
+    keeps precision unchanged either way.
     """
-    cand = lsh_bucket_candidates(df, id_col, vec_col, num_planes, dim).select(
-        "id_a", "id_b"
-    )
+    gen = lsh_multiprobe_candidates if multiprobe else lsh_bucket_candidates
+    cand = gen(df, id_col, vec_col, num_planes, dim).select("id_a", "id_b")
     vecs = df.select(F.col(id_col), to_double_array(vec_col).alias("__v"))
     j = cand.join(
         vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("v_a")), "id_a"

@@ -242,6 +242,10 @@ def test_embedding_near_dup_threshold(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     rows = embedding_near_dup(emb, threshold=0.2).collect()
     assert all(r.sim >= 0.2 and r.id_a < r.id_b for r in rows)
+    # multiprobe: recall can only go up, precision is verify-bound
+    multi = embedding_near_dup(emb, threshold=0.2, multiprobe=True).collect()
+    assert all(r.sim >= 0.2 and r.id_a < r.id_b for r in multi)
+    assert {(r.id_a, r.id_b) for r in rows} <= {(r.id_a, r.id_b) for r in multi}
 
 
 def test_multimodal_resize_and_frames(spark):
