@@ -1413,3 +1413,71 @@ def string_agg_per_group(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@q(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_21')
+            OR (n1.n_name = 'NATION_21' AND n2.n_name = 'NATION_8'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joins TWICE under different
+    roles (supplier side / customer side) with a disjunction spanning both
+    aliases. Both nation scans broadcast with their IN-list pushed down
+    (each side can only be one of the two nations); the disjunction runs
+    once both roles are bound. year() bucketing happens pre-aggregation so
+    the group-by key is tiny."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    nations = ["NATION_8", "NATION_21"]
+    n1 = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_21"))
+            | ((F.col("supp_nation") == "NATION_21") & (F.col("cust_nation") == "NATION_8"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").alias("revenue"))
+    )
