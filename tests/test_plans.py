@@ -203,3 +203,11 @@ def test_q22_anti_join_moves_keys_only(spark):
         s for s in re.findall(r"ReadSchema: struct<([^\n]*)", p) if "o_custkey" in s
     ]
     assert orders_schema and all("o_totalprice" not in s for s in orders_schema)
+
+
+def test_q7_broadcasts_dimensions_no_cartesian(spark):
+    """Both nation roles and the supplier dim broadcast; the cross-alias
+    disjunction must not degrade the join graph to a cartesian product."""
+    p = physical_plan(spark, "q7_nation_volume")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
