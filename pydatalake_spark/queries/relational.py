@@ -748,8 +748,8 @@ def pivot_linestatus(spark: SparkSession, sf: str) -> DataFrame:
            concat(o_orderstatus, '-', o_orderpriority) AS combo,
            year(o_orderdate)                         AS yr,
            month(o_orderdate)                        AS mon,
-           floor(o_totalprice)                       AS price_floor,
-           ceil(o_totalprice)                        AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT)       AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT)        AS price_ceil,
            abs(o_totalprice - 1000.0)                AS dev,
            o_orderkey % 7                            AS m7,
            sqrt(o_totalprice)                        AS price_sqrt,
@@ -968,8 +968,9 @@ def window_time_range_avg(spark: SparkSession, sf: str) -> DataFrame:
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id, ts,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
     FROM g
     """,
 )

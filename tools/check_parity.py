@@ -14,6 +14,7 @@ import hashlib
 import math
 import sys
 from datetime import date, datetime
+from decimal import Decimal
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -26,23 +27,33 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 
 def canon_value(v):
+    # Type-tagged canonicalization: at least as strict as the driver's gate,
+    # which distinguishes int from float representations ("1000" vs "1000.0").
+    # A lax untagged version let two type-representation bugs ship in round 1
+    # (VERDICT r1 "What's wrong" #4).
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return "b:true" if v else "b:false"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "f:nan"
         if v == 0:
-            return "0"
-        return f"{v:.9g}"
+            return "f:0"
+        return f"f:{v:.9g}"
+    if isinstance(v, Decimal):
+        return f"d:{v.normalize()}"
     if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        return "t:" + v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, date):
-        return v.isoformat()
+        return "D:" + v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
-    return str(v)
+    return "s:" + str(v)
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
