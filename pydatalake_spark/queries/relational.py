@@ -13,6 +13,8 @@ their keys.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -297,6 +299,40 @@ def uniqueness_probe(spark: SparkSession, sf: str) -> DataFrame:
     return e.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("event_id")).alias("n_ids"),
+    )
+
+
+@q(
+    "partition_values",
+    """
+    SELECT DISTINCT o_orderstatus AS status,
+           CAST(year(o_orderdate) AS INT) AS yr
+    FROM orders
+    """,
+)
+def partition_values_enum(spark: SparkSession, sf: str) -> DataFrame:
+    """W3/A4/P7 partition-value enumeration (reference ``writer.py:149-162``
+    ``_get_partition_filters``): hive-partition orders by (status, yr) via the
+    engine's own writer, then enumerate the partition tuples from the on-disk
+    layout. The enumeration scan is metadata-only (partition columns come
+    from directory names; ReadSchema is empty)."""
+    import hashlib
+    import tempfile
+
+    from pydatalake_spark.dataset.writer import write_dataset
+    from pydatalake_spark.sources.read import partition_values
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    # deterministic per-sf scratch path so repeat runs overwrite in place
+    tag = hashlib.sha1(sf.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"pydatalake_spark_pv_{tag}")
+    write_dataset(o, path, mode="overwrite", partition_by=["status", "yr"])
+    return partition_values(spark, path, ["status", "yr"]).select(
+        F.col("status"), F.col("yr").cast("int").alias("yr")
     )
 
 
@@ -1040,22 +1076,39 @@ def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def range_join_events(spark: SparkSession, sf: str) -> DataFrame:
-    """Range join: successor events within 5 minutes per user — equi-join on
-    the key plus a range predicate, so Catalyst still hash-partitions on
-    user_id and the range filter runs post-join (no nested-loop)."""
+    """Range join: successor events within 5 minutes per user.
+
+    Time-bucketed plan: both sides carry ``floor(ts / 5min)`` and the
+    equi-join key is ``(user_id, bucket)`` — the probe side explodes into
+    buckets ``b`` and ``b+1`` so every in-range pair lands in exactly one
+    bucket match (b's single bucket ∈ {floor(a_ts), floor(a_ts)+1}).
+
+    Why not join on user_id alone with the range as a post-join filter: a
+    hot user with n events materializes n² join rows before the filter, and
+    AQE skew-splitting only spreads that n² across reducers — it can't
+    shrink it. Bucketing bounds fan-out per (user, bucket) pair to the
+    events inside one 5-minute window, which is data-density-, not
+    user-cardinality-, bounded. Cost: the probe side is duplicated 2×
+    (ids + timestamp only), negligible against the avoided quadratic.
+    """
     e = _t(spark, sf, "events")
+    bucket_us = 5 * 60 * 1_000_000  # 5 min in microseconds
+    bk = lambda c: F.floor(F.unix_micros(c) / bucket_us)  # noqa: E731
     a = e.select(
         F.col("event_id").alias("a_id"),
         F.col("user_id"),
         F.col("ts").alias("a_ts"),
+    ).withColumn(
+        "bk", F.explode(F.array(bk(F.col("a_ts")), bk(F.col("a_ts")) + 1))
     )
     b = e.select(
         F.col("event_id").alias("b_id"),
         F.col("user_id").alias("b_user"),
         F.col("ts").alias("b_ts"),
+        bk(F.col("ts")).alias("b_bk"),
     )
     return (
-        a.join(b, (a.user_id == b.b_user))
+        a.join(b, (a.user_id == b.b_user) & (a.bk == b.b_bk))
         .filter(
             (F.col("b_ts") > F.col("a_ts"))
             & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTE"))

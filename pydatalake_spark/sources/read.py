@@ -104,11 +104,34 @@ def read_feather(spark: SparkSession, path: str) -> DataFrame:
     files = _list_files(path, FEATHER_EXTS)
     if not files:
         raise FileNotFoundError(f"no feather files under {path}")
-    tables = [feather.read_table(f) for f in files]
     import pyarrow as pa
 
+    tables = []
+    for f in files:
+        t = feather.read_table(f)
+        # hive-layout partition discovery: key=value path segments under the
+        # base become columns (values type-inferred int → float → string,
+        # mirroring Spark's own partition inference)
+        rel = os.path.relpath(os.path.dirname(f), path)
+        for seg in () if rel == "." else rel.split(os.sep):
+            if "=" not in seg:
+                continue
+            k, _, v = seg.partition("=")
+            if k in t.column_names:
+                continue
+            t = t.append_column(k, pa.array([_infer_part_value(v)] * len(t)))
+        tables.append(t)
     table = pa.concat_tables(tables, promote_options="permissive")
     return spark.createDataFrame(table.to_pandas())
+
+
+def _infer_part_value(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
 
 
 def read_json(
@@ -158,6 +181,25 @@ def read_directory_partitioned(
     return df.drop("__path__")
 
 
+def partition_values(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Enumerate the distinct partition-value tuples of a hive-partitioned
+    dataset (W3 — reference ``writer.py:149-162`` ``_get_partition_filters``
+    projects the partition columns and takes DISTINCT).
+
+    Scale note: the selected columns are *partition* columns, so Catalyst
+    prunes the scan to an empty ReadSchema — values come from directory
+    names, not row data. The distinct is one shuffle over tuples whose
+    cardinality is the partition count (small by construction).
+    """
+    df = spark.read.format(fmt).load(path)
+    return df.select(*cols).distinct()
+
+
 def read_any(
     spark: SparkSession,
     path: str,
@@ -202,6 +244,43 @@ def read_any(
     raise ValueError(f"unsupported format {fmt!r}")
 
 
+def read_manifest(spark: SparkSession, snap_dir: str, fmt: str = "parquet") -> DataFrame:
+    """Read a metadata-only TimeFly snapshot: a ``_manifest.json`` listing
+    data files by (relative path, location) instead of copied data
+    (``dataset/timefly.py`` writes these — the Delta/Iceberg-style answer to
+    snapshot cost at scale; an O(dataset) copy per snapshot is a non-starter
+    at 100 TB).
+
+    Files may live under ``<base>/current/`` (still live) or
+    ``<base>/_archive/`` (copy-on-write moved them aside before current was
+    rewritten). Each location group is read with ``basePath`` pinned to its
+    root so hive-partition discovery still derives partition columns from the
+    preserved key=value directory structure, then the groups union by name.
+    """
+    import json
+
+    with open(os.path.join(snap_dir, "_manifest.json")) as f:
+        manifest = json.load(f)
+    base = os.path.dirname(os.path.dirname(snap_dir))
+    groups: dict[str, list[str]] = {}
+    for entry in manifest["files"]:
+        groups.setdefault(entry["location"], []).append(entry["path"])
+    if not groups:
+        return spark.createDataFrame([], T.StructType())
+    loc_root = {"current": "current", "archive": "_archive"}
+    dfs = []
+    for loc, rels in sorted(groups.items()):
+        root = os.path.join(base, loc_root[loc])
+        paths = [os.path.join(root, r) for r in rels]
+        dfs.append(
+            spark.read.option("basePath", root).format(fmt).load(paths)
+        )
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def read_dataset(
     spark: SparkSession,
     path: str,
@@ -214,8 +293,12 @@ def read_dataset(
     """Dataset scan over a file/directory with partition discovery.
 
     Hive-layout partitions are discovered natively by Spark; pass
-    ``partition_schema`` for directory-flavor layouts.
+    ``partition_schema`` for directory-flavor layouts. A directory holding a
+    ``_manifest.json`` is a metadata-only TimeFly snapshot and resolves
+    through the manifest's file list.
     """
+    if os.path.isdir(path) and os.path.isfile(os.path.join(path, "_manifest.json")):
+        return read_manifest(spark, path, fmt=fmt)
     if partition_schema:
         return read_directory_partitioned(spark, path, partition_schema, fmt=fmt)
     if fmt == "parquet":
