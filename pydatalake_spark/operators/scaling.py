@@ -59,13 +59,22 @@ def salted_agg(
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition up to cluster parallelism — only if the
-    plan currently has fewer partitions; never shrinks, never shuffles
-    an already well-partitioned input."""
+    plan's scan width is below it; never shrinks, never shuffles an
+    already well-partitioned input.
+
+    Width is estimated from ``df.inputFiles()`` (analysis-only; the file
+    index is already cached on the relation) rather than
+    ``df.rdd.getNumPartitions()``, which forces full physical planning and
+    detaches the RDD lineage on every call. At real scale (thousands of
+    input splits ≫ cores) the file count exceeds parallelism and this is a
+    structural no-op; tiny test inputs (one file, or an in-memory
+    DataFrame with no files) get spread across the cores.
+    """
     sc = df.sparkSession.sparkContext
     want = target or sc.defaultParallelism
     try:
-        have = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - defensive: planning-only failure
+        have = len(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive: analysis-only failure
         return df
     if have < want:
         return df.repartition(want)
