@@ -173,6 +173,23 @@ def test_dynamic_partition_pruning(spark, tmp_path_factory):
     assert joined.count() > 0
 
 
+def test_range_join_keys_include_time_bucket(spark):
+    """The range join must hash-partition on (user_id, 5-min bucket), not
+    user_id alone — joining on the bare user key lets one hot user
+    materialize n^2 rows before the range filter. The bucket column (named
+    bk/b_bk) must appear in the join key list, and the join must still be a
+    hash equi-join, not a nested loop."""
+    p = physical_plan(spark, "range_join_events")
+    join_line = next(
+        (ln for ln in p.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln),
+        "",
+    )
+    assert join_line, f"no hash join in plan:\n{p}"
+    assert "bk" in join_line
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_q2_decorrelated_min_is_broadcast_partial_agg(spark):
     """The correlated scalar-min subquery is decorrelated into a grouped
     min broadcast back onto the scan: partial+final HashAggregate around
