@@ -35,8 +35,16 @@ from pydatalake_spark.dataset.table import DataLakeTable
 from pydatalake_spark.dataset.timefly import TimeFly
 from pydatalake_spark.dataset.writer import write_dataset
 from pydatalake_spark.session import get_spark
+from pydatalake_spark.sources.filesystem import configure_filesystem, remote_uri
 
-__all__ = ["Reader", "Writer", "TimeFlyReader", "Manager", "TimeFly"]
+__all__ = [
+    "Reader",
+    "Writer",
+    "TimeFlyReader",
+    "Manager",
+    "TimeFly",
+    "configure_filesystem",
+]
 
 
 class Reader(DataLakeTable):
@@ -44,7 +52,9 @@ class Reader(DataLakeTable):
 
     ``bucket``/``protocol`` collapse into the path (Spark reads object
     storage natively via s3a:///gs:///abfss:// URIs — no cache sync, no
-    fsspec; SURVEY §2.1 S11).
+    fsspec; SURVEY §2.1 S11). ``protocol``/``profile``/``endpoint_url``/
+    ``storage_options`` map to Hadoop connector confs via
+    ``configure_filesystem`` (≙ reference ``filesystem/fs.py:7-139``).
     """
 
     def __init__(
@@ -56,9 +66,22 @@ class Reader(DataLakeTable):
         partitioning: str | list | None = None,
         schema=None,
         spark: SparkSession | None = None,
+        protocol: str | None = None,
+        profile: str | None = None,
+        endpoint_url: str | None = None,
+        storage_options: dict | None = None,
         **kwargs,
     ) -> None:
-        full = f"{bucket.rstrip('/')}/{path}" if bucket else path
+        spark = spark or get_spark()
+        if protocol not in (None, "file", "local") or storage_options:
+            configure_filesystem(
+                spark,
+                protocol or "s3",
+                profile=profile,
+                endpoint_url=endpoint_url,
+                **(storage_options or {}),
+            )
+        full = remote_uri(path, bucket, protocol)
         # reference "hive" flavor is Spark's native partition discovery;
         # "directory"-flavor (bare value dirs) needs the explicit
         # partition_schema path of read_directory_partitioned. The reference
@@ -71,7 +94,7 @@ class Reader(DataLakeTable):
                 for p in partitioning
             ]
         super().__init__(
-            spark or get_spark(),
+            spark,
             full,
             fmt=format,
             schema=schema,
@@ -98,9 +121,16 @@ class Reader(DataLakeTable):
         return self.to_df()
 
     def to_polars(self):
-        """≙ ``reader.py:406-440`` — returns pandas (polars not required
-        here; both are Arrow-backed columnar frames)."""
-        return self.to_pandas()
+        """≙ ``reader.py:406-440`` / ``utils/table.py:8-55`` — returns a real
+        ``polars.DataFrame`` when polars is importable (zero-copy from the
+        pandas/Arrow edge), falling back to pandas where it isn't. Driver-edge
+        materialization either way — small-data by contract."""
+        pdf = self.to_pandas()
+        try:
+            import polars as pl
+        except ImportError:
+            return pdf
+        return pl.from_pandas(pdf)
 
     def execute(self, sql: str) -> DataFrame:
         """≙ ``reader.py:478-481`` raw SQL passthrough."""
@@ -123,13 +153,26 @@ class Writer:
         compression: str = "zstd",
         mode: str = "append",
         spark: SparkSession | None = None,
+        protocol: str | None = None,
+        profile: str | None = None,
+        endpoint_url: str | None = None,
+        storage_options: dict | None = None,
     ) -> None:
-        self.path = f"{bucket.rstrip('/')}/{path}" if bucket else path
+        spark = spark or get_spark()
+        if protocol not in (None, "file", "local") or storage_options:
+            configure_filesystem(
+                spark,
+                protocol or "s3",
+                profile=profile,
+                endpoint_url=endpoint_url,
+                **(storage_options or {}),
+            )
+        self.path = remote_uri(path, bucket, protocol)
         self.partitioning = partitioning
         self.format = format
         self.compression = compression
         self.mode = mode
-        self.spark = spark or get_spark()
+        self.spark = spark
 
     def write_dataset(
         self,

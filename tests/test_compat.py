@@ -30,11 +30,19 @@ def test_reader_workflow(spark):
     # SQL passthrough against the registered view
     n = r.query("SELECT count(*) AS n FROM orders_c").collect()[0]["n"]
     assert n == out.count() > 0
-    # pandas edge
+    # interchange edge: real polars when importable, pandas fallback
     pdf = Reader(
         os.path.join(SF_DIR, "region.parquet"), spark=spark
     ).to_polars()
     assert len(pdf) == 5
+    try:
+        import polars as pl
+    except ImportError:
+        import pandas as pd
+
+        assert isinstance(pdf, pd.DataFrame)
+    else:
+        assert isinstance(pdf, pl.DataFrame)
 
 
 def test_writer_modes_roundtrip(spark, tmpdir_path):
