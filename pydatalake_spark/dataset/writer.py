@@ -173,8 +173,9 @@ def write_dataset(
         writer.option("header", "true").csv(path)
     elif fmt == "feather":
         if parts:
-            raise ValueError("feather write edge does not support partition_by")
-        write_feather(df, path, mode=spark_mode)
+            _write_feather_partitioned(df, path, parts, mode=spark_mode)
+        else:
+            write_feather(df, path, mode=spark_mode)
     else:
         raise ValueError(f"unsupported write format {fmt!r}")
 
@@ -196,6 +197,39 @@ def write_feather(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         table = pa.Table.from_pandas(df.toPandas())
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     feather.write_feather(table, path)
+
+
+def _write_feather_partitioned(
+    df: DataFrame,
+    path: str,
+    parts: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout feather dataset (≙ reference ``writer.py:398-409,462-499``:
+    per-partition ``pl.write_ipc`` under ``key=value`` directories).
+
+    Driver-edge like all feather paths (SURVEY §1.3 — no distributed feather
+    sink exists): partition tuples are enumerated with one distributed
+    DISTINCT (small by construction — they become directories), then each
+    partition's rows materialize through Arrow and land in
+    ``<path>/k1=v1/.../part-0.feather``. The partition columns are dropped
+    from the file payload, matching hive-parquet layout, so the feather
+    reader's partition discovery re-derives them from the directory names."""
+    tuples = [tuple(r) for r in df.select(*parts).distinct().collect()]
+    for values in tuples:
+        subdir = os.path.join(
+            path, *(f"{k}={v}" for k, v in zip(parts, values))
+        )
+        part_df = df
+        for k, v in zip(parts, values):
+            part_df = part_df.filter(
+                F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+            )
+        write_feather(
+            part_df.drop(*parts),
+            os.path.join(subdir, "part-0.feather"),
+            mode=mode,
+        )
 
 
 def _delta_diff(

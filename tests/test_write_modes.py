@@ -141,6 +141,27 @@ def test_feather_write_roundtrip(spark, tmpdir_path):
     assert read_feather(spark, dest).count() == 10
 
 
+def test_feather_partitioned_write_roundtrip(spark, tmpdir_path):
+    from pydatalake_spark.dataset.writer import write_dataset
+    from pydatalake_spark.sources.read import read_feather
+
+    dest = os.path.join(tmpdir_path, "nation_feather")
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    write_dataset(
+        src, dest, mode="overwrite", fmt="feather", partition_by="n_regionkey"
+    )
+    # hive layout on disk: one key=value dir per region
+    dirs = sorted(d for d in os.listdir(dest) if d.startswith("n_regionkey="))
+    assert len(dirs) == 5
+    back = read_feather(spark, dest)
+    assert back.count() == 25
+    # partition column restored from directory names with inferred int type
+    assert "n_regionkey" in back.columns
+    orig = {tuple(r) for r in src.select("n_nationkey", "n_regionkey").collect()}
+    got = {tuple(r) for r in back.select("n_nationkey", "n_regionkey").collect()}
+    assert got == orig
+
+
 def test_operators_on_empty_input(spark):
     """Core operators must not blow up on empty inputs (the first batch of
     a new pipeline is often empty)."""
