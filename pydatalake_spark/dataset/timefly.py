@@ -14,9 +14,9 @@ Re-implements the reference's snapshot-versioned dataset
 Semantics preserved:
 
 - snapshot ids are ``%Y%m%d_%H%M%S`` wall-clock strings (timefly.py:72-78);
-- ``add_snapshot`` copies current → snapshot dir and records it under
-  ``history.available`` (timefly.py:246-310);
-- ``delete_snapshot`` removes the dir and moves the id available → deleted
+- ``add_snapshot`` freezes the state of current under snapshot/<id>/ and
+  records it in ``history.available`` (timefly.py:246-310);
+- ``delete_snapshot`` removes it and moves the id available → deleted
   (timefly.py:313-325);
 - ``load_snapshot`` restores a snapshot over current (timefly.py:355-387);
 - **as-of rule**: given a timestamp, pick the FIRST snapshot strictly AFTER
@@ -24,14 +24,26 @@ Semantics preserved:
   reference's rule (a snapshot taken at T captures state from before T), and
   deliberately NOT Delta's last-version-≤-ts rule — SURVEY §7.3.4.
 
+**Snapshot mechanics diverge from the reference on purpose**: the reference
+physically copies current → snapshot dir (timefly.py:246-310), an O(dataset)
+cost per snapshot that is a non-starter at 100 TB. Here ``add_snapshot``
+writes a *manifest* (``snapshot/<id>/_manifest.json``: the list of current
+data files) — O(metadata), like a Delta/Iceberg commit. Copy-on-write
+protects the referenced files: before any destructive rewrite of current/
+(``write(mode="overwrite")``, ``load_snapshot``), files referenced by live
+snapshots are *moved* (a rename, still O(metadata)) into ``<base>/_archive/``
+and the manifests are repointed. ``delete_snapshot`` garbage-collects
+archive files no longer referenced by any live manifest. Append/delta
+writes only add files, so they never trigger the COW path.
+
 Design note (Delta Lake): the natural Spark backend is a Delta table where
 every commit is a version; delta-spark jars are not in this runtime, so the
-engine implements the snapshot log directly on parquet + JSON metadata. The
-public API (``as_of``, ``add_snapshot``, ``load_snapshot``) would be
-unchanged over a Delta backend; only copy-vs-log mechanics differ. Snapshot
-creation uses filesystem copies like the reference — at real scale a Delta /
-Iceberg metadata-only snapshot replaces the copy, and this class is the
-single place to swap that in.
+engine implements the manifest log directly on parquet + JSON. The public
+API (``as_of``, ``add_snapshot``, ``load_snapshot``) would be unchanged
+over a Delta backend. Caveat: compacting or rewriting current/ by any path
+other than this class (e.g. ``dataset/repartition.py`` pointed straight at
+``<base>/current``) bypasses the COW hook — route such rewrites through
+``TimeFly.write(mode="overwrite")``.
 """
 
 from __future__ import annotations
@@ -57,6 +69,7 @@ class TimeFly:
         self.config_path = os.path.join(base, "_dataset.json")
         self.current_path = os.path.join(base, "current")
         self.snapshot_root = os.path.join(base, "snapshot")
+        self.archive_path = os.path.join(base, "_archive")
         self.config: dict = {}
         if os.path.exists(self.config_path):
             with open(self.config_path) as f:
@@ -94,13 +107,94 @@ class TimeFly:
         self._write_config()
         return self
 
+    # --- manifest plumbing ------------------------------------------------
+    def _manifest_path(self, snap_id: str) -> str:
+        return os.path.join(self.snapshot_root, snap_id, "_manifest.json")
+
+    def _read_manifest(self, snap_id: str) -> dict:
+        with open(self._manifest_path(snap_id)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, snap_id: str, manifest: dict) -> None:
+        os.makedirs(os.path.join(self.snapshot_root, snap_id), exist_ok=True)
+        with open(self._manifest_path(snap_id), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    def _current_files(self) -> list[str]:
+        """Relative paths of data files under current/ (hive subdirs kept)."""
+        out = []
+        for root, _dirs, files in os.walk(self.current_path):
+            for name in files:
+                if name.startswith(("_", ".")) or name.endswith(".crc"):
+                    continue
+                out.append(
+                    os.path.relpath(os.path.join(root, name), self.current_path)
+                )
+        return sorted(out)
+
+    def _cow_protect(self) -> None:
+        """Before a destructive rewrite of current/: move files referenced by
+        live snapshots into _archive/ (a rename — O(metadata), no data copy)
+        and repoint their manifests. Files shared by several snapshots move
+        once."""
+        moved: set[str] = set()
+        for snap_id in self.snapshots():
+            manifest = self._read_manifest(snap_id)
+            changed = False
+            for entry in manifest["files"]:
+                if entry["location"] != "current":
+                    continue
+                rel = entry["path"]
+                if rel not in moved:
+                    src = os.path.join(self.current_path, rel)
+                    dst = os.path.join(self.archive_path, rel)
+                    if os.path.exists(src):
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        shutil.move(src, dst)
+                    moved.add(rel)
+                entry["location"] = "archive"
+                changed = True
+            if changed:
+                self._write_manifest(snap_id, manifest)
+
+    def _gc_archive(self) -> None:
+        """Drop archive files no live manifest references any more."""
+        referenced = {
+            entry["path"]
+            for snap_id in self.snapshots()
+            for entry in self._read_manifest(snap_id)["files"]
+            if entry["location"] == "archive"
+        }
+        if not os.path.isdir(self.archive_path):
+            return
+        for root, _dirs, files in os.walk(self.archive_path, topdown=False):
+            for name in files:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.archive_path)
+                if rel not in referenced:
+                    os.remove(full)
+            if not os.listdir(root):
+                os.rmdir(root)
+
     def add_snapshot(self, now: dt.datetime | None = None, description: str = "") -> str:
-        """Freeze current → snapshot/<id>/ (T3, timefly.py:246-310)."""
+        """Freeze the state of current as snapshot/<id>/ (T3,
+        timefly.py:246-310) — metadata-only: a manifest of current's data
+        files, not a copy. O(file count), never O(bytes)."""
         snap_id = self._now_id(now)
         dest = os.path.join(self.snapshot_root, snap_id)
         if os.path.exists(dest):
             raise FileExistsError(f"snapshot {snap_id} already exists")
-        shutil.copytree(self.current_path, dest)
+        self._write_manifest(
+            snap_id,
+            {
+                "created": snap_id,
+                "description": description,
+                "files": [
+                    {"path": rel, "location": "current"}
+                    for rel in self._current_files()
+                ],
+            },
+        )
         self.config.setdefault("history", {"available": [], "deleted": []})
         self.config["history"]["available"].append(snap_id)
         self.config[f"snapshot.{snap_id}"] = {
@@ -111,7 +205,8 @@ class TimeFly:
         return snap_id
 
     def delete_snapshot(self, snap_id: str) -> None:
-        """T4 (timefly.py:313-325)."""
+        """T4 (timefly.py:313-325) + garbage-collect newly unreferenced
+        archive files."""
         dest = os.path.join(self.snapshot_root, snap_id)
         if os.path.exists(dest):
             shutil.rmtree(dest)
@@ -119,15 +214,30 @@ class TimeFly:
         if snap_id in hist["available"]:
             hist["available"].remove(snap_id)
         hist.setdefault("deleted", []).append(snap_id)
+        self._gc_archive()
         self._write_config()
 
     def load_snapshot(self, snap_id: str) -> None:
-        """Restore snapshot over current (T5, timefly.py:355-387)."""
-        src = os.path.join(self.snapshot_root, snap_id)
-        if not os.path.isdir(src):
+        """Restore snapshot over current (T5, timefly.py:355-387).
+
+        The one data-copying operation left: the snapshot's files are copied
+        back into current/ so current stays a plain directory dataset. COW
+        runs first, so the restore source is always the archive and no live
+        snapshot loses a file."""
+        if not os.path.isfile(self._manifest_path(snap_id)):
             raise FileNotFoundError(f"no snapshot {snap_id}")
+        self._cow_protect()
+        manifest = self._read_manifest(snap_id)
         shutil.rmtree(self.current_path)
-        shutil.copytree(src, self.current_path)
+        os.makedirs(self.current_path)
+        for entry in manifest["files"]:
+            src_root = (
+                self.current_path if entry["location"] == "current" else self.archive_path
+            )
+            src = os.path.join(src_root, entry["path"])
+            dst = os.path.join(self.current_path, entry["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
         self.config["current"] = {"created": self._now_id(), "restored_from": snap_id}
         self._write_config()
 
@@ -158,6 +268,10 @@ class TimeFly:
         updated after the write (W11, writer.py:646-687)."""
         if not self.config:
             self.init()
+        if mode == "overwrite":
+            # destructive rewrite of current/ — move snapshot-referenced
+            # files aside first (rename-only; see _cow_protect)
+            self._cow_protect()
         write_dataset(df, self.current_path, mode=mode, fmt=self.fmt, **kwargs)
         self.config["current"] = dict(
             self.config.get("current", {}), updated=self._now_id(), last_mode=mode

@@ -61,6 +61,54 @@ def test_as_of_rule(tf, events):
     assert tf.read(as_of=dt.datetime(2031, 1, 1)).count() == 100
 
 
+def test_snapshot_is_metadata_only(tf, events):
+    """T3 at scale: a snapshot must cost O(metadata), not O(dataset) — the
+    snapshot dir holds one manifest, current's data files stay in place, and
+    a destructive overwrite MOVES (renames) referenced files into _archive
+    rather than copying."""
+    tf.write(events.limit(20), mode="append")
+    inodes_before = {
+        f: os.stat(os.path.join(tf.current_path, f)).st_ino
+        for f in os.listdir(tf.current_path)
+        if not f.startswith(("_", "."))
+    }
+    s1 = tf.add_snapshot(dt.datetime(2030, 1, 1))
+    snap_dir = os.path.join(tf.snapshot_root, s1)
+    assert os.listdir(snap_dir) == ["_manifest.json"]
+    # snapshot creation did not touch current's files
+    assert all(
+        os.path.exists(os.path.join(tf.current_path, f)) for f in inodes_before
+    )
+
+    tf.write(events.limit(5), mode="overwrite")
+    # COW moved the referenced files (same inode → rename, no data copy)
+    for f, ino in inodes_before.items():
+        archived = os.path.join(tf.archive_path, f)
+        assert os.path.exists(archived)
+        assert os.stat(archived).st_ino == ino
+    assert tf.read(as_of=dt.datetime(2029, 1, 1)).count() == 20
+    assert tf.read().count() == 5
+
+    # dropping the snapshot garbage-collects the archive
+    tf.delete_snapshot(s1)
+    assert not os.path.isdir(tf.archive_path)
+
+
+def test_snapshot_partitioned_roundtrip(tf, events):
+    """Hive-partitioned current: the manifest keeps relative key=value paths
+    and the snapshot read re-derives partition columns via basePath."""
+    v1 = events.limit(40).withColumn("etype", F.col("event_type"))
+    tf.write(v1, mode="append", partition_by="etype")
+    s1 = tf.add_snapshot(dt.datetime(2030, 1, 1))
+    v2 = events.limit(3).withColumn("etype", F.col("event_type"))
+    tf.write(v2, mode="overwrite", partition_by="etype")
+
+    back = tf.read(as_of=dt.datetime(2029, 1, 1))
+    assert "etype" in back.columns
+    assert back.count() == 40
+    assert back.select("etype").distinct().count() == v1.select("etype").distinct().count()
+
+
 def test_delete_snapshot(tf, events):
     tf.write(events.limit(5), mode="append")
     s1 = tf.add_snapshot(dt.datetime(2030, 1, 1))
