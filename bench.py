@@ -3,18 +3,34 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1,
+     "oracle": {"q1": sec, ...}, "oracle_total_sec": N,
+     "vs_oracle_ratio": spark_total / oracle_total,
+     "ratios": {"q1": spark/oracle, ...}}
 
-Each query is executed to completion with the noop sink (full plan runs,
-nothing materializes on the driver) and timed wall-clock. A tiny warm-up
-action runs first so JVM/codegen startup isn't billed to the first query.
+Each Spark query is executed to completion with the noop sink (full plan
+runs, nothing materializes on the driver) and timed wall-clock. A warm-up
+pass runs first so JVM/codegen startup isn't billed to the first query.
+The same queries' DuckDB oracle SQL is then timed on the same parquet —
+that is the single-node engine the reference delegates 100% of execution
+to, so spark_sec/duckdb_sec is the measurable form of the BASELINE "within
+2x of the reference" gate.
+
+Set SPARK_GRAFT_SCALING_PROBE=1 to also run the scaling probe: four probe
+queries are re-run on a REPLICAS x blow-up of the bench tables
+(deterministically decorrelated so dedup/near-dup outputs stay ~linear)
+and the per-query scaling exponent log(t_big/t_small)/log(REPLICAS) is
+reported — an exponent near 1 is linear scaling; near 2 means a quadratic
+blow-up the single-scale bench can't see.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -22,6 +38,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALING_PROBE = os.environ.get("SPARK_GRAFT_SCALING_PROBE") == "1"
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "10"))
 
 # representative slice of SURVEY §2 + north-star ops: scans/aggs, joins,
 # dedup, diffs, windows, time-series joins, text dedup, similarity
@@ -63,10 +81,134 @@ BENCH_QUERIES = [
     "ivf_topk",
 ]
 
+# scaling probe: one scan-agg, one heavy multi-join agg, one minhash
+# near-dup, one embedding near-dup — the shapes where quadratic regressions
+# would hide
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q18_large_volume_customer",
+    "near_dup_pairs",
+    "embedding_near_dup",
+]
+PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]
+
+
+def _run_timed(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 4)
+
+
+def _build_scaled_dir(spark, out_dir: str) -> None:
+    """Materialize a REPLICAS x blow-up of the probe tables.
+
+    Replicas are key-shifted so join fan-in scales linearly, and content is
+    decorrelated per replica (text re-tokenized with a replica marker,
+    embeddings rotated) so near-dup pair counts stay ~linear instead of
+    every row gaining REPLICAS-1 exact twins.
+    """
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.queries.tables import load_table
+
+    shift = 1_000_000_000
+    for t in PROBE_TABLES:
+        base = load_table(spark, SF_DIR, t)
+        reps = []
+        for i in range(REPLICAS):
+            df = base
+            if t == "lineitem":
+                df = df.withColumn("l_orderkey", F.col("l_orderkey") + i * shift)
+            elif t == "orders":
+                df = df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + i * shift
+                ).withColumn("o_custkey", F.col("o_custkey") + i * shift)
+            elif t == "customer":
+                df = df.withColumn("c_custkey", F.col("c_custkey") + i * shift)
+            elif t == "documents":
+                df = df.withColumn("doc_id", F.col("doc_id") + i * shift)
+                if i > 0:
+                    df = df.withColumn(
+                        "text", F.regexp_replace("text", " ", f" r{i} ")
+                    )
+            elif t == "embeddings":
+                df = df.withColumn("vec_id", F.col("vec_id") + i * shift)
+                if i > 0:
+                    # rotate the vector: near-orthogonal to the original,
+                    # same norm, fully deterministic
+                    k = (i * 7) % 64
+                    df = df.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", k + 1, 64 - k),
+                            F.slice("embedding", 1, k),
+                        ),
+                    )
+            reps.append(df)
+        out = reps[0]
+        for df in reps[1:]:
+            out = out.unionByName(df)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+
+def _scaling_probe(spark, queries) -> dict:
+    scaled_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"pydatalake_bench_x{REPLICAS}"
+    )
+    marker = os.path.join(scaled_dir, "_built_from")
+    if not (os.path.isfile(marker) and open(marker).read() == SF_DIR):
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        _build_scaled_dir(spark, scaled_dir)
+        with open(marker, "w") as f:
+            f.write(SF_DIR)
+    result = {"replicas": REPLICAS, "queries": {}}
+    for name in PROBE_QUERIES:
+        fn = queries[name]
+        _run_timed(fn, spark, SF_DIR)  # warm
+        t_small = _run_timed(fn, spark, SF_DIR)
+        _run_timed(fn, spark, scaled_dir)  # warm
+        t_big = _run_timed(fn, spark, scaled_dir)
+        exponent = (
+            math.log(t_big / t_small) / math.log(REPLICAS)
+            if t_small > 0 and t_big > 0
+            else None
+        )
+        result["queries"][name] = {
+            "sec_small": t_small,
+            "sec_big": t_big,
+            "exponent": round(exponent, 3) if exponent is not None else None,
+        }
+    return result
+
+
+def _time_oracles() -> dict[str, float]:
+    """Time each bench query's DuckDB oracle on the same parquet files —
+    the reference's actual execution engine, at the same data scale."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pydatalake_spark.queries.tables import TABLES
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        sql = oracles.get(name)
+        if sql is None:  # rows-only queries (ivf_topk, ...) have no oracle
+            continue
+        con.execute(sql).fetchall()  # warm the buffer pool / plan cache
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    con.close()
+    return timings
+
 
 def main() -> None:
-    from pydatalake_spark.session import get_spark
     from pydatalake_spark.queries import QUERIES
+    from pydatalake_spark.session import get_spark
 
     spark = get_spark("bench")
 
@@ -83,23 +225,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-
+        timings[name] = _run_timed(QUERIES[name], spark, SF_DIR)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+
+    oracle_timings = _time_oracles()
+    oracle_total = round(sum(oracle_timings.values()), 4)
+    spark_on_oracled = round(
+        sum(timings[n] for n in oracle_timings), 4
     )
+    ratios = {
+        n: round(timings[n] / oracle_timings[n], 2) if oracle_timings[n] > 0 else None
+        for n in oracle_timings
+    }
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "oracle": oracle_timings,
+        "oracle_total_sec": oracle_total,
+        "vs_oracle_ratio": (
+            round(spark_on_oracled / oracle_total, 3) if oracle_total > 0 else None
+        ),
+        "ratios": ratios,
+    }
+    if SCALING_PROBE:
+        out["scaling_probe"] = _scaling_probe(spark, QUERIES)
+    print(json.dumps(out))
     spark.stop()
 
 
