@@ -35,6 +35,26 @@ class DataLake:
         if os.path.exists(self.registry_path):
             with open(self.registry_path) as f:
                 self.datasets = json.load(f).get("dataset", {})
+        else:
+            # read-side TOML compat: adopt a reference `_pydala.toml`
+            # registry (manager.py:48, entries {"name","path","description"}
+            # at manager.py:174-179) in place; first write persists as JSON
+            toml_registry = os.path.join(root, "_pydala.toml")
+            if os.path.exists(toml_registry):
+                import tomllib
+
+                with open(toml_registry, "rb") as f:
+                    ref = tomllib.load(f)
+                for entry in ref.get("dataset", {}).values():
+                    if not isinstance(entry, dict) or "name" not in entry:
+                        continue
+                    path = entry.get("path", entry["name"])
+                    if os.path.isabs(path):
+                        path = os.path.relpath(path, root)
+                    self.datasets[entry["name"]] = {
+                        "path": path,
+                        "description": entry.get("description", ""),
+                    }
         self.discover()
 
     def _save(self) -> None:
@@ -44,12 +64,13 @@ class DataLake:
 
     # --- registry ops (manager.py:137-196) --------------------------------
     def discover(self) -> None:
-        """Adopt datasets by finding their `_dataset.json` markers
+        """Adopt datasets by finding their `_dataset.json` (native) or
+        `_dataset.toml` (reference-written) markers
         (≙ glob `**_dataset.toml`, manager.py:92-95)."""
         if not os.path.isdir(self.root):
             return
         for dirpath, _dirs, files in os.walk(self.root):
-            if "_dataset.json" in files:
+            if "_dataset.json" in files or "_dataset.toml" in files:
                 name = os.path.basename(dirpath.rstrip("/"))
                 self.datasets.setdefault(
                     name,
@@ -88,7 +109,7 @@ class DataLake:
 
     def table(self, name: str, as_of=None) -> DataLakeTable:
         tf = self.timefly(name)
-        if os.path.exists(tf.config_path):
+        if tf.config:
             df = tf.read(as_of=as_of)
             return DataLakeTable(self.spark, path=tf.current_path, df=df, name=name)
         path = os.path.join(self.root, self.datasets[name]["path"])

@@ -74,8 +74,51 @@ class TimeFly:
         if os.path.exists(self.config_path):
             with open(self.config_path) as f:
                 self.config = json.load(f)
+        else:
+            # read-side TOML compat: adopt a reference-written lake in place
+            # (`_dataset.toml`, reference timefly.py:50). Snapshot dirs in
+            # such a lake are physical copies, which the snapshot reader
+            # handles natively (no _manifest.json → plain directory scan).
+            toml_path = os.path.join(base, "_dataset.toml")
+            if os.path.exists(toml_path):
+                self.config = self._config_from_toml(toml_path)
 
     # --- metadata ---------------------------------------------------------
+    @staticmethod
+    def _config_from_toml(toml_path: str) -> dict:
+        """Map the reference's ``_dataset.toml`` layout (``[dataset]`` info,
+        ``[current]``, ``[snapshot]`` with available/deleted lists + one
+        subtable per snapshot id — timefly.py:131-156, 246-310) onto this
+        engine's config shape. Read-only adoption: the first write persists
+        as ``_dataset.json``; the TOML stays untouched."""
+        import tomllib
+
+        with open(toml_path, "rb") as f:
+            ref = tomllib.load(f)
+        ds = ref.get("dataset", {})
+        snap = ref.get("snapshot", {})
+        config = {
+            "name": ds.get("name", ""),
+            "init": str(ds.get("init", "")),
+            "description": ds.get("description", ""),
+            "format": ref.get("current", {}).get("format") or "parquet",
+            "current": {
+                str(k): str(v) if not isinstance(v, (dict, list)) else v
+                for k, v in ref.get("current", {}).items()
+            },
+            "history": {
+                "available": [str(s) for s in snap.get("available", [])],
+                "deleted": [str(s) for s in snap.get("deleted", [])],
+            },
+        }
+        for snap_id, meta in snap.items():
+            if isinstance(meta, dict):
+                config[f"snapshot.{snap_id}"] = {
+                    k: str(v) if not isinstance(v, (dict, list)) else v
+                    for k, v in meta.items()
+                }
+        return config
+
     def _write_config(self) -> None:
         os.makedirs(self.base, exist_ok=True)
         with open(self.config_path, "w") as f:
@@ -139,6 +182,10 @@ class TimeFly:
         once."""
         moved: set[str] = set()
         for snap_id in self.snapshots():
+            if not os.path.isfile(self._manifest_path(snap_id)):
+                # physical snapshot (adopted reference lake): self-contained
+                # copy, references nothing in current/
+                continue
             manifest = self._read_manifest(snap_id)
             changed = False
             for entry in manifest["files"]:
@@ -162,6 +209,7 @@ class TimeFly:
         referenced = {
             entry["path"]
             for snap_id in self.snapshots()
+            if os.path.isfile(self._manifest_path(snap_id))
             for entry in self._read_manifest(snap_id)["files"]
             if entry["location"] == "archive"
         }
@@ -224,9 +272,22 @@ class TimeFly:
         back into current/ so current stays a plain directory dataset. COW
         runs first, so the restore source is always the archive and no live
         snapshot loses a file."""
-        if not os.path.isfile(self._manifest_path(snap_id)):
+        snap_dir = os.path.join(self.snapshot_root, snap_id)
+        has_manifest = os.path.isfile(self._manifest_path(snap_id))
+        if not has_manifest and not os.path.isdir(snap_dir):
             raise FileNotFoundError(f"no snapshot {snap_id}")
         self._cow_protect()
+        if not has_manifest:
+            # physical snapshot from an adopted reference lake: copy it back
+            # the way the reference does (timefly.py:355-387)
+            shutil.rmtree(self.current_path)
+            shutil.copytree(snap_dir, self.current_path)
+            self.config["current"] = {
+                "created": self._now_id(),
+                "restored_from": snap_id,
+            }
+            self._write_config()
+            return
         manifest = self._read_manifest(snap_id)
         shutil.rmtree(self.current_path)
         os.makedirs(self.current_path)

@@ -102,6 +102,51 @@ def test_datalake_catalog(spark, events, tmpdir_path):
     assert "ev" not in lake2.tables()
 
 
+def test_adopt_reference_toml_lake(spark, events, tmpdir_path):
+    """Read-side TOML compat: a lake written by the reference
+    (``_pydala.toml`` registry + ``_dataset.toml`` per dataset + physical
+    snapshot dirs, timefly.py:50 / manager.py:48) must be readable in place
+    — including snapshot as-of resolution against the physical copies."""
+    import datetime as dt
+    import os
+
+    from pydatalake_spark.dataset.timefly import TimeFly
+
+    root = os.path.join(tmpdir_path, "reflake")
+    ds = os.path.join(root, "ev")
+    os.makedirs(os.path.join(ds, "current"))
+    events.limit(30).write.mode("overwrite").parquet(os.path.join(ds, "current"))
+    snap_dir = os.path.join(ds, "snapshot", "20300101_120000")
+    os.makedirs(os.path.dirname(snap_dir), exist_ok=True)
+    import shutil
+
+    shutil.copytree(os.path.join(ds, "current"), snap_dir)
+    with open(os.path.join(ds, "_dataset.toml"), "w") as f:
+        f.write(
+            '[dataset]\nname = "ev"\ninit = "20300101_110000"\n'
+            'description = "ref-written"\n'
+            '[current]\nformat = "parquet"\ncreated = "20300101_110000"\n'
+            "[snapshot]\navailable = [\"20300101_120000\"]\ndeleted = []\n"
+            '[snapshot.20300101_120000]\ncreated = "20300101_120000"\n'
+        )
+    with open(os.path.join(root, "_pydala.toml"), "w") as f:
+        f.write(
+            '[pydala]\nname = "reflake"\n'
+            '[dataset.ev]\nname = "ev"\npath = "ev"\ndescription = "ref-written"\n'
+        )
+
+    tf = TimeFly(spark, ds)
+    assert tf.config["name"] == "ev"
+    assert tf.snapshots() == ["20300101_120000"]
+    assert tf.read().count() == 30
+    # physical snapshot resolves through the as-of rule
+    assert tf.read(as_of=dt.datetime(2029, 1, 1)).count() == 30
+
+    lake = DataLake(spark, root)
+    assert "ev" in lake.tables()
+    assert lake.table("ev").count() == 30
+
+
 def test_read_any_json_dispatch(spark, tmpdir_path):
     import os
 
