@@ -1535,3 +1535,367 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum("volume").alias("revenue"))
     )
+
+
+@q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END) / sum(volume)
+               AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, by order year. Seven-table join where every dimension (part,
+    customer-nation, region, supplier-nation) broadcasts; lineitem-orders is
+    the only shuffle pair. The share is a conditional-sum / sum over the
+    same grouped pass — one aggregation, no second scan."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q9_product_type_revenue",
+    """
+    SELECT nation, o_year, sum(amount) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: testdata has no partsupp/supplycost, so
+    profit = discounted revenue). The p_name LIKE filter prunes `part`
+    before its broadcast; supplier+nation broadcast; the lineitem-orders
+    join is the one shuffle. Group key (nation, year) is tiny."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            # DECIMAL summand on both sides: decimal addition is exact and
+            # associative, so Spark's partial-sum order and DuckDB's serial
+            # sum agree to the last digit (doubles differ in the last ulp)
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+    )
+
+
+@q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    FROM (
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ) g
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. The returnflag + date filters push to the scans; nation
+    broadcasts; the grouped top-k plans as TakeOrderedAndProject (no global
+    sort). c_custkey tiebreak keeps the limit deterministic."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@q(
+    "q11_supplier_concentration",
+    """
+    SELECT s_suppkey, value
+    FROM (
+        SELECT s_suppkey,
+               sum(l_extendedprice * (1 - l_discount)) AS value
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        GROUP BY s_suppkey
+    ) per_supp
+    WHERE value > (
+        SELECT sum(l_extendedprice * (1 - l_discount)) * 0.005 FROM lineitem
+    )
+    """,
+)
+def q11_supplier_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp table — concentration over
+    lineitem revenue): suppliers holding more than a fixed fraction of
+    total revenue. The scalar total is a 1-row aggregate cross-joined
+    (broadcast) onto the per-supplier rollup — the lineitem scan is shared
+    work Catalyst can reuse, and no second shuffle is keyed."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    per_supp = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey"), rev)
+        .groupBy("s_suppkey")
+        .agg(F.sum("rev").alias("value"))
+    )
+    total = l.select(rev).agg((F.sum("rev") * F.lit(0.005)).alias("cutoff"))
+    return (
+        per_supp.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("s_suppkey", "value")
+    )
+
+
+@q(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode column — grouped by
+    l_linestatus): urgent/non-urgent order counts per line status for one
+    ship year. Conditional-sum pivot in a single grouped pass; the date
+    range is the pushed scan filter."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 28, 32)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier relationships come from lineitem,
+    not partsupp): distinct suppliers per (brand, type, size) outside an
+    excluded brand/type. All three predicates prune `part` before its
+    broadcast; count_distinct expands to a two-phase aggregate."""
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 32))
+    )
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_excess_stock_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'old%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100
+    )
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped volume from lineitem instead of
+    partsupp availability): suppliers who shipped more than a threshold of
+    'old%' parts in a year. The HAVING subquery reduces to grouped keys
+    only (suppkey + the sum), then a left-semi broadcast back onto
+    supplier — keys move, rows don't."""
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("old%"))
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@q(
+    "q21_sole_returned_supplier",
+    """
+    SELECT s_suppkey, count(*) AS numwait
+    FROM (
+        SELECT l_suppkey, l_orderkey
+        FROM lineitem
+        GROUP BY l_suppkey, l_orderkey
+        HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+    ) ret
+    JOIN (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING count(DISTINCT l_suppkey) > 1
+           AND count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) = 1
+    ) solo ON ret.l_orderkey = solo.l_orderkey
+    JOIN supplier ON ret.l_suppkey = s_suppkey
+    GROUP BY s_suppkey
+    """,
+)
+def q21_sole_returned_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no receipt/commit dates — 'late' becomes
+    'returned'): for multi-supplier orders where exactly ONE supplier had
+    returns, count such orders per offending supplier. The correlated
+    EXISTS/NOT-EXISTS pair decorrelates into two grouped passes over
+    lineitem that share the l_orderkey shuffle; the per-order verdict
+    (solo) is keys-only before rejoining."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    is_ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ret = (
+        l.groupBy("l_suppkey", "l_orderkey")
+        .agg(F.sum(is_ret).alias("n_ret"))
+        .filter(F.col("n_ret") > 0)
+        .select("l_suppkey", "l_orderkey")
+    )
+    solo = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .select(F.col("l_orderkey").alias("solo_ok"))
+    )
+    return (
+        ret.join(solo, ret.l_orderkey == solo.solo_ok)
+        .join(F.broadcast(s), ret.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
