@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q13_customer_distribution",
     "q18_large_volume_customer",
+    "q8_market_share",
+    "q10_returned_items",
+    "q21_sole_returned_supplier",
     "filter_project",
     "dedup_keep_last",
     "distinct_full",

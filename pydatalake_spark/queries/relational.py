@@ -1541,11 +1541,12 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END) / sum(volume)
-               AS mkt_share
+           CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(sum(volume) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
                n2.n_name AS nation
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
@@ -1583,7 +1584,11 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
     )
     r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal accumulation (exact + associative) so partial-sum order can't
+    # wobble the last ulp; the share divides as double only after both sums
+    # are exact — see q9
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -1600,8 +1605,10 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(F.lit(0.0)))
-                / F.sum("volume")
+                F.sum(
+                    F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
             ).alias("mkt_share")
         )
     )
@@ -1663,7 +1670,8 @@ def q9_product_type_revenue(spark: SparkSession, sf: str) -> DataFrame:
     SELECT c_custkey, c_name, revenue, c_acctbal, n_name
     FROM (
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -1695,7 +1703,11 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -1709,12 +1721,15 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     SELECT s_suppkey, value
     FROM (
         SELECT s_suppkey,
-               sum(l_extendedprice * (1 - l_discount)) AS value
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                   AS value
         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
         GROUP BY s_suppkey
     ) per_supp
     WHERE value > (
-        SELECT sum(l_extendedprice * (1 - l_discount)) * 0.005 FROM lineitem
+        SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               * CAST(0.005 AS DECIMAL(4,3))
+        FROM lineitem
     )
     """,
 )
@@ -1726,14 +1741,22 @@ def q11_supplier_concentration(spark: SparkSession, sf: str) -> DataFrame:
     work Catalyst can reuse, and no second shuffle is keyed."""
     l = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    # decimal accumulation keeps both the reported value and the threshold
+    # comparison exact across engines (see q9)
+    rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("rev")
+    )
     per_supp = (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .select(F.col("s_suppkey"), rev)
         .groupBy("s_suppkey")
         .agg(F.sum("rev").alias("value"))
     )
-    total = l.select(rev).agg((F.sum("rev") * F.lit(0.005)).alias("cutoff"))
+    total = l.select(rev).agg(
+        (F.sum("rev") * F.lit("0.005").cast("decimal(4,3)")).alias("cutoff")
+    )
     return (
         per_supp.join(F.broadcast(total))
         .filter(F.col("value") > F.col("cutoff"))
@@ -1871,24 +1894,30 @@ def q21_sole_returned_supplier(spark: SparkSession, sf: str) -> DataFrame:
     'returned'): for multi-supplier orders where exactly ONE supplier had
     returns, count such orders per offending supplier. The correlated
     EXISTS/NOT-EXISTS pair decorrelates into two grouped passes over
-    lineitem that share the l_orderkey shuffle; the per-order verdict
-    (solo) is keys-only before rejoining."""
+    lineitem; the per-order verdict (solo) reduces to orderkeys only before
+    rejoining, so the verdict side broadcasts at any scale where orders with
+    2+ suppliers-and-returns are rare relative to lineitem."""
     l = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     is_ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    ret = (
-        l.groupBy("l_suppkey", "l_orderkey")
+    # one reduction to per-(order, supplier) grain; BOTH downstream branches
+    # consume this same subtree, so Catalyst's ReuseExchange rule scans and
+    # shuffles lineitem once — the second grouping runs over the already
+    # order-of-magnitude-smaller reduced grain. The explicit null filter
+    # makes the two branches' pushed scan filters identical (the joins imply
+    # different isnotnull sets otherwise, which defeats exchange reuse);
+    # null keys can't reach the result anyway (inner + semi join).
+    per_os = (
+        l.filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(is_ret).alias("n_ret"))
-        .filter(F.col("n_ret") > 0)
-        .select("l_suppkey", "l_orderkey")
     )
+    ret = per_os.filter(F.col("n_ret") > 0).select("l_suppkey", "l_orderkey")
     solo = (
-        l.groupBy("l_orderkey")
+        per_os.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).alias("n_ret_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.when(F.col("n_ret") > 0, 1).otherwise(0)).alias("n_ret_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
         .select(F.col("l_orderkey").alias("solo_ok"))

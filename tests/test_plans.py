@@ -190,6 +190,34 @@ def test_range_join_keys_include_time_bucket(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q8_all_dimensions_broadcast(spark):
+    """Seven-table market-share join: every dimension must broadcast — a
+    SortMergeJoin against part/nation/region/supplier would shuffle the
+    fact table once per dimension at 100 TB."""
+    p = physical_plan(spark, "q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q10_grouped_topk_no_global_sort(spark):
+    p = physical_plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q21_reuses_lineitem_shuffle(spark):
+    """Both grouped passes of q21 must consume ONE lineitem scan+shuffle:
+    AQE's runtime exchange reuse only canonicalizes the subtrees as equal
+    because the explicit null filter makes both branches' pushed scan
+    filters identical. Checked on the adaptive FINAL plan (the static plan
+    shows two exchanges; reuse fires at stage materialization)."""
+    df = QUERIES["q21_sole_returned_supplier"](spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p
+
+
 def test_q2_decorrelated_min_is_broadcast_partial_agg(spark):
     """The correlated scalar-min subquery is decorrelated into a grouped
     min broadcast back onto the scan: partial+final HashAggregate around
