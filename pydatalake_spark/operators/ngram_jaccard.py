@@ -1,0 +1,98 @@
+"""Exact n-gram Jaccard near-duplicate pairs via an inverted shingle index.
+
+Complements the MinHash-LSH path (operators/minhash.py): LSH is the
+probabilistic/recall-tunable variant; this is the EXACT one — every pair
+with Jaccard >= threshold is found (within the optional ``max_df`` prune).
+The standard scalable shape (set-similarity joins a la Vernica/Carey/Li,
+SIGMOD'10) expressed as two Catalyst shuffles, no Python in the hot path:
+
+1. shingle each document into token n-grams, distinct per doc;
+2. build the inverted index ``(shingle, doc_id)`` with one explode;
+3. OPTIONAL document-frequency prune: drop shingles occurring in more than
+   ``max_df`` documents. A shingle shared by k docs contributes k(k-1)/2
+   join rows, so one boilerplate trigram in 10^5 docs adds 5·10^9 pairs —
+   DF-pruning is the standard production guard (it only loses pairs whose
+   ENTIRE overlap is ultra-common boilerplate, which exact-hash dedup
+   handles better anyway);
+4. self-equi-join the index on shingle (ONE shuffle keyed by shingle) and
+   count co-occurrences per (id_a, id_b) — the pair's intersection size —
+   with map-side partial aggregation compressing the pair stream;
+5. join back per-doc set sizes (narrow, ids+ints only) and keep pairs with
+   ``inter / (|A| + |B| - inter) >= threshold``.
+
+Scale: intersection counting moves only (shingle, id) pairs — never the
+shingle arrays — and the pair aggregation is algebraic (partial agg
+map-side). Skew lives in hot shingles, bounded by ``max_df``; AQE splits
+whatever survives. Reference parity: the reference engine has no near-dup
+operator at all (SURVEY.md §2 gap list) — this is beyond-reference
+capability for the 100 TB training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pydatalake_spark.functions.text import shingles, tokenize
+from pydatalake_spark.operators.scaling import fan_out
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, sset) — distinct token-n-gram set per document."""
+    df = fan_out(df)
+    sh = shingles(tokenize(text_col), k=shingle_size)
+    return df.select(F.col(id_col), F.array_distinct(sh).alias("sset"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with exact n-gram Jaccard >= ``threshold``.
+
+    ``max_df`` drops shingles present in more than that many documents
+    before the self-join (see module docstring for why that is the 100 TB
+    survival knob). With ``max_df=None`` recall is exactly 1.
+    """
+    sets = shingle_sets(df, id_col, text_col, shingle_size).cache()
+    sizes = sets.select(F.col(id_col), F.size("sset").alias("n"))
+    inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -399,6 +399,36 @@ def near_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "ngram_jaccard_pairs",
+    _shingle_cte()
+    + """, sets AS (
+        SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+    ), inv AS (
+        SELECT doc_id, unnest(sset) AS shingle FROM sets
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (len(sa.sset) + len(sb.sset) - inter) AS jaccard
+    FROM pairs
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (len(sa.sset) + len(sb.sset) - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup (inverted-index set-similarity join,
+    operators/ngram_jaccard.py) — the recall-1 counterpart to the LSH path;
+    same threshold as `near_dup_pairs` so the two are directly comparable."""
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, shingle_size=_MH_K, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints (operators/simhash.py)
 # ---------------------------------------------------------------------------

@@ -493,3 +493,54 @@ def test_split_by_hash_stable_and_disjoint(spark):
     all_ids = set().union(*ids1.values())
     assert sum(len(v) for v in ids1.values()) == len(all_ids) == docs.count()
     assert 0.6 < len(ids1["train"]) / len(all_ids) < 0.95
+
+
+def test_ngram_jaccard_exact_superset_of_lsh(spark):
+    """Exact inverted-index Jaccard finds every pair the LSH+verify path
+    finds (recall 1 at the same threshold), with identical jaccard values;
+    a known similar pair and a known dissimilar pair behave as expected."""
+    import pandas as pd
+
+    from pydatalake_spark.operators.minhash import near_dup_pairs
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog tonight",
+                "completely unrelated content about spark shuffles and joins",
+                "another wholly different document concerning parquet files",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs(df, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in exact and exact[(1, 2)] >= 0.5
+    assert (3, 4) not in exact
+    assert set(lsh) <= set(exact)  # exact is recall-1; LSH may only miss
+    for pair in lsh:
+        assert abs(lsh[pair] - exact[pair]) < 1e-12
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    """A boilerplate shingle shared by every doc explodes the index join;
+    max_df drops it, and pairs whose ONLY overlap was boilerplate vanish."""
+    import pandas as pd
+
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    same = ["common header line one two three unique%d tail" % i for i in range(20)]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(20), "text": same}))
+    uncapped = ngram_jaccard_pairs(df, threshold=0.5).count()
+    assert uncapped == 20 * 19 / 2  # everything pairs via the shared header
+    capped = ngram_jaccard_pairs(df, threshold=0.5, max_df=5).count()
+    assert capped == 0
