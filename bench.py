@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "minhash_signatures",
     "near_dup_pairs",
+    "ngram_jaccard_pairs",
     "pipeline_clean_corpus",
     "simhash_fingerprints",
     "simhash_near_dup",
@@ -91,6 +92,7 @@ PROBE_QUERIES = [
     "q1_pricing_summary",
     "q18_large_volume_customer",
     "near_dup_pairs",
+    "ngram_jaccard_pairs",
     "embedding_near_dup",
 ]
 PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]

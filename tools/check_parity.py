@@ -66,7 +66,7 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 
 def main() -> int:
-    from pydatalake_spark.session import get_spark
+    import os
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import __spark_entry__ as entrymod
@@ -75,7 +75,17 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[2:])
 
-    spark = get_spark("parity")
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION") == "1":
+        # driver-sim: the driver's gate runs on a DEFAULT SparkSession, not
+        # our tuned factory — any conf a query needs must be set inside the
+        # query path itself (see .claude/skills/verify gotchas)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        from pydatalake_spark.session import get_spark
+
+        spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
