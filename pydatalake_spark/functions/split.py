@@ -58,3 +58,44 @@ def split_by_hash(
         out[name] = df.filter((bucket >= lo) & (bucket < hi))
         lo = hi
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+    num_buckets: int = 10_000,
+    salt: str = ":strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — keep a different fraction of
+    rows per ``strata_col`` value (downsample dominant languages/sources,
+    keep rare ones whole: the standard corpus-rebalancing step).
+
+    Membership is ``hash(key || salt) bucket < rate * num_buckets`` per
+    stratum: a pure function of row identity, so samples are stable across
+    runs/partitionings and INCREMENTAL — new rows sample at the same rates
+    without disturbing previous membership, and a rate increase strictly
+    grows the sample (nested samples, same reason reservoir sampling can't
+    give you that). ``salt`` decorrelates this hash from `split_by_hash`'s:
+    without it, sampling then splitting on the same key would funnel every
+    sampled row into the low train buckets.
+
+    Rates become a Catalyst CASE chain of literals — no join, no Python,
+    fully pushed into the scan stage.
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} is {r}, not in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate {default_rate} not in [0, 1]")
+    bucket = hash_bucket(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt)), num_buckets
+    )
+    threshold: Column = F.lit(int(round(default_rate * num_buckets)))
+    for k, r in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == k, F.lit(int(round(r * num_buckets)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

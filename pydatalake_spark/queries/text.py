@@ -572,6 +572,32 @@ def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "stratified_sample_docs",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT)
+                 % 10000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 2500 ELSE 6000 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language rebalancing sample (downsample dominant
+    'en' to 25%, keep the rest at 60% — functions/split.py:
+    stratified_sample). Full membership is oracle-checked, not just
+    counts: the hash is engine-portable by construction."""
+    from pydatalake_spark.functions.split import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.25}, default_rate=0.6
+    ).select("doc_id", "lang")
+
+
 def _pipeline_sql() -> str:
     """Composed corpus-cleaning pipeline oracle: quality filter -> exact
     dedup -> minhash near-dup removal -> deterministic split. Fragments

@@ -544,3 +544,32 @@ def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
     assert uncapped == 20 * 19 / 2  # everything pairs via the shared header
     capped = ngram_jaccard_pairs(df, threshold=0.5, max_df=5).count()
     assert capped == 0
+
+
+def test_stratified_sample_stable_nested_and_rated(spark):
+    """Membership is partitioning-independent; raising a rate strictly
+    grows the sample (nested property); per-stratum rates land near
+    target; out-of-range rates raise."""
+    import pytest
+
+    from pydatalake_spark.functions.split import stratified_sample
+    from pydatalake_spark.queries.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    s1 = stratified_sample(docs, "doc_id", "lang", {"en": 0.25}, default_rate=0.6)
+    s2 = stratified_sample(
+        docs.repartition(7), "doc_id", "lang", {"en": 0.25}, default_rate=0.6
+    )
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2
+
+    bigger = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default_rate=0.6)
+    assert ids1 <= {r.doc_id for r in bigger.select("doc_id").collect()}
+
+    n_en_total = docs.filter("lang = 'en'").count()
+    n_en_kept = s1.filter("lang = 'en'").count()
+    assert 0.1 < n_en_kept / n_en_total < 0.4  # ~0.25 with 200-doc noise
+
+    with pytest.raises(ValueError, match="not in"):
+        stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
