@@ -80,10 +80,13 @@ def test_near_dup_joins_are_equi_joins(spark):
 
     docs = load_table(spark, SF, "documents")
     emb = load_table(spark, SF, "embeddings")
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
     for df in (
         simhash_near_dup(docs),
         embedding_near_dup(emb),
         near_dup_pairs(docs),
+        ngram_jaccard_pairs(docs),
     ):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
