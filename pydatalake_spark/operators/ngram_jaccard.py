@@ -61,10 +61,16 @@ def ngram_jaccard_pairs(
 
     ``max_df`` drops shingles present in more than that many documents
     before the self-join (see module docstring for why that is the 100 TB
-    survival knob). With ``max_df=None`` recall is exactly 1.
+    survival knob). With ``max_df=None`` recall is exactly 1. When pruning
+    is on, set sizes are recomputed ON THE PRUNED SHINGLE SPACE, so the
+    result is the exact Jaccard over informative (non-boilerplate)
+    shingles — not a downward-biased estimate of the full-set Jaccard.
+    The 10× scaling probe (bench.py) measured exponent 2.1 for the
+    uncapped join on a corpus with hot shingles vs ~linear with the cap —
+    this knob is the difference between an operator that survives 100 TB
+    and one that doesn't.
     """
-    sets = shingle_sets(df, id_col, text_col, shingle_size).cache()
-    sizes = sets.select(F.col(id_col), F.size("sset").alias("n"))
+    sets = shingle_sets(df, id_col, text_col, shingle_size)
     inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
     if max_df is not None:
         hot = (
@@ -74,6 +80,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
+        inv = inv.cache()
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    else:
+        sets = sets.cache()
+        inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
+        sizes = sets.select(F.col(id_col), F.size("sset").alias("n"))
     a = inv.select(F.col(id_col).alias("id_a"), "shingle")
     b = inv.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

@@ -399,34 +399,61 @@ def near_dup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "ngram_jaccard_pairs",
-    _shingle_cte()
-    + """, sets AS (
+def _ngram_pruned_cte() -> str:
+    """Shared oracle CTEs: DF-pruned inverted index + sizes on the pruned
+    shingle space (cap = greatest(20, 1% of corpus), mirroring
+    `_ngram_max_df`)."""
+    return (
+        _shingle_cte()
+        + """, sets AS (
         SELECT doc_id, list_distinct(shingles) AS sset FROM sh
-    ), inv AS (
+    ), inv0 AS (
         SELECT doc_id, unnest(sset) AS shingle FROM sets
-    ), pairs AS (
+    ), keep AS (
+        SELECT shingle FROM inv0 GROUP BY shingle
+        HAVING count(*) <= greatest(20, 0.01 * (SELECT count(*) FROM documents))
+    ), inv AS (
+        SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id
+    ), co AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    )"""
     )
+
+
+def _ngram_max_df(d: DataFrame) -> int:
+    """Relative DF cap: 1% of the corpus, floor 20 — scales with corpus
+    size so the prune stays a boilerplate filter, not a recall cliff."""
+    return max(20, int(d.count() * 0.01))
+
+
+@q(
+    "ngram_jaccard_pairs",
+    _ngram_pruned_cte()
+    + """
     SELECT id_a, id_b,
-           CAST(inter AS DOUBLE) / (len(sa.sset) + len(sb.sset) - inter) AS jaccard
-    FROM pairs
-    JOIN sets sa ON sa.doc_id = id_a
-    JOIN sets sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (len(sa.sset) + len(sb.sset) - inter) >= 0.5
+           CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+    FROM co
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
     """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT n-gram Jaccard near-dup (inverted-index set-similarity join,
-    operators/ngram_jaccard.py) — the recall-1 counterpart to the LSH path;
-    same threshold as `near_dup_pairs` so the two are directly comparable."""
+    operators/ngram_jaccard.py) over the DF-pruned shingle space — the
+    10× scaling probe showed the uncapped join is quadratic on corpora
+    with hot shingles (exponent 2.1), so the corpus query bakes in the
+    relative cap the operator would always run with at scale."""
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(d, shingle_size=_MH_K, threshold=0.5)
+    return ngram_jaccard_pairs(
+        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -569,6 +596,44 @@ def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    )
+
+
+@q(
+    "near_dup_clusters",
+    _ngram_pruned_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """, edges AS (
+        SELECT id_a, id_b
+        FROM co JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+    ), bidir AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def near_dup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: exact n-gram Jaccard pairs → connected
+    components (iterative min-label propagation, operators/cluster.py) →
+    (doc_id, cluster_id=min member). The oracle computes the same
+    components via a recursive-CTE transitive closure — fine at oracle
+    scale, quadratic at real scale, which is exactly why the engine side
+    is the iterative propagation instead."""
+    from pydatalake_spark.operators.cluster import connected_components
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
     )
 
 

@@ -573,3 +573,29 @@ def test_stratified_sample_stable_nested_and_rated(spark):
 
     with pytest.raises(ValueError, match="not in"):
         stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+
+
+def test_connected_components_chain_and_dedup(spark):
+    """A~B, B~C chains must land in ONE cluster (the under-dedup case that
+    pair-local dropping misses); dedup keeps exactly the min-id member of
+    each component and passes untouched rows through."""
+    import pandas as pd
+
+    from pydatalake_spark.operators.cluster import (
+        connected_components,
+        dedup_by_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 7, 10], "id_b": [2, 3, 8, 1]})
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 7, 8, 10, 99], "x": range(7)})
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_by_clusters(docs, pairs).select("doc_id").collect()
+    )
+    assert kept == [1, 7, 99]
