@@ -16,8 +16,8 @@ that is the single-node engine the reference delegates 100% of execution
 to, so spark_sec/duckdb_sec is the measurable form of the BASELINE "within
 2x of the reference" gate.
 
-Set SPARK_GRAFT_SCALING_PROBE=1 to also run the scaling probe: four probe
-queries are re-run on a REPLICAS x blow-up of the bench tables
+The scaling probe runs by DEFAULT (set SPARK_GRAFT_SCALING_PROBE=0 to
+skip): probe queries are re-run on a REPLICAS x blow-up of the bench tables
 (deterministically decorrelated so dedup/near-dup outputs stay ~linear)
 and the per-query scaling exponent log(t_big/t_small)/log(REPLICAS) is
 reported — an exponent near 1 is linear scaling; near 2 means a quadratic
@@ -38,7 +38,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALING_PROBE = os.environ.get("SPARK_GRAFT_SCALING_PROBE") == "1"
+SCALING_PROBE = os.environ.get("SPARK_GRAFT_SCALING_PROBE", "1") != "0"
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "10"))
 
 # representative slice of SURVEY §2 + north-star ops: scans/aggs, joins,

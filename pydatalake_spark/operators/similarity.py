@@ -509,3 +509,33 @@ def lsh_bucket_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "bucket")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = 127 / max|v|``,
+    ``q_i = floor(v_i * scale + 0.5)`` — a 4× memory cut for the 100 TB
+    embedding store (float32 → int8), with the per-vector scale kept for
+    dequantization / asymmetric scoring. Pure Catalyst array expressions —
+    narrow, codegen'd, no shuffle.
+
+    Rounding is an explicit ``floor(x + 0.5)`` instead of ``round()``
+    because round-half semantics differ across engines (Spark HALF_UP vs
+    others' half-even) — floor(+0.5) is bit-identical everywhere, which is
+    what makes the DuckDB oracle exact. Zero vectors get scale NULL and
+    all-zero codes (guarded division).
+    """
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs)
+    q = F.transform(
+        v,
+        lambda x: F.floor(x * F.coalesce(scale, F.lit(0.0)) + F.lit(0.5)).cast(
+            "tinyint"
+        ),
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)

@@ -1032,6 +1032,72 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, t1, t2, t3,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS depth
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the first view,
+    the first click strictly after it, the first purchase strictly after
+    that, and the depth reached. Three grouped passes + two left joins —
+    every shuffle keys on user_id, so AQE/exchange-reuse co-locates the
+    whole chain after the first hash partitioning; no window over the full
+    event stream, no self-join fan-out on hot users (min-aggregates
+    compress each stage to one row per user before the next join)."""
+    e = _t(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3", depth.alias("depth"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # beyond-reference time-series joins
 # ---------------------------------------------------------------------------

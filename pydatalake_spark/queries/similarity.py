@@ -96,6 +96,38 @@ def cosine_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=10)
 
 
+@q(
+    "embedding_quantize",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) AS max_abs
+        FROM v
+    )
+    SELECT vec_id,
+           CASE WHEN max_abs > 0 THEN 127.0 / max_abs END AS scale,
+           list_transform(emb, x -> CAST(floor(
+               x * coalesce(CASE WHEN max_abs > 0 THEN 127.0 / max_abs END, 0.0)
+               + 0.5) AS TINYINT)) AS q
+    FROM m
+    """,
+)
+def embedding_quantize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding store
+    (operators/similarity.py:quantize_embeddings): per-vector scale +
+    int8 codes, floor(x+0.5) rounding so the oracle is bit-exact. The 4×
+    storage cut is the standard first move for a 100 TB vector corpus."""
+    from pydatalake_spark.operators.similarity import quantize_embeddings
+
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", to_double_array("embedding")
+    )
+    return quantize_embeddings(e).select("vec_id", "scale", "q")
+
+
 def _bucket_sql(vec: str) -> str:
     bits = []
     for p in range(_PLANES):

@@ -600,6 +600,55 @@ def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "tfidf_keywords",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfq AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT doc_id, token,
+               tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS score
+        FROM tf JOIN dfq USING (token)
+    ), ranked AS (
+        SELECT doc_id, token, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token ASC) AS BIGINT)
+                 AS kw_rank
+        FROM scored
+    )
+    SELECT doc_id, token, score, kw_rank FROM ranked WHERE kw_rank <= 3
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. Corpus-level op: term
+    frequency (one grouped pass), document frequency over the tf table
+    (second pass, vocabulary-sized), idf join keyed on token, then a
+    per-doc row_number window with a deterministic (score DESC, token)
+    tiebreak. At scale the df table is vocabulary-sized (Zipf: far
+    smaller than the corpus) and the token join is the only wide
+    shuffle; n_docs is a driver scalar, not a crossed subplan."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    n_docs = float(d.count())
+    tok = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "score", F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= 3)
+        .select("doc_id", "token", "score", "kw_rank")
+    )
+
+
+@q(
     "near_dup_clusters",
     _ngram_pruned_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)
     + """, edges AS (

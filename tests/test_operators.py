@@ -599,3 +599,46 @@ def test_connected_components_chain_and_dedup(spark):
         r.doc_id for r in dedup_by_clusters(docs, pairs).select("doc_id").collect()
     )
     assert kept == [1, 7, 99]
+
+
+def test_quantized_cosine_preserves_neighbors(spark):
+    """int8 codes must preserve neighborhood structure: for a sample of
+    query vectors, exact-cosine top-10 over the dequantized corpus shares
+    >= 7/10 with the float top-10; zero vectors quantize to NULL scale and
+    all-zero codes."""
+    import pandas as pd
+
+    from pydatalake_spark.operators.similarity import quantize_embeddings
+    from pydatalake_spark.queries.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qz = quantize_embeddings(emb)
+    deq = qz.withColumn(
+        "deq",
+        F.when(
+            F.col("scale").isNotNull(),
+            F.transform("q", lambda x: x.cast("double") / F.col("scale")),
+        ).otherwise(F.transform("q", lambda x: x.cast("double"))),
+    )
+    rows = deq.select("vec_id", "embedding", "deq").limit(200).collect()
+    import numpy as np
+
+    ids = [r.vec_id for r in rows]
+    orig = np.array([r.embedding for r in rows], dtype=np.float64)
+    deqm = np.array([r.deq for r in rows], dtype=np.float64)
+
+    def topk(mat, qv, k=10):
+        sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv) + 1e-12)
+        return set(np.argsort(-sims)[:k])
+
+    overlaps = [
+        len(topk(orig, orig[i]) & topk(deqm, deqm[i])) for i in range(0, 50, 5)
+    ]
+    assert min(overlaps) >= 7, overlaps
+
+    zero = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[0.0, 0.0, 0.0]]})
+    )
+    zr = quantize_embeddings(zero).collect()[0]
+    assert zr.scale is None and list(zr.q) == [0, 0, 0]
