@@ -687,6 +687,81 @@ def near_dup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "split_contamination",
+    _ngram_pruned_cte()
+    + """, pairs AS (
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+        FROM co
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+    ), b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 100 AS bucket
+        FROM documents
+    ), sp AS (
+        SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+                            WHEN bucket < 90 THEN 'val'
+                            ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT CASE WHEN sa.split = 'train' THEN id_b ELSE id_a END AS eval_id,
+           CASE WHEN sa.split = 'train' THEN id_a ELSE id_b END AS train_id,
+           CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS eval_split,
+           jaccard
+    FROM pairs
+    JOIN sp sa ON sa.doc_id = id_a
+    JOIN sp sb ON sb.doc_id = id_b
+    WHERE (sa.split = 'train') != (sb.split = 'train')
+    """,
+)
+def split_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination: near-dup pairs that CROSS the train/eval
+    split — each row is an eval document whose near-duplicate sits in
+    train (hash-split assignment exactly as `train_test_split`; pairs
+    exactly as `ngram_jaccard_pairs`). At scale this is the same
+    inverted-index join plus one broadcast-sized split-label join — the
+    decontamination pass costs no more than the dedup pass it rides on."""
+    from pydatalake_spark.functions.split import hash_bucket
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
+    )
+    bucket = hash_bucket("doc_id", 100)
+    sp = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")),
+            "id_b",
+        )
+        .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
+    )
+    train_on_a = F.col("split_a") == "train"
+    return j.select(
+        F.when(train_on_a, F.col("id_b")).otherwise(F.col("id_a")).alias("eval_id"),
+        F.when(train_on_a, F.col("id_a")).otherwise(F.col("id_b")).alias("train_id"),
+        F.when(train_on_a, F.col("split_b")).otherwise(F.col("split_a")).alias(
+            "eval_split"
+        ),
+        "jaccard",
+    )
+
+
+@q(
     "stratified_sample_docs",
     """
     WITH b AS (
