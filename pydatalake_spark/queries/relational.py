@@ -1033,6 +1033,54 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "cohort_retention",
+    """
+    WITH s AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), a AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+        FROM events
+    )
+    SELECT s.cohort_week,
+           CAST(floor(date_diff('day', s.cohort_week, a.activity_week) / 7.0)
+                AS BIGINT) AS weeks_since,
+           count(DISTINCT s.user_id) AS n_users
+    FROM a JOIN s ON a.user_id = s.user_id
+    WHERE a.activity_week >= s.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by signup week, counted as
+    retained in each subsequent activity week. Every shuffle (signup agg,
+    activity distinct, cohort join) keys on user_id before the final tiny
+    (cohort, week) aggregation — the matrix itself is weeks², never
+    user-sized."""
+    e = _t(spark, sf, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    a = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        a.join(s, "user_id")
+        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        .withColumn(
+            "weeks_since",
+            F.floor(
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7.0
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@q(
     "funnel_view_click_purchase",
     """
     WITH v AS (
