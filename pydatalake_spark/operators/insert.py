@@ -43,3 +43,32 @@ def insert_into_table(
     temp view (≙ the reference's DuckDB table INSERT, reader.py:317)."""
     target = spark.table(table_name)
     insert_only_new(target, source).createOrReplaceTempView(table_name)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: str | Sequence[str],
+) -> DataFrame:
+    """MERGE semantics (upsert): source rows REPLACE key-matched target
+    rows, unmatched source rows are inserted — ``WHEN MATCHED THEN UPDATE
+    (full row) WHEN NOT MATCHED THEN INSERT``. The lakehouse staple the
+    reference's insert-only-new delta mode (reader.py:317) stops short of.
+
+    Engine shape: ONE left_anti join of target against the distinct source
+    keys (survivors = untouched target rows), then union the source —
+    never a row-at-a-time path, never a driver loop. At 100 TB both sides
+    shuffle once on the merge keys; with a bucketed target the anti-join
+    reuses the on-disk partitioning (see dataset/bucketing.py). Multiple
+    source rows per key are resolved BEFORE the union with deterministic
+    keep-first on the keys (same discipline as insert_only_new) so the
+    merged table can't hold duplicate keys.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    from pydatalake_spark.operators.dedup import distinct_table
+
+    src = distinct_table(source, subset=key_list, keep="first")
+    unchanged = target.join(
+        src.select(*key_list).distinct(), on=key_list, how="left_anti"
+    )
+    return unchanged.unionByName(src.select(*target.columns))

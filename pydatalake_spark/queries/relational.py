@@ -535,6 +535,46 @@ def delta_append_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "merge_upsert_orders",
+    """
+    WITH src AS (
+        SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice)
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT * REPLACE (o_orderkey + 1000000000000 AS o_orderkey)
+        FROM orders WHERE o_orderkey % 101 = 0
+    ), merged AS (
+        SELECT * FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT * FROM src
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM merged
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE/upsert (operators/insert.py:merge_upsert): a corrections
+    batch (repriced rows sharing keys + genuinely new keys) replaces
+    matched orders and appends the rest — one anti-join on the merge key
+    plus a union, the scalable MERGE shape. The source here is derived
+    deterministically from orders itself so the oracle sees identical
+    inputs."""
+    from pydatalake_spark.operators.insert import merge_upsert
+
+    o = _t(spark, sf, "orders")
+    upd = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    new = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000_000)
+    )
+    merged = merge_upsert(o, upd.unionByName(new), "o_orderkey")
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+@q(
     "semi_join",
     """
     SELECT * FROM orders o

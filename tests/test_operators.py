@@ -642,3 +642,20 @@ def test_quantized_cosine_preserves_neighbors(spark):
     )
     zr = quantize_embeddings(zero).collect()[0]
     assert zr.scale is None and list(zr.q) == [0, 0, 0]
+
+
+def test_merge_upsert_semantics(spark):
+    """Matched keys take the source row, unmatched target rows survive,
+    new source keys insert, duplicate source keys resolve to one row."""
+    import pandas as pd
+
+    from pydatalake_spark.operators.insert import merge_upsert
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    )
+    source = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 4, 4], "v": ["B", "D1", "D2"]})
+    )
+    out = {r.k: r.v for r in merge_upsert(target, source, "k").collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D1"}
