@@ -102,3 +102,94 @@ def dedup_by_clusters(
         F.col("node").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set canonicalized to (hi, lo), self-loops dropped."""
+    hi = F.greatest(F.col("src"), F.col("dst"))
+    lo = F.least(F.col("src"), F.col("dst"))
+    return (
+        e.select(hi.alias("src"), lo.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return _canon_edges(
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (hi, lo); for each hi: connect every smaller-or-equal
+    neighbor AND hi itself to min(N⁻(hi) ∪ {hi})."""
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = e.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_link = e.join(mins, "src").select("src", F.col("m").alias("dst"))
+    return _canon_edges(relink.union(self_link))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(node, cluster_id) via alternating large-star / small-star rounds
+    (Kiveris et al., SoCC'14) — O(log n) rounds on ANY graph shape, so
+    this is the variant for edge sets whose diameter is not known to be
+    small (the plain `connected_components` is O(diameter), cheaper per
+    round, and the right default for near-dup clique-soups).
+
+    Convergence: the canonical edge set is a fixpoint of both stars —
+    checked with a count + per-edge hash-sum aggregate (one scalar per
+    round, no edge-set comparison join).
+    """
+    edges = _canon_edges(
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        # bit_xor, not sum: order-insensitive AND overflow-free under ANSI
+        # (edge sets are distinct, so xor can't self-cancel duplicates)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row.n, row.h
+
+    fp = fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_fp = fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
+
+    # converged: every edge is (member, component-min); roots label themselves
+    labels = edges.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+    roots = nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("cluster_id", F.col("node"))
+    return labels.unionByName(roots)

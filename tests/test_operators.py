@@ -659,3 +659,53 @@ def test_merge_upsert_semantics(spark):
     )
     out = {r.k: r.v for r in merge_upsert(target, source, "k").collect()}
     assert out == {1: "a", 2: "B", 3: "c", 4: "D1"}
+
+
+def test_star_cc_matches_union_find(spark):
+    """large-star/small-star components equal a union-find reference on a
+    seeded random graph AND on a long path graph with shuffled ids (the
+    adversarial-diameter case the O(log n) variant exists for); labels
+    also agree with the min-propagation implementation."""
+    import random
+
+    import pandas as pd
+
+    from pydatalake_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(1000, 1200))
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(120)]
+    perm = nodes[:]
+    rng.shuffle(perm)
+    path = list(zip(perm[:80], perm[1:81]))  # 80-edge path: diameter 80
+
+    for edge_set in (edges, path, edges + path):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_set:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(
+            pd.DataFrame(edge_set, columns=["id_a", "id_b"])
+        )
+        got_star = {
+            r.node: r.cluster_id for r in connected_components_star(df).collect()
+        }
+        assert got_star == expect
+        got_prop = {
+            r.node: r.cluster_id for r in connected_components(df, max_iter=100).collect()
+        }
+        assert got_prop == expect
