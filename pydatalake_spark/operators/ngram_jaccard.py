@@ -108,3 +108,59 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup: pairs between a NEW ``batch`` and the EXISTING
+    ``corpus`` only — the daily-ingest shape. Never compares corpus docs
+    with each other, so the join cost is O(batch-index × matching corpus
+    postings), not O(corpus²): at 100 TB the corpus side is the big one
+    and this asymmetry is the whole point. Same DF prune (computed on the
+    corpus+batch union so a boilerplate shingle is recognized no matter
+    which side it dominates) and same pruned-space Jaccard semantics as
+    `ngram_jaccard_pairs`. Output: (batch_id, corpus_id, jaccard).
+    """
+    inv_c = shingle_sets(corpus, id_col, text_col, shingle_size).select(
+        F.col(id_col), F.explode("sset").alias("shingle")
+    )
+    inv_b = shingle_sets(batch, id_col, text_col, shingle_size).select(
+        F.col(id_col), F.explode("sset").alias("shingle")
+    )
+    if max_df is not None:
+        df_counts = (
+            inv_c.select("shingle")
+            .union(inv_b.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
+        hot = df_counts.filter(F.col("__df") > max_df).select("shingle")
+        inv_c = inv_c.join(F.broadcast(hot), on="shingle", how="left_anti")
+        inv_b = inv_b.join(F.broadcast(hot), on="shingle", how="left_anti")
+    inv_c = inv_c.cache()
+    inv_b = inv_b.cache()
+    n_c = inv_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
+    n_b = inv_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        inv_b.select(F.col(id_col).alias("batch_id"), "shingle")
+        .join(inv_c.select(F.col(id_col).alias("corpus_id"), "shingle"), "shingle")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(n_b.select(F.col(id_col).alias("batch_id"), "n_b"), "batch_id")
+        .join(n_c.select(F.col(id_col).alias("corpus_id"), "n_c"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_b") + F.col("n_c") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )

@@ -687,6 +687,40 @@ def near_dup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "incremental_near_dup",
+    _ngram_pruned_cte()
+    + """
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           CAST(count(*) AS DOUBLE) / (nb.n + nc.n - count(*)) AS jaccard
+    FROM inv b
+    JOIN inv c ON b.shingle = c.shingle
+    JOIN sizes nb ON nb.doc_id = b.doc_id
+    JOIN sizes nc ON nc.doc_id = c.doc_id
+    WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 != 7
+    GROUP BY b.doc_id, c.doc_id, nb.n, nc.n
+    HAVING CAST(count(*) AS DOUBLE) / (nb.n + nc.n - count(*)) >= 0.5
+    """,
+)
+def incremental_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup
+    (operators/ngram_jaccard.py:ngram_jaccard_pairs_against): a simulated
+    daily batch (doc_id % 10 = 7) checked against the existing corpus
+    without any corpus×corpus work — the shape ingest pipelines actually
+    run. DF prune over the combined corpus, same cap as
+    `ngram_jaccard_pairs`."""
+    from pydatalake_spark.operators.ngram_jaccard import (
+        ngram_jaccard_pairs_against,
+    )
+
+    d = _t(spark, sf, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    return ngram_jaccard_pairs_against(
+        corpus, batch, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
+    )
+
+
+@q(
     "split_contamination",
     _ngram_pruned_cte()
     + """, pairs AS (
