@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "time_bucket",
     "asof_join_events",
     "range_join_events",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "merge_upsert_orders",
     "window_time_range_avg",
     "exact_dedup_docs",
     "token_frequencies",
@@ -75,6 +78,9 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "near_dup_pairs",
     "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "incremental_near_dup",
+    "tfidf_keywords",
     "pipeline_clean_corpus",
     "simhash_fingerprints",
     "simhash_near_dup",

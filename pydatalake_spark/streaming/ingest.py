@@ -103,3 +103,70 @@ def stream_time_bucket(
     return spark.sql(
         f"SELECT win.start AS bucket, * EXCEPT (win) FROM {query_name}"
     )
+
+
+def stream_ingest_dedup_corpus(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    max_df: int | None = None,
+) -> None:
+    """Streaming ingest with near-dup rejection against the LIVE corpus:
+    each micro-batch runs the incremental batch-vs-corpus Jaccard join
+    (`operators/ngram_jaccard.py:ngram_jaccard_pairs_against`) and only
+    documents with no near-duplicate already in the corpus are appended —
+    the continuously-deduplicating ingest loop of a training-data lake.
+
+    ``foreachBatch`` because the dedup join needs the CURRENT corpus as a
+    batch side (a stream-static join cannot re-read the sink it is
+    appending to within the same query). The micro-batch id is checkpointed
+    (replayed batches re-run the same dedup → same survivors), but the
+    parquet append itself is at-least-once on crash-retry — pair with the
+    batch writer's delta mode or exact-dedup compaction if the sink must
+    be exactly-once. Batch-internal near-dups are NOT collapsed here (two
+    novel near-dup docs in one batch both land); run `dedup_by_clusters`
+    in compaction for that — keeping the streaming path to one
+    corpus-sized join per batch is the scale decision.
+    """
+    from pydatalake_spark.operators.ngram_jaccard import (
+        ngram_jaccard_pairs_against,
+    )
+
+    checkpoint_dir = checkpoint_dir or os.path.join(corpus_dir, "_checkpoint")
+
+    def ingest_batch(batch: DataFrame, _batch_id: int) -> None:
+        corpus = spark.read.schema(schema).parquet(corpus_dir)
+        dup_ids = (
+            ngram_jaccard_pairs_against(
+                corpus,
+                batch,
+                id_col=id_col,
+                text_col=text_col,
+                shingle_size=shingle_size,
+                threshold=threshold,
+                max_df=max_df,
+            )
+            .select(F.col("batch_id").alias(id_col))
+            .distinct()
+        )
+        batch.join(dup_ids, id_col, "left_anti").write.mode("append").parquet(
+            corpus_dir
+        )
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .load(source_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -158,3 +158,50 @@ def test_stream_sliding_window(spark, events, tmpdir_path):
     }
     assert got == want
     assert sum(got.values()) == 2 * 300  # every event in exactly 2 windows
+
+
+def test_stream_ingest_rejects_corpus_near_dups(spark, tmpdir_path):
+    """Micro-batches are near-dup-checked against the live corpus: a doc
+    nearly identical to an existing corpus doc is rejected, novel docs
+    land; a second batch is checked against the GROWN corpus."""
+    import pandas as pd
+
+    from pydatalake_spark.streaming.ingest import stream_ingest_dedup_corpus
+
+    corpus_dir = os.path.join(tmpdir_path, "corpus")
+    src_dir = os.path.join(tmpdir_path, "incoming")
+
+    base = "the quick brown fox jumps over the lazy dog in the morning"
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [base]})
+    ).write.parquet(corpus_dir)
+    schema = spark.read.parquet(corpus_dir).schema
+
+    batch1 = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": [
+                base.replace("morning", "evening"),  # near-dup of doc 1
+                "completely novel content about catalyst plans and shuffles",
+            ],
+        }
+    )
+    spark.createDataFrame(batch1).write.mode("append").parquet(src_dir)
+    stream_ingest_dedup_corpus(spark, src_dir, corpus_dir, schema)
+    ids = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert ids == {1, 11}
+
+    # batch 2: near-dup of the doc ingested in batch 1 -> rejected too
+    batch2 = pd.DataFrame(
+        {
+            "doc_id": [20, 21],
+            "text": [
+                "completely novel content about catalyst plans and joins",
+                "another fresh document mentioning parquet footers only",
+            ],
+        }
+    )
+    spark.createDataFrame(batch2).write.mode("append").parquet(src_dir)
+    stream_ingest_dedup_corpus(spark, src_dir, corpus_dir, schema)
+    ids = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert ids == {1, 11, 21}
