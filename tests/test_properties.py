@@ -117,3 +117,48 @@ def test_asof_matches_merge_asof(spark, lts, rts, direction):
         (r.k, r.t): (None if pd.isna(r.px) else r.px) for r in want_pdf.itertuples()
     }
     assert got == want
+
+
+words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(words, min_size=2, max_size=8))
+def test_ngram_jaccard_matches_set_model(spark, texts):
+    """Exact Jaccard pairs equal a plain-Python shingle-set model on random
+    tiny corpora — short docs (< k tokens), identical docs, and all-same
+    corpora fall out of the generator."""
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    k = 3
+    docs = {i: " ".join(t) for i, t in enumerate(texts)}
+
+    def shingle(tokens):
+        if len(tokens) >= k:
+            return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+        return {" ".join(tokens)}
+
+    sets = {i: shingle(t) for i, t in enumerate(texts)}
+    expect = {}
+    ids = sorted(sets)
+    for a in ids:
+        for b in ids:
+            if a < b and sets[a] & sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    expect[(a, b)] = j
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert set(got) == set(expect)
+    for pair, j in expect.items():
+        assert abs(got[pair] - j) < 1e-12
