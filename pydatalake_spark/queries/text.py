@@ -90,10 +90,10 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     SELECT doc_id,
            len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / len(toks) AS stopword_ratio,
            (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-               / length(text)                                          AS punct_ratio,
+               / nullif(length(text), 0)                               AS punct_ratio,
            len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / len(toks) * 0.3
              + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                     / length(text)) * 0.2
+                     / nullif(length(text), 0)) * 0.2
              + least(len(toks) / 100, 1.0) * 0.5                       AS quality_score
     FROM tok
     """,
@@ -108,7 +108,7 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     punct_ratio = (
         F.length("text")
         - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
-    ) / F.length("text")
+    ) / F.nullif(F.length("text"), F.lit(0))
     quality = (
         stop_ratio * 0.3
         + (F.lit(1) - punct_ratio) * 0.2
@@ -827,7 +827,7 @@ def _pipeline_sql() -> str:
     share the _MH constants with the standalone near-dup oracle."""
     quality = f"""len(list_filter(toks0, t -> t IN ({_STOP_SQL}))) / len(toks0) * 0.3
              + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-                     / length(text)) * 0.2
+                     / nullif(length(text), 0)) * 0.2
              + least(len(toks0) / 100, 1.0) * 0.5"""
     mh_cols = ", ".join(
         f"list_min(list_transform(h, x -> substr(x, {3 * j + 1}, 8))) AS mh_{j}"
@@ -906,7 +906,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     punct_ratio = (
         F.length("text")
         - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
-    ) / F.length("text")
+    ) / F.nullif(F.length("text"), F.lit(0))
     quality = (
         stop_ratio * 0.3
         + (F.lit(1) - punct_ratio) * 0.2

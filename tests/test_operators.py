@@ -709,3 +709,23 @@ def test_star_cc_matches_union_find(spark):
             r.node: r.cluster_id for r in connected_components(df, max_iter=100).collect()
         }
         assert got_prop == expect
+
+
+def test_quality_score_empty_doc_yields_null_not_error(spark):
+    """ANSI mode turns 0/0 into a job-killing error; empty documents must
+    instead yield NULL ratios (and get filtered by quality thresholds)."""
+    import pandas as pd
+
+    import pydatalake_spark.queries.text as tx
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["", "hello world ok"]})
+    )
+    orig = tx._t
+    tx._t = lambda spark, sf, name: df
+    try:
+        rows = {r.doc_id: r for r in tx.QUERIES["text_quality_score"](spark, "x").collect()}
+    finally:
+        tx._t = orig
+    assert rows[1].punct_ratio is None and rows[1].quality_score is None
+    assert rows[2].quality_score is not None
