@@ -539,3 +539,20 @@ def quantize_embeddings(
         ),
     )
     return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def save_ivf_centroids(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist a trained coarse quantizer as parquet so the (expensive at
+    corpus scale) k-means training runs once and every subsequent
+    assignment / probe job — batch or streaming — loads the SAME cells;
+    re-training per job would silently re-shuffle cell assignments."""
+    rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Inverse of `save_ivf_centroids`, cell order preserved."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [list(r.centroid) for r in rows]

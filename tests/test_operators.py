@@ -729,3 +729,30 @@ def test_quality_score_empty_doc_yields_null_not_error(spark):
         tx._t = orig
     assert rows[1].punct_ratio is None and rows[1].quality_score is None
     assert rows[2].quality_score is not None
+
+
+def test_ivf_centroid_roundtrip(spark, tmpdir_path):
+    """Saved quantizer loads back bit-identical, and ivf_topk over loaded
+    centroids equals ivf_topk over the originals."""
+    import os
+
+    from pydatalake_spark.operators.similarity import (
+        ivf_topk,
+        load_ivf_centroids,
+        save_ivf_centroids,
+        train_ivf_centroids,
+    )
+    from pydatalake_spark.queries.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = train_ivf_centroids(emb, num_cells=4)
+    path = os.path.join(tmpdir_path, "ivf_centroids")
+    save_ivf_centroids(spark, cents, path)
+    loaded = load_ivf_centroids(spark, path)
+    assert loaded == cents
+
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ivf_topk(emb, q, cents, k=5, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, loaded, k=5, nprobe=2).collect()))
+    assert a == b
