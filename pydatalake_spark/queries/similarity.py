@@ -97,6 +97,42 @@ def cosine_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "embedding_normalize",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, emb,
+               sqrt(list_sum(list_transform(emb, x -> x * x))) AS l2_norm
+        FROM v
+    )
+    SELECT vec_id, l2_norm,
+           list_transform(emb, x -> x / nullif(l2_norm, 0.0)) AS unit
+    FROM n
+    """,
+)
+def embedding_normalize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 normalization of the embedding store — pre-normalized corpora
+    turn every downstream cosine into a plain dot product (one multiply-add
+    chain instead of two extra norms per pair). The norm is bound to a real
+    column BEFORE the per-element division (the HOF re-inline hazard:
+    referencing an O(d) expression inside transform() inlines it per
+    element → O(d²)/row). Zero vectors normalize to NULL components."""
+    e = _t(spark, sf, "embeddings")
+    w = e.select("vec_id", to_double_array("embedding").alias("emb")).withColumn(
+        "l2_norm", l2_norm(F.col("emb"))
+    )
+    return w.select(
+        "vec_id",
+        "l2_norm",
+        F.transform(
+            "emb", lambda x: x / F.nullif(F.col("l2_norm"), F.lit(0.0))
+        ).alias("unit"),
+    )
+
+
+@q(
     "embedding_quantize",
     """
     WITH v AS (
