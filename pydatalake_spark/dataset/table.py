@@ -188,6 +188,52 @@ class DataLakeTable:
             df=fn(self.to_df(), **kwargs) if kwargs else fn(self.to_df()),
         )
 
+    def dedup_near(
+        self,
+        id_col: str,
+        text_col: str = "text",
+        method: str = "minhash",
+        threshold: float = 0.5,
+        **kwargs,
+    ) -> "DataLakeTable":
+        """Near-duplicate removal in the fluent chain: generate candidate
+        pairs (``method`` = ``minhash`` LSH+verify, ``ngram`` exact
+        inverted-index, or ``simhash`` banded-Hamming), resolve connected
+        components, keep each cluster's minimum-id row. Extra kwargs pass
+        to the pair generator (e.g. ``max_df=`` for ngram, ``num_bands=``
+        for minhash/simhash)."""
+        from pydatalake_spark.operators.cluster import dedup_by_clusters
+
+        df = self.to_df()
+        if method == "minhash":
+            from pydatalake_spark.operators.minhash import near_dup_pairs
+
+            pairs = near_dup_pairs(
+                df, id_col=id_col, text_col=text_col,
+                jaccard_threshold=threshold, **kwargs,
+            )
+        elif method == "ngram":
+            from pydatalake_spark.operators.ngram_jaccard import (
+                ngram_jaccard_pairs,
+            )
+
+            pairs = ngram_jaccard_pairs(
+                df, id_col=id_col, text_col=text_col,
+                threshold=threshold, **kwargs,
+            )
+        elif method == "simhash":
+            from pydatalake_spark.operators.simhash import simhash_near_dup
+
+            pairs = simhash_near_dup(
+                df, id_col=id_col, text_col=text_col, **kwargs
+            )
+        else:
+            raise ValueError(f"unknown near-dup method {method!r}")
+        deduped = dedup_by_clusters(df, pairs, id_col=id_col)
+        return DataLakeTable(
+            self.spark, path=self.path, fmt=self.fmt, name=self.name, df=deduped
+        )
+
     # --- write surface ------------------------------------------------------
     def write_dataset(self, path: str, **kwargs) -> "DataLakeTable":
         """Write the configured plan as a dataset (full write-mode surface

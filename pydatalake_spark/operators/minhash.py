@@ -192,3 +192,34 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def choose_lsh_params(
+    threshold: float,
+    num_hashes: int = 128,
+    min_recall: float = 0.9,
+) -> tuple[int, int]:
+    """(num_bands, rows_per_band) for a target Jaccard ``threshold``:
+    the smallest band count (cheapest candidate join) whose S-curve
+    ``1 - (1 - t^r)^b`` still catches a true pair at the threshold with
+    probability ≥ ``min_recall``. More bands → more candidate pairs →
+    more verification work, so minimizing bands IS the scale choice;
+    raise ``num_hashes`` if no divisor configuration reaches the recall.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold {threshold} not in (0, 1)")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        if recall >= min_recall:
+            best = (b, r)
+            break  # bands ascend → first hit is the minimum
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) split of {num_hashes} hashes reaches "
+            f"recall {min_recall} at threshold {threshold}; increase num_hashes"
+        )
+    return best

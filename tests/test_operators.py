@@ -756,3 +756,59 @@ def test_ivf_centroid_roundtrip(spark, tmpdir_path):
     a = sorted(map(tuple, ivf_topk(emb, q, cents, k=5, nprobe=2).collect()))
     b = sorted(map(tuple, ivf_topk(emb, q, loaded, k=5, nprobe=2).collect()))
     assert a == b
+
+
+def test_table_dedup_near_fluent(spark):
+    """DataLakeTable.dedup_near removes whole near-dup CLUSTERS (keeping
+    min id) for each method; chained docs collapse to one survivor."""
+    import pandas as pd
+
+    from pydatalake_spark.dataset.table import DataLakeTable
+
+    base = (
+        "the quick brown fox jumps over the lazy dog every single morning "
+        "while the patient grey owl watches from the tall oak tree nearby"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 9],
+            "text": [
+                base,
+                base.replace("morning", "evening"),   # ~ doc 1
+                base.replace("quick", "sleepy"),      # ~ doc 1 (chain via 1)
+                "totally different text about parquet and shuffles here",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    t = DataLakeTable(spark, path=None, name="docs_mem", df=df)
+    # finer banding for the tiny corpus: the default 2-band config is tuned
+    # for high-jaccard dups and (correctly, S-curve) may skip ~0.8 pairs
+    per_method = {"minhash": {"num_bands": 4}, "ngram": {}, "simhash": {}}
+    for method, kw in per_method.items():
+        kept = sorted(
+            r.doc_id
+            for r in t.dedup_near("doc_id", method=method, **kw).to_df().collect()
+        )
+        assert kept == [1, 9], (method, kept)
+
+
+def test_choose_lsh_params_scurve():
+    """Minimum-band config that reaches the recall target; degenerate and
+    unreachable settings raise."""
+    import pytest
+
+    from pydatalake_spark.operators.minhash import choose_lsh_params
+
+    b, r = choose_lsh_params(0.5, num_hashes=128, min_recall=0.9)
+    assert (b, r) == (64, 2) and b * r == 128
+    recall = 1 - (1 - 0.5**r) ** b
+    assert recall >= 0.9
+    # fewer bands (next divisor down) must NOT reach the target
+    assert 1 - (1 - 0.5**4) ** 32 < 0.9
+
+    assert choose_lsh_params(0.8, num_hashes=128) == (16, 8)
+    with pytest.raises(ValueError, match="not in"):
+        choose_lsh_params(1.5)
+    with pytest.raises(ValueError, match="increase num_hashes"):
+        choose_lsh_params(0.05, num_hashes=2, min_recall=0.999)
