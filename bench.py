@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "incremental_near_dup",
     "tfidf_keywords",
     "pipeline_clean_corpus",
+    "pipeline_clean_corpus_v2",
     "simhash_fingerprints",
     "simhash_near_dup",
     "embedding_stats",
