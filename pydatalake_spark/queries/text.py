@@ -600,6 +600,41 @@ def train_test_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "unigram_surprisal",
+    """
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+    ), cf AS (
+        SELECT token, count(*) AS c FROM t GROUP BY 1
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           avg(-ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM cf))) AS avg_surprisal
+    FROM t JOIN cf USING (token)
+    GROUP BY doc_id
+    """,
+)
+def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean unigram surprisal −ln p(token) under the corpus
+    unigram distribution — the LM-free perplexity proxy: gibberish and
+    rare-token-heavy docs score high, boilerplate scores low. One token
+    explode, one vocabulary-sized frequency table joined back on token
+    (the only wide shuffle), corpus total as a driver scalar."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    cf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = float(tok.count())
+    return (
+        tok.join(cf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log(F.col("c") / F.lit(total))).alias("avg_surprisal"),
+        )
+    )
+
+
+@q(
     "tfidf_keywords",
     """
     WITH tok AS (
