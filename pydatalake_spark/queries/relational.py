@@ -1135,6 +1135,36 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "zscore_outliers",
+    """
+    WITH s AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type, value,
+           (value - mu) / sd AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((value - mu) / sd) > 3
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score outliers (|z| > 3) on the events value stream:
+    one grouped pass for the per-type moments (tiny — one row per type,
+    broadcast back), then a narrow scoring filter. The standard cheap
+    anomaly screen before heavier models."""
+    e = _t(spark, sf, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+    )
+
+
+@q(
     "cohort_retention",
     """
     WITH s AS (
