@@ -99,3 +99,41 @@ def stratified_sample(
             F.col(strata_col) == k, F.lit(int(round(r * num_buckets)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    token_count_col: str,
+    budgets: Mapping[str, int],
+    num_buckets: int = 10_000,
+    salt: str = ":budget",
+) -> DataFrame:
+    """Deterministic downsample of each stratum to ≈ a TOKEN budget — the
+    unit training mixes are actually specified in (docs are a bad proxy
+    when length varies by language/source).
+
+    Per stratum: rate = min(1, budget / total_tokens(stratum)); membership
+    by salted key hash, so the sample is stable, nested under budget
+    increases, and incremental under appends (rates drift as totals grow —
+    recompute per run; membership churn is bounded by the rate delta).
+    Strata without a budget pass through whole. The totals aggregation is
+    stratum-sized (one row per stratum, collected to the driver — group
+    count, not data), then rates apply as a broadcast CASE chain.
+    """
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(token_count_col).alias("__t"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, float(b) / float(totals[s]))
+        for s, b in budgets.items()
+        if s in totals and totals[s] > 0
+    }
+    return stratified_sample(
+        df, key_col, strata_col, rates,
+        default_rate=1.0, num_buckets=num_buckets, salt=salt,
+    )

@@ -756,6 +756,45 @@ def incremental_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "token_budget_sample",
+    """
+    WITH tokc AS (
+        SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tok
+        FROM documents
+    ), totals AS (
+        SELECT lang, sum(n_tok) AS t FROM tokc GROUP BY 1
+    ), rates AS (
+        SELECT lang,
+               CASE lang
+                    WHEN 'en' THEN least(1.0, 3000.0 / t)
+                    WHEN 'zh' THEN least(1.0, 2000.0 / t)
+                    ELSE 1.0 END AS rate
+        FROM totals
+    )
+    SELECT d.doc_id, d.lang, d.n_tok
+    FROM tokc d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT)
+            % 10000
+          < CAST(floor(r.rate * 10000 + 0.5) AS BIGINT)
+    """,
+)
+def token_budget_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget rebalancing (functions/split.py:sample_to_token_budget):
+    downsample English to ≈3000 tokens and Chinese to ≈2000, keep the rest
+    whole — budgets in TOKENS, the unit training mixes are specified in.
+    Full sampled membership is oracle-checked."""
+    from pydatalake_spark.functions.split import sample_to_token_budget
+
+    d = _t(spark, sf, "documents").withColumn(
+        "n_tok", F.size(tokenize("text")).cast("long")
+    )
+    out = sample_to_token_budget(
+        d, "doc_id", "lang", "n_tok", {"en": 3000, "zh": 2000}
+    )
+    return out.select("doc_id", "lang", "n_tok")
+
+
+@q(
     "split_contamination",
     _ngram_pruned_cte()
     + """, pairs AS (

@@ -812,3 +812,34 @@ def test_choose_lsh_params_scurve():
         choose_lsh_params(1.5)
     with pytest.raises(ValueError, match="increase num_hashes"):
         choose_lsh_params(0.05, num_hashes=2, min_recall=0.999)
+
+
+def test_token_budget_sample_hits_budget(spark):
+    """Sampled strata land near their token budgets; unbudgeted strata
+    pass through whole; membership nests when a budget grows."""
+    from pydatalake_spark.functions.split import sample_to_token_budget
+    from pydatalake_spark.queries.tables import load_table
+    from pydatalake_spark.functions.text import tokenize
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").withColumn(
+        "n_tok", F.size(tokenize("text")).cast("long")
+    )
+    out = sample_to_token_budget(d, "doc_id", "lang", "n_tok", {"en": 3000})
+    got = {
+        r.lang: r.t
+        for r in out.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    full = {
+        r.lang: r.t
+        for r in d.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert got["en"] < full["en"] and 0.4 * 3000 < got["en"] < 2.0 * 3000
+    for lang in full:
+        if lang != "en":
+            assert got[lang] == full[lang]  # untouched strata
+
+    bigger = sample_to_token_budget(d, "doc_id", "lang", "n_tok", {"en": 6000})
+    ids_small = {r.doc_id for r in out.filter("lang='en'").select("doc_id").collect()}
+    ids_big = {r.doc_id for r in bigger.filter("lang='en'").select("doc_id").collect()}
+    assert ids_small <= ids_big
