@@ -1135,6 +1135,54 @@ def sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "session_stats",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        <= 1800000000
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+                AS DOUBLE) AS duration_sec
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session rollup on top of the sessionize windows (30-min gap):
+    events per session and wall duration. The two windows and the final
+    aggregation ALL key on user_id — one hash partitioning serves the
+    whole plan (exchange reuse), the classic sessionize-then-aggregate
+    shape."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap <= 30 * 60 * 1_000_000, 0).otherwise(1)
+    s = e.select("user_id", "ts", new_sess.alias("new_sess"), "event_id").withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
+        ).alias("duration_sec"),
+    )
+
+
+@q(
     "zscore_outliers",
     """
     WITH s AS (
