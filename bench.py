@@ -222,7 +222,11 @@ def main() -> None:
     from pydatalake_spark.queries import QUERIES
     from pydatalake_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # no console progress bar: its \r frames would land in the driver's
+    # 2000-char stdout tail after the JSON line and break the parse
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else 0.0
@@ -250,7 +254,7 @@ def main() -> None:
         for n in oracle_timings
     }
 
-    out = {
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -264,8 +268,44 @@ def main() -> None:
         "ratios": ratios,
     }
     if SCALING_PROBE:
-        out["scaling_probe"] = _scaling_probe(spark, QUERIES)
-    print(json.dumps(out))
+        detail["scaling_probe"] = _scaling_probe(spark, QUERIES)
+
+    # Full numbers go to a side file; stdout gets ONE COMPACT line. The
+    # driver records only the last 2000 chars of stdout and parses the JSON
+    # line out of that tail — round 2's full-detail line was ~4k chars and
+    # came back "parsed: null", losing the whole perf signal for the round.
+    with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=1)
+
+    out = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "oracle_total_sec": oracle_total,
+        "vs_oracle_ratio": detail["vs_oracle_ratio"],
+        # the 5 worst spark/duckdb ratios — the queries the judge should look at
+        "worst_ratios": dict(
+            sorted(
+                ((n, r) for n, r in ratios.items() if r is not None),
+                key=lambda kv: -kv[1],
+            )[:5]
+        ),
+    }
+    if "scaling_probe" in detail:
+        out["probe_exponents"] = {
+            n: q["exponent"]
+            for n, q in detail["scaling_probe"]["queries"].items()
+        }
+    line = json.dumps(out)
+    # hard guard: never exceed the driver's tail window
+    for drop in ("worst_ratios", "probe_exponents", "queries"):
+        if len(line) <= 1900:
+            break
+        out.pop(drop, None)
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

@@ -13,4 +13,70 @@ for _mod in (relational, text, similarity):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
 
+# The driver's correctness gate checks the FIRST 50 registry entries per
+# round (CORRECTNESS_r01/r02 are each exactly the first 50 keys in
+# iteration order). With 100+ queries that cap forces a rotation: this
+# front list pins the queries with no green driver row in ANY prior round
+# (49 as of round 3) plus one previously-green canary, so that the union
+# of per-round gates covers the whole corpus. Relative order within each
+# group is the module definition order.
+_GATE_FRONT = [
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "window_lag_lead",
+    "exact_percentiles",
+    "string_agg_per_group",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_type_revenue",
+    "q10_returned_items",
+    "q11_supplier_concentration",
+    "q12_priority_shipping",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+    "q21_sole_returned_supplier",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "doc_fingerprint",
+    "exact_dedup_docs",
+    "token_frequencies",
+    "bpe_token_stats",
+    "winnow_fingerprints",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "approx_profile",
+    "train_test_split",
+    "unigram_surprisal",
+    "tfidf_keywords",
+    "near_dup_clusters",
+    "incremental_near_dup",
+    "token_budget_sample",
+    "split_contamination",
+    "stratified_sample_docs",
+    "pipeline_clean_corpus",
+    "pipeline_clean_corpus_v2",
+    "multimodal_features",
+    "embedding_stats",
+    "cosine_topk",
+    "embedding_normalize",
+    "embedding_quantize",
+    "ann_lsh_buckets",
+    "ann_bucket_candidates",
+    "ann_multiprobe_candidates",
+    "embedding_near_dup",
+    "ivf_topk",
+    "q1_pricing_summary",  # canary: green in r01+r02, re-pinned each round
+]
+
+_missing = [k for k in _GATE_FRONT if k not in QUERIES]
+assert not _missing, f"_GATE_FRONT names unknown queries: {_missing}"
+_order = _GATE_FRONT + [k for k in QUERIES if k not in _GATE_FRONT]
+QUERIES = {k: QUERIES[k] for k in _order}
+ORACLE = {k: ORACLE[k] for k in _order if k in ORACLE}
+
 __all__ = ["QUERIES", "ORACLE"]

@@ -14,12 +14,16 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright; read it as int64 nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
-    TimestampType — the same truncation DuckDB applies, so oracle
-    comparisons agree. Runtime-settable conf, so this works under any
-    caller-provided session.
+    ``events.ts`` has shipped in two physical spellings across driver
+    rounds: parquet TIMESTAMP(NANOS) (rounds 1-2; Spark's vectorized
+    reader rejects it unless read as int64 via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain microsecond
+    timestamp WITHOUT the UTC-adjusted flag (round 3+; Spark 4 infers
+    TIMESTAMP_NTZ, which ``unix_micros``/window range frames reject).
+    Normalize both to session-TZ TimestampType (UTC pinned below) so every
+    downstream query sees one type and epoch math agrees with DuckDB's
+    ``epoch_us`` on the same naive values. Runtime-settable confs only, so
+    this works under any caller-provided session.
     """
     # pin UTC + ANSI-off per session so results are caller-session-agnostic
     # (the driver's harness builds its own SparkSession)
@@ -28,7 +32,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes)["ts"] == "bigint":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos-as-long: truncate to micros
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # NTZ wall time == UTC instant here
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
