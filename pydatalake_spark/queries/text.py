@@ -1159,3 +1159,214 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         F.md5(payload).alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / repetition screens / Gopher rules / sequence packing
+# ---------------------------------------------------------------------------
+
+# patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB) treat
+# identically: literal classes, +/{n} quantifiers, no backrefs/lookaround
+_EMAIL_RE = "[a-z0-9]+@[a-z]+[.][a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@q(
+    "pii_redact",
+    f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || repeat(' ' || source || doc_id || '@mail.com',
+                              CAST(doc_id % 3 AS INTEGER))
+                    || repeat(' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                              4, '0'),
+                              CAST(doc_id % 2 AS INTEGER)) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM injected
+    """,
+)
+def pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact email/phone
+    spans with codegen'd regex expressions — per-row narrow work, no
+    shuffle, the shape that holds at any corpus size. The fixture corpus
+    carries no organic PII, so a deterministic injection step (emails and
+    phone numbers derived from doc_id) both SEEDS the matches and lets the
+    oracle reproduce them exactly."""
+    d = _t(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.concat(
+                F.lit(" "),
+                F.col("source"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.com"),
+            ),
+            (F.col("doc_id") % 3).cast("int"),
+        ),
+        F.repeat(
+            F.concat(
+                F.lit(" 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+            (F.col("doc_id") % 2).cast("int"),
+        ),
+    )
+    raw = d.select("doc_id", injected.alias("raw"))
+    return raw.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(raw, '{_EMAIL_RE}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(raw, '{_PHONE_RE}', 0)"))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@q(
+    "doc_repetition_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ), per AS (
+        SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)                   AS n_tokens,
+           CAST(count(*) AS BIGINT)                 AS n_unique,
+           1.0 - count(*) / CAST(sum(c) AS DOUBLE)  AS dup_token_frac,
+           max(c) / CAST(sum(c) AS DOUBLE)          AS top_token_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition screen (the Gopher/MassiveText repetition
+    rules): duplicated-token fraction and most-common-token share per doc.
+    Explode -> two keyed aggregations: the shuffle moves (doc_id, token,
+    partial count) with map-side combine — never the token arrays — so the
+    screen stays one narrow pass however wide the corpus."""
+    d = _t(spark, sf, "documents")
+    per = (
+        d.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c").cast("double")).alias(
+            "dup_token_frac"
+        ),
+        (F.max("c") / F.sum("c").cast("double")).alias("top_token_frac"),
+    )
+
+
+@q(
+    "gopher_quality_flags",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+           len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+               / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+           (len(toks) BETWEEN 10 AND 100000)
+               AND len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                   / CAST(len(toks) AS DOUBLE) >= 0.8
+               AND len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                   / CAST(len(toks) AS DOUBLE) >= 0.02 AS passes
+    FROM tok
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule document filter: token-count bounds, alphabetic-token
+    ratio, and minimum stop-word presence as one boolean gate — the
+    standard pre-training heuristics, all per-row array expressions (zero
+    shuffle). Anchored `^[a-z]+$` keeps Spark `rlike` (partial-match) and
+    DuckDB `regexp_matches` (partial-match) in agreement."""
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))) / n.cast(
+        "double"
+    )
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n.cast(
+        "double"
+    )
+    passes = (
+        n.between(10, 100000) & (alpha >= 0.8) & (stop >= 0.02)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        alpha.alias("alpha_ratio"),
+        stop.alias("stop_ratio"),
+        passes.alias("passes"),
+    )
+
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+
+@q(
+    "sequence_pack",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / {_PACK_BUDGET})
+                AS BIGINT) AS pack_id,
+           CAST(sum(n_tokens) OVER w - n_tokens
+                - floor((sum(n_tokens) OVER w - n_tokens) / {_PACK_BUDGET})
+                  * {_PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM sized
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous sequence packing for training batches: docs are laid out
+    in deterministic (source, doc_id) order and cut into fixed token-budget
+    packs by a running-sum window — pack_id = which sequence a doc starts
+    in, pack_offset = its token offset inside that pack. Partitioned by
+    source so the window shuffle is per-source (no global sort); packing
+    within a shard is exactly what a 1000-executor run would do."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf, "documents")
+    sized = d.select(
+        "doc_id", "source", F.size(tokenize("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    pack_id = F.floor(before / _PACK_BUDGET)
+    return sized.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pack_id.cast("long").alias("pack_id"),
+        (before - pack_id * _PACK_BUDGET).cast("long").alias("pack_offset"),
+    )

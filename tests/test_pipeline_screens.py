@@ -1,0 +1,80 @@
+"""Behavioral invariants for the PII / repetition / Gopher / packing
+screens (value parity vs DuckDB is covered by the oracle gate; these pin
+the semantic properties the oracle hash can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_pii_redact_counts_and_scrub(spark):
+    from pydatalake_spark.queries import QUERIES
+
+    out = QUERIES["pii_redact"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "empty result"
+    for r in rows:
+        # injection is derived from doc_id, so counts are predictable
+        assert r.n_emails == r.doc_id % 3
+        assert r.n_phones == r.doc_id % 2
+        # nothing matching the PII patterns survives redaction
+        assert "@mail.com" not in r.redacted
+        assert "555-" not in r.redacted
+        if r.doc_id % 3:
+            assert "<EMAIL>" in r.redacted
+        if r.doc_id % 2:
+            assert "<PHONE>" in r.redacted
+
+
+def test_repetition_stats_bounds(spark):
+    from pydatalake_spark.queries import QUERIES
+
+    out = QUERIES["doc_repetition_stats"](spark, SF_DIR)
+    bad = out.filter(
+        (F.col("dup_token_frac") < 0)
+        | (F.col("dup_token_frac") >= 1)
+        | (F.col("top_token_frac") * F.col("n_tokens") < 1)
+        | (F.col("n_unique") > F.col("n_tokens"))
+    ).count()
+    assert bad == 0
+
+
+def test_sequence_pack_layout(spark):
+    """Within each source shard, docs in (doc_id) order tile the packs:
+    offsets stay inside the budget and pack ids never decrease."""
+    from pydatalake_spark.queries import QUERIES
+    from pydatalake_spark.queries.text import _PACK_BUDGET
+
+    out = QUERIES["sequence_pack"](spark, SF_DIR)
+    assert (
+        out.filter(
+            (F.col("pack_offset") < 0) | (F.col("pack_offset") >= _PACK_BUDGET)
+        ).count()
+        == 0
+    )
+    rows = out.orderBy("source", "doc_id").collect()
+    by_source: dict = {}
+    for r in rows:
+        prev = by_source.get(r.source)
+        if prev is not None:
+            assert r.pack_id >= prev.pack_id
+            if r.pack_id == prev.pack_id:
+                assert r.pack_offset == prev.pack_offset + prev.n_tokens
+        by_source[r.source] = r
+
+
+def test_gopher_flags_consistent(spark):
+    from pydatalake_spark.queries import QUERIES
+
+    out = QUERIES["gopher_quality_flags"](spark, SF_DIR)
+    inconsistent = out.filter(
+        F.col("passes")
+        != (
+            F.col("n_tokens").between(10, 100000)
+            & (F.col("alpha_ratio") >= 0.8)
+            & (F.col("stop_ratio") >= 0.02)
+        )
+    ).count()
+    assert inconsistent == 0
