@@ -283,3 +283,138 @@ def ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk_numpy(
         e, e.filter(F.col("vec_id") < 10), _IVF_CENTROIDS[sf], k=10, nprobe=6
     )
+
+
+@q(
+    "ann_recall_eval",
+    f"""
+    WITH qs AS (
+        SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), exact AS (
+        SELECT q_id, c.vec_id AS c_id
+        FROM qs, embeddings c
+        WHERE q_id <> c.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q_id
+            ORDER BY {_dot('qv', 'c.embedding')}
+                       / (sqrt({_dot('qv', 'qv')})
+                          * sqrt({_dot('c.embedding', 'c.embedding')})) DESC,
+                     c.vec_id ASC) <= 10
+    ), b AS (
+        SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS q_id,
+               unnest([bucket, {', '.join(_flip_sql(i) for i in range(1, _PLANES + 1))}])
+                 AS bucket
+        FROM b WHERE vec_id < 10
+    ), cand AS (
+        SELECT DISTINCT p.q_id, y.vec_id AS c_id
+        FROM probes p JOIN b y ON p.bucket = y.bucket AND y.vec_id <> p.q_id
+    ), cand0 AS (
+        SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS c_id
+        FROM b x JOIN b y ON x.bucket = y.bucket AND y.vec_id <> x.vec_id
+        WHERE x.vec_id < 10
+    ), nx AS (
+        SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id
+    ), nc AS (
+        SELECT q_id, count(*) AS n_candidates FROM cand GROUP BY q_id
+    ), nh AS (
+        SELECT e.q_id, count(*) AS n_hits
+        FROM exact e JOIN cand c ON e.q_id = c.q_id AND e.c_id = c.c_id
+        GROUP BY e.q_id
+    ), nh0 AS (
+        SELECT e.q_id, count(*) AS n_hits0
+        FROM exact e JOIN cand0 c ON e.q_id = c.q_id AND e.c_id = c.c_id
+        GROUP BY e.q_id
+    )
+    SELECT nx.q_id,
+           CAST(nx.n_exact AS BIGINT)                  AS n_exact,
+           CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(nh.n_hits, 0) AS BIGINT)       AS n_hits,
+           coalesce(nh0.n_hits0, 0) / CAST(nx.n_exact AS DOUBLE) AS recall_bucket,
+           coalesce(nh.n_hits, 0) / CAST(nx.n_exact AS DOUBLE)   AS recall_multiprobe
+    FROM nx LEFT JOIN nc ON nx.q_id = nc.q_id
+            LEFT JOIN nh ON nx.q_id = nh.q_id
+            LEFT JOIN nh0 ON nx.q_id = nh0.q_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of LSH candidates against the exact cosine top-10, for
+    both exact-bucket and Hamming<=1 multiprobe probing — the measurement
+    loop an ANN deployment runs before trusting the approximate path, and
+    the direct evidence for the multiprobe upgrade (recall_multiprobe >=
+    recall_bucket by construction; on this near-uniform synthetic corpus
+    both are low in absolute terms because top-10 similarity barely rises
+    above ambient — the eval reports that honestly rather than tuning to
+    the fixture). The candidate join is the same one-sided probe fan-out
+    as ``lsh_multiprobe_candidates`` (query side emits bucket + one-bit
+    flips, corpus side its bucket only: a hash equi-join whose cost is
+    (num_planes+1) x |Q| probe rows, independent of corpus size), and the
+    exact side broadcasts the 10-query set, so the evaluation scales
+    exactly like the operators it measures."""
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(e, qs, k=10).select("q_id", "c_id")
+
+    b = hyperplane_buckets(e, num_planes=_PLANES, dim=_DIM)
+    probes = [F.col("bucket")]
+    for i in range(_PLANES):
+        flipped = (
+            F.when(F.substring("bucket", i + 1, 1) == "1", F.lit("0"))
+            .otherwise(F.lit("1"))
+        )
+        probes.append(
+            F.concat(
+                F.substring("bucket", 1, i),
+                flipped,
+                F.substring("bucket", i + 2, _PLANES - i - 1),
+            )
+        )
+    qprobes = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.explode(F.array(*probes)).alias("bucket")
+    )
+    cand = (
+        qprobes.join(b.select(F.col("vec_id").alias("c_id"), "bucket"), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    cand0 = (
+        b.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), "bucket")
+        .join(b.select(F.col("vec_id").alias("c_id"), "bucket"), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    nx = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = (
+        exact.join(cand, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nh0 = (
+        exact.join(cand0, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits0"))
+    )
+    return (
+        nx.join(nc, "q_id", "left")
+        .join(nh, "q_id", "left")
+        .join(nh0, "q_id", "left")
+        .select(
+            "q_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits0", F.lit(0))
+                / F.col("n_exact").cast("double")
+            ).alias("recall_bucket"),
+            (
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_exact").cast("double")
+            ).alias("recall_multiprobe"),
+        )
+    )
