@@ -1370,3 +1370,73 @@ def sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
         pack_id.cast("long").alias("pack_id"),
         (before - pack_id * _PACK_BUDGET).cast("long").alias("pack_offset"),
     )
+
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # tokens between chunk starts (CHUNK - STRIDE = 8 overlap)
+
+
+@q(
+    "doc_chunks",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ), sized AS (
+        SELECT doc_id, toks,
+               greatest(1, CAST(ceil((len(toks) - {_CHUNK})
+                                     / CAST({_STRIDE} AS DOUBLE)) AS BIGINT) + 1)
+                 AS n_chunks
+        FROM tok
+    ), idx AS (
+        SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM sized
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(toks[(i * {_STRIDE} + 1):(i * {_STRIDE} + {_CHUNK})], ' ')
+             AS chunk_text,
+           CAST(least({_CHUNK}, len(toks) - i * {_STRIDE}) AS BIGINT)
+             AS n_chunk_tokens
+    FROM idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (context-window prep for RAG /
+    training): chunk i covers tokens [i*stride, i*stride+chunk) with the
+    final window clipped, so every token lands in >=1 chunk and
+    consecutive chunks share chunk-stride tokens. Pure per-row array
+    expressions — posexplode of slices, no shuffle, linear in corpus
+    size."""
+    d = _t(spark, sf, "documents")
+    sized = d.select(
+        "doc_id",
+        tokenize("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.size("toks") - _CHUNK) / F.lit(float(_STRIDE))).cast("long")
+            + 1,
+        ).alias("n_chunks"),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * _STRIDE + 1, _CHUNK), " "
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.least(
+            F.lit(_CHUNK), F.size("toks") - F.col("chunk_id") * _STRIDE
+        )
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
