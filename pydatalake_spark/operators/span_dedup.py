@@ -1,0 +1,157 @@
+"""Exact repeated-span detection & removal (substring-level dedup).
+
+Document-level dedup (exact hash, MinHash-LSH, SimHash — operators/dedup.py,
+minhash.py, simhash.py) misses the dominant duplication mode in web-scale
+training corpora: long VERBATIM SPANS (boilerplate, licenses, quoted
+passages) embedded in otherwise-distinct documents. The published fix is
+exact substring dedup over the concatenated corpus via suffix arrays
+(Lee et al., "Deduplicating Training Data Makes Language Models Better",
+ACL 2022). A suffix array is a single-machine data structure; the
+distributed re-expression used here is the standard fixed-width variant:
+
+1. slide a ``window``-token window (hop 1) over each document and hash each
+   window to 16 bytes (md5) — only window HASHES ever shuffle, never the
+   window text;
+2. count, per window hash, the number of DISTINCT documents containing it
+   (two-level: groupBy (doc, hash) with map-side partial agg, then a
+   count window over the hash partition — both shuffles are keyed by the
+   16-byte hash, so hot boilerplate spreads over the cluster);
+3. a window is *duplicated* when it appears in more than ``min_docs``
+   documents; per-doc stats aggregate back on doc_id;
+4. ``strip_dup_spans`` re-joins the duplicated window start positions per
+   document (a bounded int list — at most len(doc) ints) and drops every
+   token covered by a duplicated window with one higher-order filter,
+   rebuilding the cleaned text JVM-side.
+
+Any span of >= window duplicated tokens is covered by at least one
+duplicated window, so the token mask converges to the suffix-array answer
+for spans >= window; shorter repeats are below the detection floor by
+design (exactly like the min-match-length parameter in Lee et al.).
+
+Scale: per-doc work is linear in tokens; global work is two hash-keyed
+shuffles of (id, hash, count) triples. No Python, no arrays in any shuffle.
+The reference engine has no substring dedup (SURVEY.md §2 gap list) — this
+is beyond-reference capability for the 100 TB training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pydatalake_spark.functions.text import shingles, tokenize
+from pydatalake_spark.operators.scaling import fan_out
+
+
+def _window_hashes(toks):
+    """md5 per sliding token window (shingles' short-doc fallback keeps
+    sub-window docs as one whole-doc window, so no doc has zero windows)."""
+    return lambda k: F.transform(shingles(toks, k=k), F.md5)
+
+
+def _doc_window_counts(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, wh, cnt, nd): per (doc, window-hash) occurrence count plus the
+    number of distinct docs sharing the hash."""
+    toks = tokenize(text_col)
+    wh = _window_hashes(toks)(window)
+    ex = df.select(F.col(id_col), F.explode(wh).alias("wh"))
+    g = ex.groupBy(id_col, "wh").agg(F.count("*").alias("cnt"))
+    # rows of g are unique per (doc, hash): a count over the hash partition
+    # IS the distinct-doc count, without a countDistinct shuffle
+    return g.withColumn("nd", F.count("*").over(Window.partitionBy("wh")))
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-doc duplicated-span statistics.
+
+    Returns (id, n_windows, n_dup_windows, dup_fraction) where a window is
+    duplicated iff > ``min_docs`` distinct documents contain it.
+    ``dup_fraction`` is the corpus-health metric: the mass of each document
+    that is verbatim boilerplate shared with other documents.
+    """
+    nd = _doc_window_counts(fan_out(df), id_col, text_col, window)
+    dup = F.when(F.col("nd") > min_docs, F.col("cnt")).otherwise(F.lit(0))
+    return (
+        nd.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+            (F.col("n_dup_windows") / F.col("n_windows"))
+            .cast("double")
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Remove every token covered by a cross-document duplicated window.
+
+    Returns (id, n_tokens, n_kept_tokens, clean_text). The mask is a set
+    predicate over duplicated window START positions, so it is insensitive
+    to the (nondeterministic) aggregation order of the position list.
+    """
+    df = fan_out(df)
+    toks = tokenize(text_col)
+    wh = _window_hashes(toks)(window)
+
+    pos = df.select(
+        F.col(id_col), F.posexplode(wh).alias("pos", "wh")
+    )
+    dups = (
+        pos.groupBy("wh")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > min_docs)
+        .select("wh")
+    )
+    starts = (
+        pos.join(dups, "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("dup_starts"))
+    )
+
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    joined = base.join(starts, id_col, "left").withColumn(
+        "dup_starts",
+        F.coalesce("dup_starts", F.array().cast("array<int>")),
+    )
+    # short-doc fallback: its single window covers the whole doc regardless
+    # of length, so a duplicated short doc strips to empty
+    covers = lambda i: F.exists(
+        F.col("dup_starts"),
+        lambda p: (i >= p)
+        & (
+            (i < p + window)
+            | (F.size(F.col("toks")) < F.lit(window))
+        ),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size(F.col("toks")) - 1),
+        lambda i: ~covers(i),
+    )
+    return joined.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("toks", i + 1)), " "
+        ).alias("clean_text"),
+    )

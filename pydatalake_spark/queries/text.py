@@ -1440,3 +1440,100 @@ def doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-span (substring-level) dedup — Lee et al., ACL 2022
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # duplicated-span detection floor, in tokens
+
+
+def _span_window_cte() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ), win AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= {k}
+                    THEN list_transform(range(1, len(toks) - {k} + 2),
+                         i -> md5(array_to_string(toks[i:i+{k - 1}], ' ')))
+                    ELSE [md5(array_to_string(toks, ' '))] END AS whs
+        FROM tok
+    )"""
+
+
+@q(
+    "dup_span_stats",
+    _span_window_cte()
+    + """, ex AS (
+        SELECT doc_id, unnest(whs) AS wh FROM win
+    ), g AS (
+        SELECT doc_id, wh, count(*) AS cnt FROM ex GROUP BY doc_id, wh
+    ), nd AS (
+        SELECT doc_id, wh, cnt, count(*) OVER (PARTITION BY wh) AS nd FROM g
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / sum(cnt) AS dup_fraction
+    FROM nd GROUP BY doc_id
+    """,
+)
+def dup_span_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-span mass per document: the distributed
+    form of exact substring dedup (suffix-array method of Lee et al.,
+    "Deduplicating Training Data Makes LMs Better") at a fixed
+    detection floor of 8 tokens. See operators/span_dedup.py."""
+    from pydatalake_spark.operators.span_dedup import dup_span_stats
+
+    return dup_span_stats(
+        _t(spark, sf, "documents"), window=_SPAN_K
+    )
+
+
+@q(
+    "strip_dup_spans",
+    _span_window_cte()
+    + f""", ex AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(whs) + 1),
+                      i -> {{'pos': i - 1, 'wh': whs[i]}})) AS u
+        FROM win
+    ), pos AS (
+        SELECT doc_id, u.pos AS pos, u.wh AS wh FROM ex
+    ), dups AS (
+        SELECT wh FROM pos GROUP BY wh HAVING count(DISTINCT doc_id) > 1
+    ), starts AS (
+        SELECT doc_id, list(pos) AS dup_starts
+        FROM pos JOIN dups USING (wh) GROUP BY doc_id
+    ), masked AS (
+        SELECT t.doc_id, t.toks,
+               list_filter(range(0, len(t.toks)),
+                   i -> len(list_filter(coalesce(s.dup_starts, []),
+                        p -> i >= p AND (i < p + {_SPAN_K}
+                                         OR len(t.toks) < {_SPAN_K}))) = 0)
+                   AS kept
+        FROM tok t LEFT JOIN starts s USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+           coalesce(
+               array_to_string(list_transform(kept, i -> toks[i + 1]), ' '),
+               '') AS clean_text
+    FROM masked
+    """,
+)
+def strip_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Remove every token covered by a cross-document duplicated 8-token
+    window — the "delete duplicated substrings" cleaning step of Lee et
+    al. re-expressed as hash-keyed shuffles + one higher-order mask."""
+    from pydatalake_spark.operators.span_dedup import strip_dup_spans
+
+    return strip_dup_spans(
+        _t(spark, sf, "documents"), window=_SPAN_K
+    )

@@ -1,0 +1,64 @@
+"""Behavioral invariants for exact repeated-span dedup
+(operators/span_dedup.py); value parity vs DuckDB is covered by the
+oracle gate (dup_span_stats / strip_dup_spans)."""
+
+from __future__ import annotations
+
+from pydatalake_spark.operators.span_dedup import (
+    dup_span_stats,
+    strip_dup_spans,
+)
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, SHARED + " unique one two three"),
+            (2, SHARED + " other words appear here"),
+            (3, "completely different text with no shared span at all ok"),
+            (4, "tiny shared doc"),
+            (5, "tiny shared doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dup_span_stats_flags_shared_prefix(spark):
+    stats = {
+        r.doc_id: r
+        for r in dup_span_stats(_corpus(spark), window=8).collect()
+    }
+    # docs 1/2: 12 tokens -> 5 windows; only the window starting at 0 is
+    # fully inside the shared 8-token prefix
+    assert stats[1].n_windows == 5 and stats[1].n_dup_windows == 1
+    assert stats[2].n_dup_windows == 1
+    assert stats[3].n_dup_windows == 0 and stats[3].dup_fraction == 0.0
+    # short docs fall back to a whole-doc window; 4 and 5 are twins
+    assert stats[4].n_windows == 1 and stats[4].n_dup_windows == 1
+
+
+def test_strip_removes_shared_span_only(spark):
+    out = {
+        r.doc_id: r
+        for r in strip_dup_spans(_corpus(spark), window=8).collect()
+    }
+    # the duplicated window covers tokens 0..7 -> suffix survives
+    assert out[1].clean_text == "unique one two three"
+    assert out[2].clean_text == "other words appear here"
+    assert out[1].n_tokens == 12 and out[1].n_kept_tokens == 4
+    # untouched doc: identical text back
+    assert out[3].clean_text.startswith("completely different")
+    assert out[3].n_kept_tokens == out[3].n_tokens
+    # duplicated short doc strips to empty (its single window covers all)
+    assert out[4].clean_text == "" and out[4].n_kept_tokens == 0
+
+
+def test_strip_min_docs_threshold(spark):
+    # min_docs=2: a span must appear in >2 docs to be stripped -> the
+    # 2-doc shared prefix survives
+    out = strip_dup_spans(_corpus(spark), window=8, min_docs=2)
+    assert all(
+        r.n_kept_tokens == r.n_tokens for r in out.collect()
+    )
