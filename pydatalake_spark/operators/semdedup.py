@@ -1,0 +1,120 @@
+"""SemDeDup — cluster-then-dedup semantic deduplication over embeddings.
+
+The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication") prunes a corpus by k-means
+clustering the embeddings and removing, within each cluster, all but one of
+every group of vectors above a cosine-similarity threshold. The expensive
+all-pairs comparison runs only WITHIN a cluster, so total work is
+sum(|cell|²) instead of n² — the same candidate-bounding idea as LSH, but
+with semantically coherent buckets.
+
+Two quantizers are provided:
+
+- ``assign_fixed_cells``: centroids = the ``num_cells`` lowest-id vectors.
+  Fully deterministic and SQL-expressible, which makes the whole pipeline
+  DuckDB-oracle-checkable (the driver gate) — and in production a fixed,
+  versioned centroid set is exactly what you want anyway (re-clustering a
+  growing corpus would reshuffle cell assignments between runs).
+- k-means centroids via ``operators/similarity.train_ivf_centroids`` can be
+  passed through ``centroids`` for quality-over-determinism deployments.
+
+Scale shape: centroids broadcast as a tiny literal table; assignment is a
+broadcast cross join + map-side ``min(struct(d2, cent_id))`` partial
+aggregate — the only shuffle is the groupBy on vec_id, and only
+(id, cell) pairs move. The within-cell self-join shuffles ids+vectors once
+on the cell key; AQE splits hot cells. Dedup policy is lowest-id-wins: a
+vector is dropped iff some SMALLER-id vector in its cell is within the
+threshold — deterministic, single anti-join, and transitive-chain behavior
+matches the greedy scan of the paper's implementation.
+
+The reference engine has no semantic dedup (SURVEY.md §2 gap list); this is
+beyond-reference capability for the 100 TB training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pydatalake_spark.functions.vector import cosine, to_double_array
+
+
+def assign_fixed_cells(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment with deterministic
+    (distance, centroid-id) tie-breaking.
+
+    ``centroids`` defaults to the ``num_cells`` lowest-id vectors of the
+    corpus itself (deterministic "init-only" quantizer); pass a trained
+    centroid DataFrame (cent_id, cvec) to override.
+    """
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) < num_cells).select(
+            F.col(id_col).alias("cent_id"),
+            to_double_array(vec_col).alias("cvec"),
+        )
+    j = (
+        emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with("dv", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(F.min(F.struct("d2", "cent_id")).alias("m"))
+        .select(F.col(id_col), F.col("m.cent_id").alias("cell"))
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    threshold: float = 0.3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cell, keep): SemDeDup verdict per vector.
+
+    keep = no smaller-id vector in the same cell has cosine >= threshold.
+    Feed ``filter("keep")`` into the corpus join to materialize the pruned
+    dataset.
+    """
+    cells = assign_fixed_cells(
+        emb, id_col, vec_col, num_cells=num_cells, centroids=centroids
+    )
+    wv = cells.join(
+        emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
+        id_col,
+    )
+    a = wv.select(
+        F.col(id_col).alias("id_a"), F.col("cell"), F.col("dv").alias("va")
+    )
+    b = wv.select(
+        F.col(id_col).alias("id_b"), F.col("cell"), F.col("dv").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return cells.join(
+        dropped.withColumn("_dup", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )

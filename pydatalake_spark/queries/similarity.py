@@ -418,3 +418,54 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall_multiprobe"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-dedup semantic deduplication (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+_SD_CELLS = 8
+_SD_TAU = 0.3
+_SD_SQ = (
+    "(e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)"
+    " * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)"
+)
+
+
+@q(
+    "semantic_dedup",
+    f"""
+    WITH dist AS (
+        SELECT e.vec_id, c.vec_id AS cent_id,
+               list_sum(list_transform(range(1, {_DIM} + 1), i -> {_SD_SQ}))
+                   AS d2
+        FROM embeddings e JOIN embeddings c ON c.vec_id < {_SD_CELLS}
+    ), cells AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cent_id) AS rn
+            FROM dist) WHERE rn = 1
+    ), wv AS (
+        SELECT cells.vec_id, cell, embedding
+        FROM cells JOIN embeddings USING (vec_id)
+    ), pairs AS (
+        SELECT b.vec_id AS dup_id
+        FROM wv a JOIN wv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_dot('a.embedding', 'b.embedding')}
+                / (sqrt({_dot('a.embedding', 'a.embedding')})
+                   * sqrt({_dot('b.embedding', 'b.embedding')})) >= {_SD_TAU}
+    )
+    SELECT vec_id, cell,
+           vec_id NOT IN (SELECT dup_id FROM pairs) AS keep
+    FROM cells
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup with the deterministic init-only quantizer (centroids = the
+    8 lowest-id vectors) so cells, pairs, and verdicts are all
+    oracle-checkable; see operators/semdedup.py for the k-means variant."""
+    from pydatalake_spark.operators.semdedup import semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    return semantic_dedup(e, num_cells=_SD_CELLS, threshold=_SD_TAU)

@@ -1,0 +1,95 @@
+"""Behavioral invariants for SemDeDup (operators/semdedup.py); value
+parity vs DuckDB is covered by the oracle gate (semantic_dedup)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pydatalake_spark.operators.semdedup import (
+    assign_fixed_cells,
+    semantic_dedup,
+)
+
+
+def _vec(theta, scale=1.0):
+    # 4-dim: two planar coords + two zeros, so cosine == cos(angle delta)
+    return [
+        float(scale * math.cos(theta)),
+        float(scale * math.sin(theta)),
+        0.0,
+        0.0,
+    ]
+
+
+def _emb(spark):
+    rows = [
+        (0, _vec(0.0)),            # centroid A
+        (1, _vec(math.pi / 2)),    # centroid B
+        (2, _vec(0.05, 2.0)),      # near 0 -> dup of 0
+        (3, _vec(0.10)),           # near 0 -> dup of 0 (chain via 2)
+        (4, _vec(math.pi / 2 - 0.05)),  # near 1 -> dup of 1
+        (5, _vec(math.pi / 4)),    # between, dup of nobody at tau=.99
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cells_are_nearest_centroid(spark):
+    cells = {
+        r.vec_id: r.cell
+        for r in assign_fixed_cells(_emb(spark), num_cells=2).collect()
+    }
+    assert cells[0] == 0 and cells[2] == 0 and cells[3] == 0
+    assert cells[1] == 1 and cells[4] == 1
+
+
+def test_semantic_dedup_lowest_id_wins(spark):
+    out = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            _emb(spark), num_cells=2, threshold=0.99
+        ).collect()
+    }
+    assert out[0] and out[1]          # cluster representatives survive
+    assert not out[2] and not out[3]  # both dominated by 0
+    assert not out[4]                 # dominated by 1
+    assert out[5]                     # no neighbor above tau
+
+
+def test_one_cell_equals_bruteforce_and_high_tau_keeps_all(spark):
+    e = _emb(spark)
+    one_cell = semantic_dedup(e, num_cells=1, threshold=0.99)
+    # brute force: dominated iff ANY smaller id has cosine >= tau
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    from pydatalake_spark.functions.vector import cosine, to_double_array
+
+    dominated = {
+        r.ib
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            cosine(to_double_array("va"), to_double_array("vb")) >= 0.99
+        )
+        .collect()
+    }
+    for r in one_cell.collect():
+        assert r.keep == (r.vec_id not in dominated)
+    assert all(
+        r.keep
+        for r in semantic_dedup(e, num_cells=2, threshold=1.01).collect()
+    )
+
+
+def test_custom_centroids_override(spark):
+    cent = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])],
+        "cent_id long, cvec array<double>",
+    )
+    cells = {
+        r.vec_id: r.cell
+        for r in assign_fixed_cells(_emb(spark), centroids=cent).collect()
+    }
+    assert set(cells.values()) <= {10, 11}
+    assert cells[0] == 10 and cells[1] == 11
