@@ -1537,3 +1537,47 @@ def strip_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     return strip_dup_spans(
         _t(spark, sf, "documents"), window=_SPAN_K
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting — Xie et al. 2023
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dsir_importance",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(text), ' ')) AS t
+        FROM documents
+    ), bk AS (
+        SELECT doc_id, lang, substr(md5(t), 1, 2) AS b FROM tok
+    ), counts AS (
+        SELECT b, count(*) AS cr,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM bk GROUP BY b
+    ), tot AS (
+        SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts
+    ), lr AS (
+        SELECT b,
+               ln((ct + 1) / CAST(tt + 256 AS DOUBLE))
+                 - ln((cr + 1) / CAST(tr + 256 AS DOUBLE)) AS lr
+        FROM counts CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           avg(lr) AS dsir_logratio
+    FROM bk JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_q(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance score against the English subset as the target
+    domain: hashed-unigram (256 md5 buckets) log-likelihood ratio,
+    length-normalized. See operators/dsir.py."""
+    from pydatalake_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf, "documents"), target=F.col("lang") == "en"
+    )
