@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pydatalake_spark.functions.vector import cosine, to_double_array
+from pydatalake_spark.functions.vector import dot, l2_norm, to_double_array
 
 
 def assign_fixed_cells(
@@ -94,20 +94,32 @@ def semantic_dedup(
     cells = assign_fixed_cells(
         emb, id_col, vec_col, num_cells=num_cells, centroids=centroids
     )
+    # norms are bound per VECTOR before the self-join: the pair predicate
+    # dot/(na*nb) is the same expression tree as cosine() so it matches the
+    # oracle bit-for-bit, but each norm is computed n times, not n·|cell|
     wv = cells.join(
         emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
         id_col,
-    )
+    ).withColumn("nrm", l2_norm(F.col("dv")))
     a = wv.select(
-        F.col(id_col).alias("id_a"), F.col("cell"), F.col("dv").alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col("cell"),
+        F.col("dv").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = wv.select(
-        F.col(id_col).alias("id_b"), F.col("cell"), F.col("dv").alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col("cell"),
+        F.col("dv").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

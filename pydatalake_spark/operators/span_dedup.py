@@ -54,9 +54,12 @@ def _doc_window_counts(
 ) -> DataFrame:
     """(id, wh, cnt, nd): per (doc, window-hash) occurrence count plus the
     number of distinct docs sharing the hash."""
-    toks = tokenize(text_col)
-    wh = _window_hashes(toks)(window)
-    ex = df.select(F.col(id_col), F.explode(wh).alias("wh"))
+    # bind tokens to a real column BEFORE the windowing lambdas — an inlined
+    # split() would be re-evaluated per element_at inside the shingle HOF
+    # (the CollapseProject re-inline hazard; ~20x slower)
+    base = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    wh = _window_hashes(F.col("_toks"))(window)
+    ex = base.select(F.col(id_col), F.explode(wh).alias("wh"))
     g = ex.groupBy(id_col, "wh").agg(F.count("*").alias("cnt"))
     # rows of g are unique per (doc, hash): a count over the hash partition
     # IS the distinct-doc count, without a countDistinct shuffle
@@ -110,10 +113,12 @@ def strip_dup_spans(
     to the (nondeterministic) aggregation order of the position list.
     """
     df = fan_out(df)
-    toks = tokenize(text_col)
-    wh = _window_hashes(toks)(window)
+    base0 = df.select(
+        F.col(id_col), tokenize(text_col).alias("_toks")
+    )
+    wh = _window_hashes(F.col("_toks"))(window)
 
-    pos = df.select(
+    pos = base0.select(
         F.col(id_col), F.posexplode(wh).alias("pos", "wh")
     )
     dups = (
@@ -128,7 +133,7 @@ def strip_dup_spans(
         .agg(F.collect_list("pos").alias("dup_starts"))
     )
 
-    base = df.select(F.col(id_col), toks.alias("toks"))
+    base = df.select(F.col(id_col), tokenize(text_col).alias("toks"))
     joined = base.join(starts, id_col, "left").withColumn(
         "dup_starts",
         F.coalesce("dup_starts", F.array().cast("array<int>")),
