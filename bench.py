@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "ann_lsh_buckets",
     "embedding_near_dup",
     "ivf_topk",
+    "dup_span_stats",
+    "strip_dup_spans",
+    "semantic_dedup",
+    "dsir_importance",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash
@@ -100,6 +104,7 @@ PROBE_QUERIES = [
     "q18_large_volume_customer",
     "near_dup_pairs",
     "ngram_jaccard_pairs",
+    "dup_span_stats",
     "embedding_near_dup",
 ]
 PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]

@@ -556,3 +556,72 @@ def load_ivf_centroids(spark, path: str) -> list[list[float]]:
     """Inverse of `save_ivf_centroids`, cell order preserved."""
     rows = spark.read.parquet(path).orderBy("cell").collect()
     return [list(r.centroid) for r in rows]
+
+
+def hard_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_neg: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Online triplet mining for contrastive training (the batch-hard
+    strategy of Hermans et al. 2017, "In Defense of the Triplet Loss"):
+    per anchor, the ``k_neg`` hardest NEGATIVES (different label, highest
+    cosine — the confusable impostors) and the single hardest POSITIVE
+    (same label, lowest cosine — the most spread-out true neighbor).
+
+    Returns (q_id, c_id, sim, kind) with kind in ('hard_neg', 'hard_pos').
+
+    Scale shape: identical to cosine_topk — the anchor set broadcasts, the
+    corpus never shuffles for scoring, and both mining windows share the
+    q_id partitioning so Spark plans ONE exchange for the two ranks.
+    """
+    q = anchors.select(
+        F.col(id_col).alias("q_id"),
+        to_double_array(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
+    c = (
+        fan_out(corpus)
+        .select(
+            F.col(id_col).alias("c_id"),
+            to_double_array(vec_col).alias("c_vec"),
+            F.col(label_col).alias("c_label"),
+        )
+        .withColumn("c_norm", l2_norm(F.col("c_vec")))
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "q_label",
+            "c_label",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
+        )
+    )
+    w_neg = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("c_id").asc()
+    )
+    negs = (
+        pairs.filter(F.col("q_label") != F.col("c_label"))
+        .withColumn("rnk", F.row_number().over(w_neg))
+        .filter(F.col("rnk") <= k_neg)
+        .select("q_id", "c_id", "sim", F.lit("hard_neg").alias("kind"))
+    )
+    w_pos = Window.partitionBy("q_id").orderBy(
+        F.col("sim").asc(), F.col("c_id").asc()
+    )
+    poss = (
+        pairs.filter(F.col("q_label") == F.col("c_label"))
+        .withColumn("rnk", F.row_number().over(w_pos))
+        .filter(F.col("rnk") <= 1)
+        .select("q_id", "c_id", "sim", F.lit("hard_pos").alias("kind"))
+    )
+    return negs.unionByName(poss)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from pydatalake_spark.functions.vector import l2_norm, to_double_array
 from pydatalake_spark.operators.similarity import (
+    hard_triplets,
     cosine_topk,
     embedding_near_dup,
     hyperplane_buckets,
@@ -469,3 +470,39 @@ def semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _t(spark, sf, "embeddings")
     return semantic_dedup(e, num_cells=_SD_CELLS, threshold=_SD_TAU)
+
+
+@q(
+    "hard_triplet_mining",
+    f"""
+    WITH qs AS (
+        SELECT vec_id AS q_id,
+               embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < 10
+    ), pairs AS (
+        SELECT q_id, c.vec_id AS c_id, q_label, c.label AS c_label,
+               {_dot('q_emb', 'c.embedding')}
+                 / (sqrt({_dot('q_emb', 'q_emb')})
+                    * sqrt({_dot('c.embedding', 'c.embedding')})) AS sim
+        FROM qs, embeddings c
+        WHERE q_id <> c.vec_id
+    ), negs AS (
+        SELECT q_id, c_id, sim, 'hard_neg' AS kind
+        FROM pairs WHERE q_label <> c_label
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, c_id ASC) <= 5
+    ), poss AS (
+        SELECT q_id, c_id, sim, 'hard_pos' AS kind
+        FROM pairs WHERE q_label = c_label
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY sim ASC, c_id ASC) <= 1
+    )
+    SELECT * FROM negs UNION ALL SELECT * FROM poss
+    """,
+)
+def hard_triplet_mining_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-hard triplet mining over the embedding corpus: 5 hardest
+    negatives + 1 hardest positive per anchor
+    (operators/similarity.py:hard_triplets)."""
+    e = _t(spark, sf, "embeddings")
+    return hard_triplets(e, e.filter(F.col("vec_id") < 10), k_neg=5)

@@ -93,3 +93,37 @@ def test_custom_centroids_override(spark):
     }
     assert set(cells.values()) <= {10, 11}
     assert cells[0] == 10 and cells[1] == 11
+
+
+def test_hard_triplets_labels_and_ranks(spark):
+    import math
+
+    from pydatalake_spark.operators.similarity import hard_triplets
+
+    rows = []
+    for i in range(20):
+        theta = i * 0.31
+        rows.append(
+            (i, [math.cos(theta), math.sin(theta), 0.0, 0.0], i % 2)
+        )
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_triplets(e, e.filter("vec_id < 3"), k_neg=4).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.q_id, []).append(r)
+    labels = {i: i % 2 for i in range(20)}
+    for q_id, rs in by_anchor.items():
+        negs = [r for r in rs if r.kind == "hard_neg"]
+        poss = [r for r in rs if r.kind == "hard_pos"]
+        assert len(negs) == 4 and len(poss) == 1
+        assert all(labels[r.c_id] != labels[q_id] for r in negs)
+        assert all(labels[r.c_id] == labels[q_id] for r in poss)
+        # hardest negative is at least as similar as every other negative
+        assert max(r.sim for r in negs) == negs[0].sim
+        # hardest positive is the LEAST similar same-label vector
+        all_pos_sims = [
+            r.sim for r in rs if labels.get(r.c_id) == labels[q_id]
+        ]
+        assert poss[0].sim == min(all_pos_sims)
