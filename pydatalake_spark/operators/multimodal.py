@@ -200,3 +200,126 @@ def sample_frames(
             ).astype({"frame_idx": "int32"})
 
     return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+_PHASH_GRID = (8, 9)  # dHash: 8 rows x 9 cols -> 8x8 gradient bits
+
+
+def perceptual_hashes(
+    df: DataFrame, decode_stub: str = "fake"
+) -> DataFrame:
+    """64-bit dHash per media payload (difference hash: each bit compares
+    horizontally adjacent pixels of a downscaled grayscale image — the
+    standard perceptual fingerprint for image near-dedup).
+
+    The HASH MATH is real; only the decode is stubbed: 'fake' "downscales"
+    the payload to an 8x9 grid by averaging each of 72 equal byte segments
+    — the same box-filter shape as a real grayscale resize, so local edits
+    perturb few pixels and small length changes shift averages only
+    slightly (the perceptual-locality property the tests pin down).
+    Production wiring point: PIL grayscale resize to 9x8 replaces
+    ``_fake_pixels`` — nothing else changes.
+    """
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+    rows, cols = _PHASH_GRID
+    n_px = rows * cols
+
+    def _fake_pixels(b: bytes) -> list[int]:
+        if not b:
+            return [0] * n_px
+        bounds = [(i * len(b)) // n_px for i in range(n_px + 1)]
+        return [
+            sum(b[bounds[i] : bounds[i + 1]])
+            // max(1, bounds[i + 1] - bounds[i])
+            for i in range(n_px)
+        ]
+
+    def _dhash(px: list[int]) -> int:
+        h = 0
+        for r in range(rows):
+            for c in range(cols - 1):
+                h = (h << 1) | (px[r * cols + c] > px[r * cols + c + 1])
+        # two's-complement into int64 (Spark LongType)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "image codec not available in this runtime; "
+                    "install PIL and replace the 'fake' pixel stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"]
+                    .map(lambda b: _dhash(_fake_pixels(bytes(b))))
+                    .astype("int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 8,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """(id_a, id_b, hamming): media pairs whose dHashes differ in at most
+    ``max_hamming`` of 64 bits.
+
+    Same banded shape as SimHash text dedup (operators/simhash.py): the
+    64-bit hash splits into four 16-bit bands; any pair within Hamming
+    distance 3 shares at least one exact band (pigeonhole), and the default
+    radius 8 keeps the miss probability of band-blocking low while the
+    verify step (codegen ``bit_count(xor)``) keeps output exact. The
+    candidate join is a hash equi-join on (band, key) — ids and two longs
+    move, never payloads.
+    """
+    h = perceptual_hashes(df, decode_stub=decode_stub)
+    bands = h.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("ha"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("hb"),
+        "band",
+        "key",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+    )

@@ -1581,3 +1581,20 @@ def dsir_importance_q(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_weights(
         _t(spark, sf, "documents"), target=F.col("lang") == "en"
     )
+
+
+@q("image_phash_near_dup")  # rows-only: the decode stub is Python-side
+# (mapInPandas), so no SQL oracle exists; exactness of the hash math and
+# the banded join is pinned by tests/test_multimodal_phash.py
+def image_phash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash (dHash) media near-dedup over documents-as-payloads:
+    Arrow-batched hashing, banded 16-bit blocking, codegen bit_count(xor)
+    verify (operators/multimodal.py:phash_near_dup)."""
+    from pydatalake_spark.operators.multimodal import (
+        attach_payload,
+        phash_near_dup,
+    )
+
+    d = _t(spark, sf, "documents")
+    media = attach_payload(d, "doc_id", "text")
+    return phash_near_dup(media, max_hamming=16)

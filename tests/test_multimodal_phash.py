@@ -1,0 +1,58 @@
+"""Perceptual-hash near-dup (operators/multimodal.py:phash_near_dup):
+hash math + banded-join exactness over the deterministic fake decode."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pydatalake_spark.operators.multimodal import (
+    attach_payload,
+    perceptual_hashes,
+    phash_near_dup,
+)
+
+BASE = " ".join(f"tok{i}" for i in range(120))
+
+
+def _media(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                               # exact twin of 1
+        # same-length edits to tok5/tok50..tok59 -> 1 gradient bit flips
+        (3, BASE.replace("tok5", "xqz5")),
+        (4, " ".join(f"other{i}" for i in range(120))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return attach_payload(df, "doc_id", "text")
+
+
+def test_hashes_are_deterministic_64bit(spark):
+    h1 = {r.media_id: r.phash for r in perceptual_hashes(_media(spark)).collect()}
+    h2 = {r.media_id: r.phash for r in perceptual_hashes(_media(spark)).collect()}
+    assert h1 == h2
+    assert h1[1] == h1[2]          # identical payloads -> identical hash
+    assert h1[1] != h1[4]          # unrelated payloads -> different hash
+
+
+def test_near_dup_pairs_respect_hamming(spark):
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup(_media(spark), max_hamming=8).collect()
+    }
+    assert out[(1, 2)] == 0        # exact twins
+    assert (1, 3) in out           # local edit -> few gradient bits flip
+    assert out[(1, 3)] <= 8
+    assert not any(4 in p for p in out)  # unrelated stays unmatched
+
+
+def test_verify_bounds_candidates(spark):
+    # radius 0 keeps only exact twins even though banding proposed (1,3)
+    out = phash_near_dup(_media(spark), max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_error_stub_raises(spark):
+    import pytest
+
+    with pytest.raises(Exception, match="codec"):
+        perceptual_hashes(_media(spark), decode_stub="error").collect()
