@@ -1598,3 +1598,57 @@ def image_phash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     media = attach_payload(d, "doc_id", "text")
     return phash_near_dup(media, max_hamming=16)
+
+
+@q(
+    "source_mix_weights",
+    """
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(n_tokens) AS t FROM per
+    ), sm AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens / CAST(t AS DOUBLE) AS share,
+               (n_tokens / CAST(t AS DOUBLE)) ^ 0.7 AS sm_raw
+        FROM per CROSS JOIN tot
+    )
+    SELECT source, n_docs, n_tokens, share,
+           sm_raw / sum(sm_raw) OVER () AS sample_prob,
+           sm_raw / sum(sm_raw) OVER () / share AS upweight
+    FROM sm
+    """,
+)
+def source_mix_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixture (the alpha-smoothed multinomial
+    of multilingual pre-training, alpha=0.7): per-source token share,
+    smoothed sampling probability, and the implied up/down-weight. Two
+    tiny aggregations — the per-source table is O(#sources) and the
+    global sums are window functions over it."""
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokenize("text"))).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    sm_raw = F.pow(share, F.lit(0.7))
+    with_share = per.select(
+        "source", "n_docs", "n_tokens", share.alias("share"),
+        sm_raw.alias("sm_raw"),
+    )
+    prob = F.col("sm_raw") / F.sum("sm_raw").over(w)
+    return with_share.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "share",
+        prob.alias("sample_prob"),
+        (prob / F.col("share")).alias("upweight"),
+    )
