@@ -1652,3 +1652,80 @@ def source_mix_weights_q(spark: SparkSession, sf: str) -> DataFrame:
         prob.alias("sample_prob"),
         (prob / F.col("share")).alias("upweight"),
     )
+
+
+# fixed literal weights: the scoring PLUMBING is the deliverable (swap in
+# trained weights for a fastText/FineWeb-Edu-style quality classifier);
+# deterministic weights keep the whole path oracle-checkable
+_QC_W = {"len": 2.0, "stop": 3.0, "alpha": 1.5, "punct": -1.0}
+_QC_B = -2.0
+
+
+@q(
+    "quality_classifier",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               least(len(toks) / 100.0, 1.0) AS f_len,
+               len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                   / CAST(len(toks) AS DOUBLE) AS f_stop,
+               len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                   / CAST(len(toks) AS DOUBLE) AS f_alpha,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / CAST(nullif(length(text), 0) AS DOUBLE) AS f_punct
+        FROM tok
+    )
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-({_QC_W['len']} * f_len
+                              + {_QC_W['stop']} * f_stop
+                              + {_QC_W['alpha']} * f_alpha
+                              + {_QC_W['punct']} * f_punct
+                              + {_QC_B}))) AS score,
+           1.0 / (1.0 + exp(-({_QC_W['len']} * f_len
+                              + {_QC_W['stop']} * f_stop
+                              + {_QC_W['alpha']} * f_alpha
+                              + {_QC_W['punct']} * f_punct
+                              + {_QC_B}))) >= 0.5 AS passes
+    FROM feats
+    """,
+)
+def quality_classifier_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality gate: logistic scorer over per-row text
+    features (length, stopword, alphabetic, punctuation) — the
+    classifier-filtering stage of CCNet/FineWeb-style pipelines. Weights
+    are fixed literals (training is out of engine scope); the distributed
+    scoring path — pure codegen expressions, no Python — is the part that
+    runs at 100 TB."""
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    base = d.select("doc_id", "text", toks.alias("toks"))
+    nt = F.size("toks").cast("double")
+    f_len = F.least(nt / 100.0, F.lit(1.0))
+    f_stop = (
+        F.size(
+            F.filter(F.col("toks"), lambda t: t.isin(*list(STOPWORDS)))
+        )
+        / nt
+    )
+    f_alpha = (
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("^[a-z]+$")))
+        / nt
+    )
+    plen = F.length("text").cast("double")
+    f_punct = (
+        plen - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+    ) / F.nullif(plen, F.lit(0.0))
+    z = (
+        _QC_W["len"] * f_len
+        + _QC_W["stop"] * f_stop
+        + _QC_W["alpha"] * f_alpha
+        + _QC_W["punct"] * f_punct
+        + _QC_B
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return base.select(
+        "doc_id", score.alias("score"), (score >= 0.5).alias("passes")
+    )
