@@ -1729,3 +1729,73 @@ def quality_classifier_q(spark: SparkSession, sf: str) -> DataFrame:
     return base.select(
         "doc_id", score.alias("score"), (score >= 0.5).alias("passes")
     )
+
+
+_DECON_K = 13  # the standard exact-overlap width (GPT-3 appendix C)
+
+
+@q(
+    "exact_ngram_decontamination",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ), win AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_DECON_K}
+                    THEN list_transform(range(1, len(toks) - {_DECON_K} + 2),
+                         i -> md5(array_to_string(toks[i:i+{_DECON_K - 1}], ' ')))
+                    ELSE [md5(array_to_string(toks, ' '))] END AS whs
+        FROM tok
+    ), ex AS (
+        SELECT DISTINCT doc_id, unnest(whs) AS wh FROM win
+    ), lab AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 < 80 AS is_train
+        FROM documents
+    ), train_w AS (
+        SELECT DISTINCT wh FROM ex JOIN lab USING (doc_id) WHERE is_train
+    ), ev AS (
+        SELECT ex.doc_id, wh FROM ex JOIN lab USING (doc_id)
+        WHERE NOT is_train
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN wh IN (SELECT wh FROM train_w)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           sum(CASE WHEN wh IN (SELECT wh FROM train_w)
+                    THEN 1 ELSE 0 END) > 0 AS contaminated
+    FROM ev GROUP BY doc_id
+    """,
+)
+def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 13-gram eval decontamination (the GPT-3/PaLM screen): an eval
+    document is contaminated iff any of its 13-token windows appears
+    verbatim in any train document. Same inverted-index shape as the span
+    dedup: only (doc, window-hash) pairs shuffle, the train-side hash set
+    is distinct-reduced before the semi-join, and the final count is one
+    keyed aggregation. Complements `split_contamination` (near-dup based):
+    this one is exact-match, the standard published protocol."""
+    from pydatalake_spark.functions.split import hash_bucket
+    from pydatalake_spark.functions.text import shingles
+
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", tokenize("text").alias("_toks"))
+    wh = F.transform(shingles(F.col("_toks"), k=_DECON_K), F.md5)
+    ex = base.select(
+        "doc_id", F.explode(wh).alias("wh")
+    ).distinct()
+    lab = d.select(
+        "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
+    )
+    exl = ex.join(lab, "doc_id")
+    train_w = exl.filter("is_train").select("wh").distinct()
+    ev = exl.filter(~F.col("is_train"))
+    hits = ev.join(
+        train_w.withColumn("_hit", F.lit(1)), "wh", "left"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        (F.sum(F.coalesce("_hit", F.lit(0))) > 0).alias("contaminated"),
+    )
