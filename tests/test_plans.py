@@ -259,3 +259,78 @@ def test_q7_broadcasts_dimensions_no_cartesian(spark):
     p = physical_plan(spark, "q7_nation_volume")
     assert p.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_span_dedup_joins_are_hash_keyed(spark):
+    """Span-dedup's global window-hash passes must stay hash-keyed
+    (exchange on wh / doc id) — never a cartesian or nested-loop, and the
+    candidate side must not carry token arrays through the shuffle."""
+    from pydatalake_spark.operators.span_dedup import (
+        dup_span_stats,
+        strip_dup_spans,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    for df in (dup_span_stats(docs), strip_dup_spans(docs)):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_semdedup_centroids_broadcast_and_cell_join_is_equi(spark):
+    """SemDeDup: centroid assignment broadcasts the tiny centroid side
+    (BroadcastNestedLoopJoin on the cross join is CORRECT there — 8 rows);
+    the within-cell pair join must be a hash equi-join on cell, and no
+    plain CartesianProduct may appear anywhere."""
+    from pydatalake_spark.operators.semdedup import semantic_dedup
+    from pydatalake_spark.queries.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    p = (
+        semantic_dedup(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    # the pair join keyed by cell
+    assert "cell" in p
+
+
+def test_dsir_bucket_table_broadcasts(spark):
+    """DSIR: the 256-row log-ratio table must broadcast back onto the
+    token stream — a shuffle join there would move the whole corpus twice."""
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.operators.dsir import dsir_weights
+    from pydatalake_spark.queries.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = (
+        dsir_weights(docs, target=F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_zorder_write_is_single_range_exchange(spark):
+    """Z-order clustering costs exactly one range exchange (same as a
+    global sort) — no extra shuffles sneak in."""
+    from pydatalake_spark.dataset.zorder import zorder_key
+    from pydatalake_spark.queries.tables import load_table
+
+    orders = load_table(spark, SF, "orders")
+    z = zorder_key(orders, ["o_custkey", "o_totalprice"])
+    df = (
+        orders.withColumn("_z", z)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+    assert "rangepartitioning" in p.lower()
