@@ -15,10 +15,12 @@ for _mod in (relational, text, similarity):
 
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round (CORRECTNESS_r01/r02 are each exactly the first 50 keys in
-# iteration order). With 100+ queries that cap forces a rotation: this
-# front list pins the queries with no green driver row in ANY prior round
-# (49 as of round 3) plus one previously-green canary, so that the union
-# of per-round gates covers the whole corpus. Relative order within each
+# iteration order). With 120+ queries that cap forces a rotation: this
+# front list pins 49 queries with no green driver row in ANY prior round
+# — every round-3 addition plus the never-checked backlog, keeping at
+# least one member of every operator family — plus one previously-green
+# canary. The 15 still-unchecked stragglers (each with a front-pinned
+# family sibling) rotate into round 4's front. Relative order within each
 # group is the module definition order.
 _GATE_FRONT = [
     "q19_disjunctive_revenue",
@@ -35,41 +37,41 @@ _GATE_FRONT = [
     "q16_supplier_part_counts",
     "q20_excess_stock_suppliers",
     "q21_sole_returned_supplier",
-    "text_token_stats",
     "text_quality_score",
     "text_langid",
-    "doc_fingerprint",
     "exact_dedup_docs",
     "token_frequencies",
     "bpe_token_stats",
     "winnow_fingerprints",
-    "minhash_signatures",
     "lsh_candidate_pairs",
     "near_dup_pairs",
     "ngram_jaccard_pairs",
-    "simhash_fingerprints",
     "simhash_near_dup",
     "approx_profile",
     "train_test_split",
-    "unigram_surprisal",
     "tfidf_keywords",
     "near_dup_clusters",
     "incremental_near_dup",
-    "token_budget_sample",
     "split_contamination",
     "stratified_sample_docs",
-    "pipeline_clean_corpus",
     "pipeline_clean_corpus_v2",
     "multimodal_features",
     "embedding_stats",
     "cosine_topk",
-    "embedding_normalize",
     "embedding_quantize",
     "ann_lsh_buckets",
-    "ann_bucket_candidates",
     "ann_multiprobe_candidates",
     "embedding_near_dup",
     "ivf_topk",
+    "dup_span_stats",
+    "strip_dup_spans",
+    "semantic_dedup",
+    "dsir_importance",
+    "hard_triplet_mining",
+    "image_phash_near_dup",
+    "source_mix_weights",
+    "quality_classifier",
+    "exact_ngram_decontamination",
     "q1_pricing_summary",  # canary: green in r01+r02, re-pinned each round
 ]
 
