@@ -1799,3 +1799,32 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated"),
         (F.sum(F.coalesce("_hit", F.lit(0))) > 0).alias("contaminated"),
     )
+
+
+@q(
+    "bpe_pair_counts",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ), wf AS (
+        SELECT word, count(*) AS freq FROM tok
+        WHERE length(word) > 0 GROUP BY word
+    ), pairs AS (
+        SELECT freq,
+               unnest(list_transform(range(1, length(word)),
+                      i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1)))
+                   AS pair
+        FROM wf WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent character-pair frequencies over the corpus word table —
+    merge iteration 0 of distributed BPE tokenizer training
+    (operators/bpe.py:train_bpe; full training loop is pytest-proven
+    against a pure-Python Sennrich reference)."""
+    from pydatalake_spark.operators.bpe import pair_counts, word_freqs
+
+    return pair_counts(word_freqs(_t(spark, sf, "documents")))
