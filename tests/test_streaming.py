@@ -205,3 +205,41 @@ def test_stream_ingest_rejects_corpus_near_dups(spark, tmpdir_path):
     stream_ingest_dedup_corpus(spark, src_dir, corpus_dir, schema)
     ids = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
     assert ids == {1, 11, 21}
+
+
+def test_stream_stream_attribution_matches_batch(spark, events, tmpdir_path):
+    """Watermarked stream-stream join (streaming/join.py): the in-flight
+    view->click attribution must emit exactly the batch join's pairs."""
+    from pydatalake_spark.streaming.join import stream_attribution
+
+    ev = events.limit(2000).select("user_id", "ts", "event_type")
+    vdir = os.path.join(tmpdir_path, "views_src")
+    cdir = os.path.join(tmpdir_path, "clicks_src")
+    ev.filter(F.col("event_type") == "view").write.parquet(vdir)
+    ev.filter(F.col("event_type") == "click").write.parquet(cdir)
+    schema = spark.read.parquet(vdir).schema
+
+    vs = spark.readStream.schema(schema).parquet(vdir)
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    q = (
+        stream_attribution(vs, cs, window_minutes=5)
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.view_ts, r.click_ts)
+        for r in spark.sql("SELECT * FROM attr_test").collect()
+    }
+
+    # batch twin: same function over static frames (watermarks are no-ops)
+    want_rows = stream_attribution(
+        spark.read.parquet(vdir), spark.read.parquet(cdir), window_minutes=5
+    ).collect()
+    want = {(r.user_id, r.view_ts, r.click_ts) for r in want_rows}
+    assert got == want and len(want) > 0
+    # lag bounds respected
+    assert all(0 <= r.lag_seconds < 300 for r in want_rows)
