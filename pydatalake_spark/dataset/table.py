@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pydatalake_spark.operators.dedup import distinct_table
@@ -232,6 +233,57 @@ class DataLakeTable:
         deduped = dedup_by_clusters(df, pairs, id_col=id_col)
         return DataLakeTable(
             self.spark, path=self.path, fmt=self.fmt, name=self.name, df=deduped
+        )
+
+    def strip_spans(
+        self,
+        id_col: str,
+        text_col: str = "text",
+        window: int = 8,
+        min_docs: int = 1,
+    ) -> "DataLakeTable":
+        """Remove cross-document duplicated spans in the fluent chain
+        (operators/span_dedup.py:strip_dup_spans): the substring-dedup
+        tier between exact dedup and document-level near-dedup. Replaces
+        ``text_col`` with the stripped text (other columns re-joined by
+        ``id_col``)."""
+        from pydatalake_spark.operators.span_dedup import strip_dup_spans
+
+        df = self.to_df()
+        stripped = strip_dup_spans(
+            df, id_col=id_col, text_col=text_col,
+            window=window, min_docs=min_docs,
+        ).select(id_col, F.col("clean_text").alias(text_col))
+        out = df.drop(text_col).join(stripped, id_col)
+        return DataLakeTable(
+            self.spark, path=self.path, fmt=self.fmt, name=self.name, df=out
+        )
+
+    def dedup_semantic(
+        self,
+        id_col: str,
+        vec_col: str = "embedding",
+        num_cells: int = 8,
+        threshold: float = 0.9,
+        **kwargs,
+    ) -> "DataLakeTable":
+        """SemDeDup in the fluent chain (operators/semdedup.py): keep only
+        rows whose embedding has no higher-priority (lower-id) cosine
+        neighbor >= ``threshold`` within its cluster cell."""
+        from pydatalake_spark.operators.semdedup import semantic_dedup
+
+        df = self.to_df()
+        keep = (
+            semantic_dedup(
+                df, id_col=id_col, vec_col=vec_col,
+                num_cells=num_cells, threshold=threshold, **kwargs,
+            )
+            .filter("keep")
+            .select(id_col)
+        )
+        return DataLakeTable(
+            self.spark, path=self.path, fmt=self.fmt, name=self.name,
+            df=df.join(keep, id_col, "left_semi"),
         )
 
     # --- write surface ------------------------------------------------------

@@ -62,3 +62,33 @@ def test_strip_min_docs_threshold(spark):
     assert all(
         r.n_kept_tokens == r.n_tokens for r in out.collect()
     )
+
+
+def test_fluent_strip_spans_and_semantic_dedup(spark):
+    import math
+
+    from pydatalake_spark.dataset.table import DataLakeTable
+
+    t = DataLakeTable(spark, df=_corpus(spark))
+    out = {
+        r.doc_id: r.text
+        for r in t.strip_spans("doc_id").to_df().collect()
+    }
+    assert out[1] == "unique one two three"
+    assert out[3].startswith("completely different")
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.999, 0.01]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = (
+        DataLakeTable(spark, df=emb)
+        .dedup_semantic("vec_id", num_cells=1, threshold=0.95)
+        .to_df()
+        .collect()
+    )
+    assert {r.vec_id for r in kept} == {0, 1}
