@@ -27,7 +27,7 @@ materialization; convergence is detected with a count() on changed labels
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -193,3 +193,93 @@ def connected_components_star(
         labels.select("node"), "node", "left_anti"
     ).withColumn("cluster_id", F.col("node"))
     return labels.unionByName(roots)
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """(node, rank): PageRank over the UNDIRECTED pair graph (Page et al.
+    1999) — each near-dup edge walks both ways.
+
+    Use case: canonical-representative selection. min-id dedup keeps an
+    arbitrary cluster member; keeping the highest-rank member keeps the
+    most CENTRAL one (the version most other duplicates derive from),
+    which is the better canonical document for training corpora.
+
+    Scale shape: per iteration, one join of ranks onto the edge list
+    (keyed by node — ids and doubles only) and one keyed aggregation; no
+    node ever holds its neighborhood in memory, so hub nodes spread over
+    the cluster. Lineage is truncated every few rounds exactly like
+    connected_components above. Every node in the pair graph has degree
+    >= 1, so there is no dangling-mass term.
+    """
+    bidir = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+    for it in range(iters):
+        contrib = (
+            bidir.join(
+                ranks.join(deg, ranks.node == deg.src)
+                .select("node", (F.col("rank") / F.col("deg")).alias("share")),
+                bidir.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("in_share"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_share", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def canonical_by_rank(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Near-dup dedup keeping each cluster's highest-PageRank member
+    (ties broken by min id). Rows with no near-dup edge survive as-is."""
+    comps = connected_components(pairs)  # (node, cluster_id)
+    pr = pagerank(pairs, damping=damping, iters=iters)
+    ranked = comps.join(pr, "node")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank").desc(), F.col("node").asc()
+    )
+    keep = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("node").alias(id_col))
+    )
+    drop = comps.select(F.col("node").alias(id_col)).join(
+        keep, id_col, "left_anti"
+    )
+    return df.join(drop, id_col, "left_anti")
