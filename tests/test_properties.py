@@ -162,3 +162,66 @@ def test_ngram_jaccard_matches_set_model(spark, texts):
     assert set(got) == set(expect)
     for pair, j in expect.items():
         assert abs(got[pair] - j) < 1e-12
+
+
+# --- span dedup vs a pure-Python model --------------------------------------
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_words, min_size=1, max_size=10).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+def _span_model(texts, k=3):
+    """Reference model: per-doc window multiset + cross-doc dup mask."""
+    docs = {i: t.split() for i, t in enumerate(texts)}
+    wins = {
+        i: (
+            [" ".join(t[j : j + k]) for j in range(len(t) - k + 1)]
+            if len(t) >= k
+            else [" ".join(t)]
+        )
+        for i, t in docs.items()
+    }
+    owners = {}
+    for i, ws in wins.items():
+        for w in set(ws):
+            owners.setdefault(w, set()).add(i)
+    dup = {w for w, o in owners.items() if len(o) > 1}
+    stats = {
+        i: (len(ws), sum(1 for w in ws if w in dup))
+        for i, ws in wins.items()
+    }
+    kept = {}
+    for i, t in docs.items():
+        starts = [j for j, w in enumerate(wins[i]) if w in dup]
+        short = len(t) < k
+        mask = [
+            not any(j <= p < j + k or short for j in starts)
+            for p in range(len(t))
+        ]
+        kept[i] = " ".join(tok for tok, m in zip(t, mask) if m)
+    return stats, kept
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_span_dedup_matches_model(spark, texts):
+    from pydatalake_spark.operators.span_dedup import (
+        dup_span_stats,
+        strip_dup_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    stats, kept = _span_model(texts, k=3)
+    got_stats = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in dup_span_stats(df, window=3).collect()
+    }
+    assert got_stats == stats
+    got_kept = {
+        r.doc_id: r.clean_text
+        for r in strip_dup_spans(df, window=3).collect()
+    }
+    assert got_kept == kept
