@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "strip_dup_spans",
     "semantic_dedup",
     "dsir_importance",
+    "exact_ngram_decontamination",
+    "quality_classifier",
+    "bpe_pair_counts",
+    "hard_triplet_mining",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -625,3 +625,68 @@ def hard_triplets(
         .select("q_id", "c_id", "sim", F.lit("hard_pos").alias("kind"))
     )
     return negs.unionByName(poss)
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-rank ANN over int8-quantized vectors (q_a·q_b integer dot,
+    rescaled by the per-vector scales) — the memory tier for the 100 TB
+    embedding store: the corpus ships/shuffles 4x smaller (int8 vs
+    float32) and the scoring dot is integer arithmetic, at a small
+    controlled recall cost (pytest pins recall@10 vs the float path).
+
+    cosine(a, b) ≈ (q_a·q_b) / (s_a·s_b·|a|·|b|): for symmetric
+    quantization the norms also come from the codes, so nothing float is
+    retained per vector except one scale. Same plan shape as cosine_topk:
+    queries broadcast, corpus never shuffles, one rank window per query.
+    """
+    cq = quantize_embeddings(
+        fan_out(corpus), vec_col=vec_col, out_col="cq", scale_col="cs"
+    ).select(
+        F.col(id_col).alias("c_id"),
+        "cq",
+        F.coalesce("cs", F.lit(0.0)).alias("cs"),
+    )
+    qq = quantize_embeddings(
+        queries, vec_col=vec_col, out_col="qq", scale_col="qs"
+    ).select(
+        F.col(id_col).alias("q_id"),
+        "qq",
+        F.coalesce("qs", F.lit(0.0)).alias("qs"),
+    )
+    # int dot + int self-norms, bound per side before the pair expression
+    def _inorm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("long") * x.cast("long")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+
+    cq = cq.withColumn("cn", _inorm(F.col("cq")))
+    qq = qq.withColumn("qn", _inorm(F.col("qq")))
+    pairs = cq.crossJoin(F.broadcast(qq)).filter(F.col("q_id") != F.col("c_id"))
+    idot = F.aggregate(
+        F.zip_with("cq", "qq", lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sim = pairs.select(
+        "q_id",
+        "c_id",
+        (idot.cast("double") / F.nullif(F.col("cn") * F.col("qn"), F.lit(0.0))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "sim")
+    )

@@ -127,3 +127,24 @@ def test_hard_triplets_labels_and_ranks(spark):
             r.sim for r in rs if labels.get(r.c_id) == labels[q_id]
         ]
         assert poss[0].sim == min(all_pos_sims)
+
+
+def test_quantized_topk_recall(spark):
+    """int8 top-k must recover >=80% of the float top-10 on the fixture
+    corpus (4x memory cut, bounded recall cost)."""
+    from pydatalake_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+    from pydatalake_spark.queries.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter("vec_id < 10")
+    exact = {(r.q_id, r.c_id) for r in cosine_topk(e, q, k=10).collect()}
+    quant = {
+        (r.q_id, r.c_id)
+        for r in cosine_topk_quantized(e, q, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
