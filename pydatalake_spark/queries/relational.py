@@ -2222,3 +2222,83 @@ def q21_sole_returned_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@q(
+    "session_sequences",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        <= 1800000000
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavior-sequence corpus: each 30-min-gap session becomes an
+    ordered event-type token sequence — the events->training-text bridge
+    (next-event prediction / session LMs). Ordering inside the aggregate
+    is made deterministic by sorting (ts, event_id, type) STRUCTS with
+    array_sort — collect_list alone is shuffle-order-dependent, which
+    would be silently nondeterministic at scale. Same single user_id
+    partitioning serves the gap window, the running sum, and the final
+    aggregation."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap <= 30 * 60 * 1_000_000, 0).otherwise(1)
+    s = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        new_sess.alias("new_sess"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(ordered, lambda x: x["event_type"]), " "
+        ).alias("seq"),
+    )
+
+
+@q(
+    "k_anonymity_screen",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 5 AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy screen for training-data release: group sizes over the
+    quasi-identifier combination (nation, market segment) — any group
+    smaller than k=5 re-identifies individuals and must be suppressed or
+    generalized before the table ships (Sweeney's k-anonymity). One
+    partial-agg groupBy; at 100 TB the screen costs one shuffle of the
+    quasi-identifier projection."""
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        (F.count(F.lit(1)) < 5).alias("at_risk"),
+    )
