@@ -213,7 +213,10 @@ _PHASH_GRID = (8, 9)  # dHash: 8 rows x 9 cols -> 8x8 gradient bits
 
 
 def perceptual_hashes(
-    df: DataFrame, decode_stub: str = "fake"
+    df: DataFrame,
+    decode_stub: str = "fake",
+    payload_col: str = "payload",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """64-bit dHash per media payload (difference hash: each bit compares
     horizontally adjacent pixels of a downscaled grayscale image — the
@@ -231,6 +234,11 @@ def perceptual_hashes(
         raise ValueError("decode_stub must be 'fake' or 'error'")
     rows, cols = _PHASH_GRID
     n_px = rows * cols
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(c, T.IntegerType()) for c in extra_cols]
+        + [T.StructField("phash", T.LongType())]
+    )
 
     def _fake_pixels(b: bytes) -> list[int]:
         if not b:
@@ -257,16 +265,19 @@ def perceptual_hashes(
                     "image codec not available in this runtime; "
                     "install PIL and replace the 'fake' pixel stub"
                 )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "phash": pdf["payload"]
-                    .map(lambda b: _dhash(_fake_pixels(bytes(b))))
-                    .astype("int64"),
-                }
+            out = {"media_id": pdf["media_id"]}
+            for c in extra_cols:
+                out[c] = pdf[c].astype("int32")
+            out["phash"] = (
+                pdf[payload_col]
+                .map(lambda b: _dhash(_fake_pixels(bytes(b))))
+                .astype("int64")
             )
+            yield pd.DataFrame(out)
 
-    return df.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+    return df.select("media_id", *extra_cols, payload_col).mapInPandas(
+        run, schema
+    )
 
 
 def phash_near_dup(
@@ -322,4 +333,77 @@ def phash_near_dup(
         .filter(ham <= max_hamming)
         .select("id_a", "id_b", ham.alias("hamming"))
         .distinct()
+    )
+
+
+def video_near_dup(
+    df: DataFrame,
+    num_frames: int = 4,
+    max_hamming: int = 8,
+    min_matching_frames: int = 2,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """(id_a, id_b, n_matching_frames): video near-duplicates by
+    frame-fingerprint overlap — sample ``num_frames`` frames per video,
+    dHash each frame, band-block the frame hashes, verify with
+    bit_count(xor), and keep video pairs sharing at least
+    ``min_matching_frames`` near-identical frames (the standard
+    keyframe-fingerprint video dedup recipe, composed entirely from the
+    frame sampler and the image pHash machinery above).
+
+    Scale: frames expand rows x num_frames but payloads are dropped right
+    after hashing — the candidate join moves (video_id, frame_idx, long)
+    triples on 16-bit band keys; the final count is one keyed aggregation.
+    """
+    frames = sample_frames(df, num_frames=num_frames, decode_stub=decode_stub)
+    fh = perceptual_hashes(
+        frames,
+        decode_stub=decode_stub,
+        payload_col="frame",
+        extra_cols=("frame_idx",),
+    )
+    bands = fh.select(
+        "media_id",
+        "frame_idx",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "frame_idx", "phash", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("frame_idx").alias("fa"),
+        F.col("phash").alias("ha"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("frame_idx").alias("fb"),
+        F.col("phash").alias("hb"),
+        "band",
+        "key",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    matched = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(F.count_distinct("fa").alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
     )

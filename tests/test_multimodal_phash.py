@@ -56,3 +56,25 @@ def test_error_stub_raises(spark):
 
     with pytest.raises(Exception, match="codec"):
         perceptual_hashes(_media(spark), decode_stub="error").collect()
+
+
+def test_video_near_dup_by_frame_overlap(spark):
+    from pydatalake_spark.operators.multimodal import video_near_dup
+
+    long_a = " ".join(f"tok{i}" for i in range(400))
+    # same length, last quarter replaced -> frames 0-2 identical, 3 differs
+    cut = len(long_a) * 3 // 4
+    long_b = long_a[:cut] + "z" * (len(long_a) - cut)
+    other = " ".join(f"other{i}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b), (4, other)],
+        "doc_id long, text string",
+    )
+    media = attach_payload(df, "doc_id", "text")
+    out = {
+        (r.id_a, r.id_b): r.n_matching_frames
+        for r in video_near_dup(media, min_matching_frames=2).collect()
+    }
+    assert out[(1, 2)] == 4           # identical videos: all frames match
+    assert (1, 3) in out and out[(1, 3)] >= 2   # shared prefix frames
+    assert not any(4 in p for p in out)
