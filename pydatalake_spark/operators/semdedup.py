@@ -130,3 +130,16 @@ def semantic_dedup(
         F.col("cell"),
         F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
     )
+
+
+def suggest_num_cells(n_vectors: int, target_cell_size: int = 1000) -> int:
+    """Cell count that keeps within-cell pair work bounded.
+
+    SemDeDup's verify cost is sum(|cell|^2) ~ n^2 / C for balanced cells:
+    at fixed C it grows quadratically with the corpus. Hold |cell| ~
+    ``target_cell_size`` instead — C = n / target — and total pair work
+    becomes n * target (LINEAR in n, the knob the paper tunes the same
+    way). Powers of two keep the k-means training sample per cell sane.
+    """
+    c = max(1, n_vectors // max(1, target_cell_size))
+    return 1 << (c - 1).bit_length()  # next power of two

@@ -2302,3 +2302,59 @@ def k_anonymity_screen(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("group_size"),
         (F.count(F.lit(1)) < 5).alias("at_risk"),
     )
+
+
+@q(
+    "key_skew_profile",
+    """
+    WITH per AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ), summary AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_count,
+               CAST(sum(c) AS DOUBLE) / count(*) AS avg_count,
+               CAST(max(c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) / count(*))
+                   AS skew_ratio
+        FROM per
+    ), top AS (
+        SELECT user_id, CAST(c AS BIGINT) AS c,
+               row_number() OVER (ORDER BY c DESC, user_id ASC) AS rn
+        FROM per
+    )
+    SELECT s.n_keys, s.max_count, s.avg_count, s.skew_ratio,
+           t.rn AS rank, t.user_id AS hot_key, t.c AS hot_count
+    FROM summary s CROSS JOIN top t
+    WHERE t.rn <= 5
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: per-key cardinality summary plus the
+    top-5 hottest keys — the operational pre-check before keying a 100 TB
+    join/agg on a column (hot keys -> salting / AQE skew split;
+    operators/scaling.py:salted_agg). One partial-agg groupBy; the
+    summary and top-k both ride the tiny per-key table."""
+    e = _t(spark, sf, "events")
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    summary = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_count"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("avg_count"),
+        (
+            F.max("c").cast("double")
+            / (F.sum("c").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_ratio"),
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("user_id").asc())
+    top = (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "rank",
+            F.col("user_id").alias("hot_key"),
+            F.col("c").cast("long").alias("hot_count"),
+        )
+    )
+    return summary.crossJoin(top).select(
+        "n_keys", "max_count", "avg_count", "skew_ratio",
+        "rank", "hot_key", "hot_count",
+    )

@@ -148,3 +148,12 @@ def test_quantized_topk_recall(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"recall {recall}"
+
+
+def test_suggest_num_cells_keeps_pair_work_linear(spark):
+    from pydatalake_spark.operators.semdedup import suggest_num_cells
+
+    assert suggest_num_cells(500) == 1
+    assert suggest_num_cells(1_000_000) == 1024
+    # pair work n*target stays ~linear: C doubles when n doubles
+    assert suggest_num_cells(2_000_000) == 2 * suggest_num_cells(1_000_000)
