@@ -407,3 +407,87 @@ def video_near_dup(
         .agg(F.count_distinct("fa").alias("n_matching_frames"))
         .filter(F.col("n_matching_frames") >= min_matching_frames)
     )
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("is_silence", T.BooleanType()),
+    ]
+)
+
+
+def audio_chunk_energy(
+    df: DataFrame,
+    chunk_samples: int = 8000,
+    hop_samples: int | None = None,
+    silence_rms: float = 1.0,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Audio chunking + RMS energy screen: 1 row in → chunks out, each
+    with its root-mean-square level and a silence flag (the
+    voice-activity pre-filter of audio training pipelines: drop silent
+    chunks before the expensive ASR/embedding stage).
+
+    Production wiring point: soundfile/ffmpeg PCM decode replaces the
+    'fake' stub (payload bytes read as unsigned 8-bit samples, zero-mean
+    shifted). The chunk/hop/RMS math is real and runs on whatever the
+    decode yields. Overlapping windows via ``hop_samples`` < chunk.
+
+    Scale: the payload is dropped immediately after the energy reduction —
+    only (id, idx, two scalars) leave the Python worker, so downstream
+    filters/joins move no audio bytes.
+    """
+    if decode_stub not in ("fake", "error"):
+        raise ValueError("decode_stub must be 'fake' or 'error'")
+    hop = hop_samples or chunk_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "audio codec not available in this runtime; "
+                    "install soundfile/ffmpeg and replace the 'fake' "
+                    "PCM stub"
+                )
+            ids, idxs, ns, rmss, sil = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                samples = bytes(b)  # fake decode: u8 PCM
+                pos = 0
+                idx = 0
+                while pos < len(samples) or idx == 0:
+                    chunk = samples[pos : pos + chunk_samples]
+                    if not chunk and idx > 0:
+                        break
+                    mean = sum(chunk) / len(chunk) if chunk else 0.0
+                    var = (
+                        sum((s - mean) ** 2 for s in chunk) / len(chunk)
+                        if chunk
+                        else 0.0
+                    )
+                    rms = var**0.5
+                    ids.append(mid)
+                    idxs.append(idx)
+                    ns.append(len(chunk))
+                    rmss.append(rms)
+                    sil.append(rms < silence_rms)
+                    idx += 1
+                    pos += hop
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": idxs,
+                    "n_samples": ns,
+                    "rms": rmss,
+                    "is_silence": sil,
+                }
+            ).astype(
+                {"chunk_idx": "int32", "n_samples": "int64"}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, AUDIO_CHUNK_SCHEMA
+    )

@@ -2358,3 +2358,64 @@ def key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
         "n_keys", "max_count", "avg_count", "skew_ratio",
         "rank", "hot_key", "hot_count",
     )
+
+
+@q(
+    "resample_ffill",
+    """
+    WITH d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS n, avg(value) AS av
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        FROM span
+    ), j AS (
+        SELECT g.user_id, g.day, d.n, d.av
+        FROM grid g LEFT JOIN d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           last_value(av IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS avg_value_ffill,
+           n IS NULL AS is_gap
+    FROM j
+    """,
+)
+def resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style resample: regularize each user's event stream onto
+    a daily grid (min..max of that user's own span), forward-filling the
+    daily average through gaps — the gap-fill + locf operator of
+    time-series stores, as one grid explode + left join + ignore-nulls
+    window. Scale: grid rows ~ users x days (output-bound); the join and
+    the fill window share the (user_id, day) partitioning; no driver-side
+    date arithmetic."""
+    e = _t(spark, sf, "events")
+    d = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("av"))
+    span = d.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = grid.join(d, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.last("av", ignorenulls=True).over(w).alias("avg_value_ffill"),
+        F.col("n").isNull().alias("is_gap"),
+    )

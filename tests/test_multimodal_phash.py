@@ -78,3 +78,28 @@ def test_video_near_dup_by_frame_overlap(spark):
     assert out[(1, 2)] == 4           # identical videos: all frames match
     assert (1, 3) in out and out[(1, 3)] >= 2   # shared prefix frames
     assert not any(4 in p for p in out)
+
+
+def test_audio_chunk_energy_flags_silence(spark):
+    from pydatalake_spark.operators.multimodal import audio_chunk_energy
+
+    loud = bytes(range(200)) * 40          # varied samples -> high RMS
+    quiet = bytes([100]) * 8000            # constant -> RMS 0 (silence)
+    mixed = loud[:8000] + quiet[:8000]
+    df = spark.createDataFrame(
+        [(1, bytearray(loud[:8000])), (2, bytearray(quiet)),
+         (3, bytearray(mixed))],
+        "media_id long, payload binary",
+    )
+    out = {
+        (r.media_id, r.chunk_idx): r
+        for r in audio_chunk_energy(df, chunk_samples=8000).collect()
+    }
+    assert not out[(1, 0)].is_silence and out[(1, 0)].rms > 10
+    assert out[(2, 0)].is_silence and out[(2, 0)].rms == 0.0
+    assert not out[(3, 0)].is_silence and out[(3, 1)].is_silence
+    # overlapping windows: hop 4000 doubles chunk count minus edge
+    n_overlap = audio_chunk_energy(
+        df.filter("media_id = 3"), chunk_samples=8000, hop_samples=4000
+    ).count()
+    assert n_overlap == 4  # starts at 0, 4000, 8000, 12000
