@@ -2419,3 +2419,46 @@ def resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
         F.last("av", ignorenulls=True).over(w).alias("avg_value_ffill"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@q(
+    "hopping_window_agg",
+    """
+    WITH k AS (SELECT unnest([0, 1]) AS k), w AS (
+        SELECT e.event_type, e.value,
+               CAST(date_trunc('epoch',
+                    to_timestamp(
+                        (CAST(floor(epoch_us(e.ts) / 1800000000.0) AS BIGINT)
+                         - k.k) * 1800)) AS TIMESTAMP) AS win_start
+        FROM events e CROSS JOIN k
+        WHERE (CAST(floor(epoch_us(e.ts) / 1800000000.0) AS BIGINT) - k.k)
+                  * 1800000000 + 3600000000 > epoch_us(e.ts)
+    )
+    SELECT win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM w GROUP BY win_start, event_type
+    """,
+)
+def hopping_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows every 30
+    minutes via the native ``F.window(ts, '1 hour', '30 minutes')`` —
+    each event lands in exactly width/hop windows, expanded JVM-side by
+    the operator itself (no manual union of shifted tumbles). The oracle
+    reconstructs the same windows with the k-shift trick."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
