@@ -2462,3 +2462,44 @@ def hopping_window_agg(spark: SparkSession, sf: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@q(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) / CAST(sum(count(*)) OVER (PARTITION BY prev_type)
+                           AS DOUBLE) AS p
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (the model behind next-event prediction baselines and funnel
+    diagnostics): one lag window + one aggregation, both on the user_id
+    partitioning; the row-normalized probabilities ride a window over the
+    (tiny) grouped result."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    g = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return g.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wp).cast("double")).alias("p"),
+    )
