@@ -1828,3 +1828,74 @@ def bpe_pair_counts_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.bpe import pair_counts, word_freqs
 
     return pair_counts(word_freqs(_t(spark, sf, "documents")))
+
+
+@q(
+    "lsh_recall_eval",
+    _shingle_cte()
+    + f""", bb AS ({_bands_sql()}),
+    sets AS (
+        SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+    ), inv AS (
+        SELECT doc_id, unnest(sset) AS shingle FROM sets
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id
+    ), co AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), exact AS (
+        SELECT id_a, id_b FROM co
+        JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bb a JOIN bb b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), lsh AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+        WHERE len(list_intersect(sa.sset, sb.sset))
+                / (len(sa.sset) + len(sb.sset)
+                   - len(list_intersect(sa.sset, sb.sset))) >= 0.5
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM lsh JOIN exact USING (id_a, id_b)) AS n_hits,
+           (SELECT count(*) FROM lsh JOIN exact USING (id_a, id_b))
+               / CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall,
+           (SELECT count(*) FROM lsh JOIN exact USING (id_a, id_b))
+               / CAST((SELECT count(*) FROM lsh) AS DOUBLE) AS prec
+    """,
+)
+def lsh_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Measure, don't guess: MinHash-LSH near-dup recall/precision against
+    the exact inverted-index ground truth (no DF cap) at the same Jaccard
+    threshold. Run per-corpus before trusting LSH parameters — band count
+    and hash count trade recall for candidate volume. Precision is 1.0 by
+    construction (the verify step), which this query CHECKS rather than
+    assumes."""
+    from pydatalake_spark.operators.minhash import near_dup_pairs
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    exact = ngram_jaccard_pairs(
+        d, shingle_size=_MH_K, threshold=0.5, max_df=None
+    ).select("id_a", "id_b")
+    lsh = near_dup_pairs(
+        d, num_hashes=_MH_N, num_bands=_MH_BANDS,
+        shingle_size=_MH_K, jaccard_threshold=0.5,
+    ).select("id_a", "id_b")
+    hits = lsh.join(exact, ["id_a", "id_b"])
+    one = lambda df: df.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        one(exact).select(F.col("c").alias("n_exact"))
+        .crossJoin(one(lsh).select(F.col("c").alias("n_lsh")))
+        .crossJoin(one(hits).select(F.col("c").alias("n_hits")))
+        .select(
+            "n_exact", "n_lsh", "n_hits",
+            (F.col("n_hits") / F.col("n_exact").cast("double")).alias("recall"),
+            (F.col("n_hits") / F.col("n_lsh").cast("double")).alias("prec"),
+        )
+    )
