@@ -1899,3 +1899,52 @@ def lsh_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_hits") / F.col("n_lsh").cast("double")).alias("prec"),
         )
     )
+
+
+@q(
+    "char_entropy",
+    """
+    WITH ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(text) + 1),
+                      i -> substr(text, i, 1))) AS c
+        FROM documents
+    ), hist AS (
+        SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+    ), tot AS (
+        SELECT doc_id, sum(k) AS n FROM hist GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           -sum((k / CAST(t.n AS DOUBLE)) * ln(k / CAST(t.n AS DOUBLE)))
+               AS entropy
+    FROM hist h JOIN tot t USING (doc_id)
+    GROUP BY h.doc_id, t.n
+    """,
+)
+def char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    gibberish/encoding-junk detector (near-zero entropy = repeated chars,
+    near-log(alphabet) = random noise; natural text sits in a stable
+    band). Explode -> two keyed aggregations, both partial-agg'd; the
+    entropy reduction rides the (doc, char) histogram, never raw text."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "(?!^)")).alias("c")
+    ).filter(F.col("c") != "")
+    hist = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.partitionBy("doc_id")
+    n = F.sum("k").over(w)
+    p = F.col("k") / n.cast("double")
+    return (
+        hist.select("doc_id", F.col("k"), n.alias("n"), (-p * F.log(p)).alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.sum("term").alias("entropy"),
+        )
+    )
