@@ -283,3 +283,34 @@ def canonical_by_rank(
         keep, id_col, "left_anti"
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_by_clusters_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    priority_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Keep the BEST row per near-dup cluster instead of the min-id one:
+    the survivor maximizes ``priority_col`` (ties -> min id). Pair with a
+    quality score so dedup removes the low-quality copies — the min-id
+    rule throws away a clean original whenever a truncated mirror happens
+    to carry a smaller id.
+
+    Same shape as dedup_by_clusters plus one narrow join to fetch the
+    priority of clustered rows (ids + one numeric move, never payloads).
+    """
+    cc = connected_components(pairs, src_col, dst_col)
+    pri = df.select(F.col(id_col).alias("node"), F.col(priority_col))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(priority_col).desc(), F.col("node").asc()
+    )
+    drop = (
+        cc.join(pri, "node")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, on=id_col, how="left_anti")

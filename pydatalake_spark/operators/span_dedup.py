@@ -160,3 +160,45 @@ def strip_dup_spans(
             F.transform(kept, lambda i: F.element_at("toks", i + 1)), " "
         ).alias("clean_text"),
     )
+
+
+def dup_spans_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Incremental span screen: per BATCH document, the fraction of its
+    windows already present in the CORPUS — the ingest-time twin of
+    dup_span_stats (a batch doc full of corpus boilerplate gets flagged
+    before it lands). The corpus side reduces to a distinct window-hash
+    set once per micro-batch; the batch side is typically tiny, so the
+    semi-join probes, not rebuilds, the corpus index. No batch x batch or
+    corpus x corpus work.
+    """
+    corpus_w = (
+        _doc_window_hashes(corpus, id_col, text_col, window)
+        .select("wh")
+        .distinct()
+    )
+    bw = _doc_window_hashes(batch, id_col, text_col, window)
+    hits = bw.join(
+        corpus_w.withColumn("_hit", F.lit(1)), "wh", "left"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_known"),
+        (
+            F.sum(F.coalesce("_hit", F.lit(0)))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("known_fraction"),
+    )
+
+
+def _doc_window_hashes(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    base = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    wh = _window_hashes(F.col("_toks"))(window)
+    return base.select(F.col(id_col), F.explode(wh).alias("wh"))

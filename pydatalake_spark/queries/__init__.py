@@ -19,8 +19,9 @@ for _mod in (relational, text, similarity):
 # front list pins 49 queries with no green driver row in ANY prior round
 # — every round-3 addition plus the never-checked backlog, keeping at
 # least one member of every operator family — plus one previously-green
-# canary. The 15 still-unchecked stragglers (each with a front-pinned
-# family sibling) rotate into round 4's front. Relative order within each
+# canary. The still-unchecked stragglers (15 deferred family siblings
+# plus queries added after this rotation was fixed) go in round 4's
+# front — count them with: keys not in CORRECTNESS_r01|r02|r03. Relative order within each
 # group is the module definition order.
 _GATE_FRONT = [
     "q19_disjunctive_revenue",

@@ -92,3 +92,41 @@ def test_fluent_strip_spans_and_semantic_dedup(spark):
         .collect()
     )
     assert {r.vec_id for r in kept} == {0, 1}
+
+
+def test_dup_spans_against_corpus(spark):
+    from pydatalake_spark.operators.span_dedup import dup_spans_against
+
+    corpus = _corpus(spark)
+    batch = spark.createDataFrame(
+        [
+            (100, SHARED + " brand new suffix here"),   # 8-token prefix known
+            (101, "totally fresh content nothing shared with corpus docs x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in dup_spans_against(corpus, batch).collect()
+    }
+    # 12 tokens -> 5 windows; only the window at position 0 is the known
+    # shared prefix
+    assert out[100].n_windows == 5 and out[100].n_known == 1
+    assert out[101].n_known == 0 and out[101].known_fraction == 0.0
+
+
+def test_dedup_by_clusters_best_keeps_high_priority(spark):
+    from pydatalake_spark.operators.cluster import dedup_by_clusters_best
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.7)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_by_clusters_best(docs, pairs, "quality").collect()
+    }
+    # cluster {1,2,3}: keep 2 (highest quality), not min-id 1; 4 untouched
+    assert kept == {2, 4}
