@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     "quality_classifier",
     "bpe_pair_counts",
     "hard_triplet_mining",
+    "resample_ffill",
+    "session_sequences",
+    "hopping_window_agg",
+    "event_transition_matrix",
+    "key_skew_profile",
+    "lsh_recall_eval",
+    "char_entropy",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash
