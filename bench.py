@@ -301,10 +301,16 @@ def main() -> None:
         "queries": {n: round(v, 2) for n, v in timings.items()},
         "oracle_total_sec": oracle_total,
         "vs_oracle_ratio": detail["vs_oracle_ratio"],
-        # the 5 worst spark/duckdb ratios — the queries the judge should look at
+        # the 5 worst spark/duckdb ratios among queries where the oracle
+        # does >= 50 ms of real work — below that the ratio only measures
+        # Spark's fixed per-query overhead, not the plan
         "worst_ratios": dict(
             sorted(
-                ((n, r) for n, r in ratios.items() if r is not None),
+                (
+                    (n, r)
+                    for n, r in ratios.items()
+                    if r is not None and oracle_timings.get(n, 0) >= 0.05
+                ),
                 key=lambda kv: -kv[1],
             )[:5]
         ),
@@ -315,8 +321,10 @@ def main() -> None:
             for n, q in detail["scaling_probe"]["queries"].items()
         }
     line = json.dumps(out)
-    # hard guard: never exceed the driver's tail window
-    for drop in ("worst_ratios", "probe_exponents", "queries"):
+    # hard guard: never exceed the driver's tail window — shed the bulky
+    # per-query dict FIRST so the compact diagnostics (worst ratios,
+    # probe exponents) survive
+    for drop in ("queries", "worst_ratios", "probe_exponents"):
         if len(line) <= 1900:
             break
         out.pop(drop, None)
