@@ -10,6 +10,12 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+# (applicationId, sf_dir, name) -> analyzed DataFrame. The testdata tables
+# are immutable, so re-listing files and re-reading footers on every
+# load_table call is pure per-query overhead (~50-100 ms each) — cache the
+# ANALYZED PLAN (not the data; scans stay lazy and re-run per action).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
@@ -28,6 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin UTC + ANSI-off per session so results are caller-session-agnostic
     # (the driver's harness builds its own SparkSession)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -37,5 +47,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":  # NTZ wall time == UTC instant here
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        _TABLE_CACHE[key] = df
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
