@@ -1948,3 +1948,163 @@ def char_entropy(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("term").alias("entropy"),
         )
     )
+
+
+def _pipeline_v3_sql() -> str:
+    """Pipeline v3 oracle = v2 with the substring tier inserted: quality →
+    exact dedup → STRIP cross-doc duplicated 8-token spans → exact-Jaccard
+    near-dup over the CLEANED text → components → keep min id → split
+    counts. Stripping before near-dup means shared boilerplate no longer
+    glues unrelated documents into one cluster."""
+    k = _SPAN_K
+    quality = f"""len(list_filter(toks0, t -> t IN ({_STOP_SQL}))) / len(toks0) * 0.3
+             + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / nullif(length(text), 0)) * 0.2
+             + least(len(toks0) / 100, 1.0) * 0.5"""
+    return f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS toks0 FROM documents
+    ), docs0 AS (
+        SELECT doc_id, text FROM scored WHERE {quality} >= 0.45
+    ), keep1 AS (
+        SELECT min(doc_id) AS doc_id FROM docs0 GROUP BY md5(text)
+    ), docs1 AS (
+        SELECT d.doc_id, d.text FROM docs0 d JOIN keep1 kk ON d.doc_id = kk.doc_id
+    ), tok1 AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM docs1
+    ), win1 AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= {k}
+                    THEN list_transform(range(1, len(toks) - {k} + 2),
+                         i -> md5(array_to_string(toks[i:i+{k - 1}], ' ')))
+                    ELSE [md5(array_to_string(toks, ' '))] END AS whs
+        FROM tok1
+    ), ex1 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(whs) + 1),
+                      i -> {{'pos': i - 1, 'wh': whs[i]}})) AS u
+        FROM win1
+    ), pos1 AS (
+        SELECT doc_id, u.pos AS pos, u.wh AS wh FROM ex1
+    ), dups1 AS (
+        SELECT wh FROM pos1 GROUP BY wh HAVING count(DISTINCT doc_id) > 1
+    ), starts1 AS (
+        SELECT doc_id, list(pos) AS dup_starts
+        FROM pos1 JOIN dups1 USING (wh) GROUP BY doc_id
+    ), docs2 AS (
+        SELECT t.doc_id,
+               coalesce(array_to_string(list_transform(
+                   list_filter(range(0, len(t.toks)),
+                       i -> len(list_filter(coalesce(s.dup_starts, []),
+                            p -> i >= p AND (i < p + {k}
+                                             OR len(t.toks) < {k}))) = 0),
+                   i -> t.toks[i + 1]), ' '), '') AS text
+        FROM tok1 t LEFT JOIN starts1 s USING (doc_id)
+    ), tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM docs2
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_MH_K}
+                    THEN list_transform(range(1, len(toks) - {_MH_K - 2}),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM tok
+    ), sets AS (
+        SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+    ), inv0 AS (
+        SELECT doc_id, unnest(sset) AS shingle FROM sets
+    ), keepsh AS (
+        SELECT shingle FROM inv0 GROUP BY shingle
+        HAVING count(*) <= greatest(20, 0.01 * (SELECT count(*) FROM docs1))
+    ), inv AS (
+        SELECT inv0.doc_id, inv0.shingle FROM inv0 JOIN keepsh USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id
+    ), co AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT id_a, id_b
+        FROM co JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+    ), bidir AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+    ), labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ), final AS (
+        SELECT d.doc_id FROM docs1 d
+        WHERE NOT EXISTS (SELECT 1 FROM labels l
+                          WHERE l.doc_id = d.doc_id AND l.cluster_id != l.doc_id)
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+          FROM final)
+    GROUP BY 1
+    """
+
+
+@q("pipeline_clean_corpus_v3", _pipeline_v3_sql())
+def pipeline_clean_corpus_v3(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline v3 — the substring tier in the composed flow: quality
+    filter → exact dedup → strip cross-doc duplicated spans
+    (operators/span_dedup.py) → exact-Jaccard near-dup over CLEANED text
+    → connected components → keep min id → deterministic split. Stripping
+    boilerplate before near-dup stops shared headers/footers from fusing
+    unrelated documents into one cluster (the false-merge failure mode of
+    span-blind near-dedup)."""
+    from pydatalake_spark.functions.split import hash_bucket
+    from pydatalake_spark.operators.cluster import connected_components
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+    from pydatalake_spark.operators.span_dedup import strip_dup_spans
+
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    ) / F.nullif(F.length("text"), F.lit(0))
+    quality = (
+        stop_ratio * 0.3
+        + (F.lit(1) - punct_ratio) * 0.2
+        + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
+    )
+    docs0 = d.filter(quality >= 0.45).select("doc_id", "text")
+    keep1 = docs0.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs1 = docs0.join(keep1.select("doc_id"), "doc_id").cache()
+    docs2 = strip_dup_spans(docs1, window=_SPAN_K).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs2, shingle_size=_MH_K, threshold=0.5,
+        max_df=max(20, int(docs1.count() * 0.01)),
+    )
+    cc = connected_components(pairs)
+    drop = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    final = docs1.join(drop, "doc_id", "left_anti")
+    return (
+        final.select(hash_bucket("doc_id", 100).alias("__b"))
+        .select(
+            F.when(F.col("__b") < 80, "train")
+            .when(F.col("__b") < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
