@@ -19,12 +19,13 @@ from pydatalake_spark.queries import ORACLE, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the composed corpus-cleaning pipeline v2 (quality filter
-    -> exact dedup -> exact-Jaccard near-dup pairs -> connected-component
-    cluster resolution -> deterministic split) on /root/testdata/sf0.001 —
-    the engine's distinctive value over a plain SQL engine. (TPC-H-shape
-    relational coverage lives in the queries() corpus, q1-q22.)"""
-    return QUERIES["pipeline_clean_corpus_v2"](spark, "/root/testdata/sf0.001")
+    """Flagship: the composed corpus-cleaning pipeline v3 (quality filter
+    -> exact dedup -> cross-doc duplicated-span strip -> exact-Jaccard
+    near-dup over cleaned text -> connected-component cluster resolution
+    -> deterministic split) on /root/testdata/sf0.001 — the engine's
+    distinctive value over a plain SQL engine. (TPC-H-shape relational
+    coverage lives in the queries() corpus, q1-q22.)"""
+    return QUERIES["pipeline_clean_corpus_v3"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "pipeline_clean_corpus",
     "pipeline_clean_corpus_v2",
+    "pipeline_clean_corpus_v3",
     "simhash_fingerprints",
     "simhash_near_dup",
     "embedding_stats",
