@@ -55,7 +55,7 @@ _GATE_FRONT = [
     "incremental_near_dup",
     "split_contamination",
     "stratified_sample_docs",
-    "pipeline_clean_corpus_v2",
+    "pipeline_clean_corpus_v3",
     "multimodal_features",
     "embedding_stats",
     "cosine_topk",
