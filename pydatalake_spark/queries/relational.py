@@ -1911,7 +1911,7 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "q9_product_type_revenue",
     """
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -1948,20 +1948,25 @@ def q9_product_type_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
             # DECIMAL summand on both sides: decimal addition is exact and
             # associative, so Spark's partial-sum order and DuckDB's serial
-            # sum agree to the last digit (doubles differ in the last ulp)
+            # sum agree to the last digit (doubles differ in the last ulp).
+            # The OUTPUT column is cast to DOUBLE on both sides: pandas-based
+            # canonicalizers see Spark Decimal as object dtype but DuckDB
+            # DECIMAL as float64, so a decimal-typed result column hashes
+            # unequal even when the values match (VERDICT r3 #1).
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .cast("decimal(18,4)")
             .alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
     )
 
 
 @q(
     "q10_returned_items",
     """
-    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue,
+           c_acctbal, n_name
     FROM (
         SELECT c_custkey, c_name, c_acctbal, n_name,
                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
@@ -2005,14 +2010,22 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        # decimal agg + ordering stay internal/exact; only the OUTPUT column
+        # normalizes to DOUBLE (pandas canon: Decimal-object vs float64)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
     )
 
 
 @q(
     "q11_supplier_concentration",
     """
-    SELECT s_suppkey, value
+    SELECT s_suppkey, CAST(value AS DOUBLE) AS value
     FROM (
         SELECT s_suppkey,
                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
@@ -2054,7 +2067,9 @@ def q11_supplier_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return (
         per_supp.join(F.broadcast(total))
         .filter(F.col("value") > F.col("cutoff"))
-        .select("s_suppkey", "value")
+        # threshold compare is exact-decimal; output normalizes to DOUBLE
+        # for the pandas canon (Decimal-object vs float64, VERDICT r3 #1)
+        .select("s_suppkey", F.col("value").cast("double").alias("value"))
     )
 
 
@@ -2062,10 +2077,10 @@ def q11_supplier_concentration(spark: SparkSession, sf: str) -> DataFrame:
     "q12_priority_shipping",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -2087,8 +2102,14 @@ def q12_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            # explicit BIGINT on both sides: DuckDB's bare sum() yields
+            # HUGEINT which pandas fetches as float64 (VERDICT r3 #1)
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
         )
     )
 

@@ -99,7 +99,7 @@ def cosine_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "embedding_normalize",
-    """
+    f"""
     WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
         FROM embeddings
@@ -108,9 +108,9 @@ def cosine_topk_q(spark: SparkSession, sf: str) -> DataFrame:
                sqrt(list_sum(list_transform(emb, x -> x * x))) AS l2_norm
         FROM v
     )
-    SELECT vec_id, l2_norm,
-           list_transform(emb, x -> x / nullif(l2_norm, 0.0)) AS unit
-    FROM n
+    SELECT vec_id, l2_norm, idx.i,
+           emb[idx.i + 1] / nullif(l2_norm, 0.0) AS unit_i
+    FROM n CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS i) idx
     """,
 )
 def embedding_normalize_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -119,18 +119,28 @@ def embedding_normalize_q(spark: SparkSession, sf: str) -> DataFrame:
     chain instead of two extra norms per pair). The norm is bound to a real
     column BEFORE the per-element division (the HOF re-inline hazard:
     referencing an O(d) expression inside transform() inlines it per
-    element → O(d²)/row). Zero vectors normalize to NULL components."""
+    element → O(d²)/row). Zero vectors normalize to NULL components.
+
+    The gate shape is LONG FORM — (vec_id, l2_norm, i, unit_i), one row per
+    component via posexplode — because array result columns crash
+    pandas-based canonicalizers (VERDICT r3 #3). Full fidelity is kept:
+    every component is still value-checked."""
     e = _t(spark, sf, "embeddings")
     w = e.select("vec_id", to_double_array("embedding").alias("emb")).withColumn(
         "l2_norm", l2_norm(F.col("emb"))
     )
-    return w.select(
+    unit = w.select(
         "vec_id",
         "l2_norm",
         F.transform(
             "emb", lambda x: x / F.nullif(F.col("l2_norm"), F.lit(0.0))
         ).alias("unit"),
     )
+    return unit.select(
+        "vec_id",
+        "l2_norm",
+        F.posexplode("unit").alias("i", "unit_i"),
+    ).withColumn("i", F.col("i").cast("long"))
 
 
 @q(
@@ -146,9 +156,10 @@ def embedding_normalize_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT vec_id,
            CASE WHEN max_abs > 0 THEN 127.0 / max_abs END AS scale,
-           list_transform(emb, x -> CAST(floor(
-               x * coalesce(CASE WHEN max_abs > 0 THEN 127.0 / max_abs END, 0.0)
-               + 0.5) AS TINYINT)) AS q
+           array_to_string(
+               list_transform(emb, x -> CAST(floor(
+                   x * coalesce(CASE WHEN max_abs > 0 THEN 127.0 / max_abs END, 0.0)
+                   + 0.5) AS TINYINT)), ',') AS q
     FROM m
     """,
 )
@@ -156,13 +167,25 @@ def embedding_quantize_q(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding store
     (operators/similarity.py:quantize_embeddings): per-vector scale +
     int8 codes, floor(x+0.5) rounding so the oracle is bit-exact. The 4×
-    storage cut is the standard first move for a 100 TB vector corpus."""
+    storage cut is the standard first move for a 100 TB vector corpus.
+
+    The gate projection emits the int8 codes as one CSV string: array
+    result columns crash pandas-based canonicalizers (VERDICT r3 #3);
+    integer-to-string formatting is identical across engines, so the
+    joined form stays bit-exact."""
     from pydatalake_spark.operators.similarity import quantize_embeddings
 
     e = _t(spark, sf, "embeddings").withColumn(
         "embedding", to_double_array("embedding")
     )
-    return quantize_embeddings(e).select("vec_id", "scale", "q")
+    qz = quantize_embeddings(e)
+    return qz.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias(
+            "q"
+        ),
+    )
 
 
 def _bucket_sql(vec: str) -> str:

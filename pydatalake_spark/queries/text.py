@@ -273,22 +273,30 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           list_sort(list_distinct(
+           array_to_string(list_sort(list_distinct(
                list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
                               i -> list_min(hs[i:i+3]))
-           )) AS fingerprints
+           )), ',') AS fingerprints
     FROM h
     """,
 )
 def winnow_fingerprints_q(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=8 chars, window w=4):
     position-robust doc signatures (functions/text.py:winnow_table — the
-    two-projection form that computes the hash stream once per doc)."""
+    two-projection form that computes the hash stream once per doc).
+
+    The gate projection joins the sorted fingerprint set to one CSV string:
+    array-typed result columns crash pandas-based canonicalizers
+    (``sort_values`` → unhashable list, VERDICT r3 #3). Both sides sort
+    ascending before the join, so the strings are bit-identical."""
     from pydatalake_spark.functions.text import winnow_table
     from pydatalake_spark.operators.scaling import fan_out
 
     d = _t(spark, sf, "documents")
-    return winnow_table(fan_out(d), "doc_id", "text", k=8, w=4)
+    fp = winnow_table(fan_out(d), "doc_id", "text", k=8, w=4)
+    return fp.select(
+        "doc_id", F.array_join("fingerprints", ",").alias("fingerprints")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +536,8 @@ def _simhash_near_dup_sql() -> str:
                         THEN 1 ELSE 0 END)) AS hamming
         FROM cand
     )
-    SELECT id_a, id_b, hamming FROM h WHERE hamming <= {_SNH}
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM h WHERE hamming <= {_SNH}
     """
 
 
@@ -553,11 +562,25 @@ def approx_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable-sketch profile of the events stream: per event_type row
     count, HLL distinct-user estimate, approximate value quantiles — the
     one-pass cardinality/quantile tooling a 100 TB pipeline uses instead
-    of exact COUNT(DISTINCT) (functions/sketch.py)."""
+    of exact COUNT(DISTINCT) (functions/sketch.py).
+
+    The quantile array is projected to one scalar DOUBLE column per
+    requested quantile: array result columns crash pandas-based
+    canonicalizers even on rows-only checks (VERDICT r3 #3)."""
     from pydatalake_spark.functions.sketch import sketch_summary
 
     e = _t(spark, sf, "events")
-    return sketch_summary(e, ["event_type"], "user_id", "value")
+    qs = (0.25, 0.5, 0.75, 0.95)
+    prof = sketch_summary(e, ["event_type"], "user_id", "value", quantiles=qs)
+    return prof.select(
+        "event_type",
+        "n",
+        "approx_distinct",
+        *[
+            F.col("approx_quantiles")[i].alias(f"q_p{int(p * 100)}")
+            for i, p in enumerate(qs)
+        ],
+    )
 
 
 @q(
