@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "bpe_pair_counts",
     "hard_triplet_mining",
+    "image_phash_near_dup",
     "resample_ffill",
     "session_sequences",
     "hopping_window_agg",
@@ -109,8 +110,10 @@ BENCH_QUERIES = [
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash
-# near-dup, one embedding near-dup — the shapes where quadratic regressions
-# would hide
+# near-dup, one embedding near-dup, and the auto-sized SemDeDup — the
+# shapes where quadratic regressions would hide (semantic_dedup's
+# within-cell pair work is linear ONLY if suggest_num_cells scales the
+# cell count with the corpus; the probe proves it)
 PROBE_QUERIES = [
     "q1_pricing_summary",
     "q18_large_volume_customer",
@@ -118,6 +121,7 @@ PROBE_QUERIES = [
     "ngram_jaccard_pairs",
     "dup_span_stats",
     "embedding_near_dup",
+    "semantic_dedup",
 ]
 PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]
 

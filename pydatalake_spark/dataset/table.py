@@ -263,13 +263,15 @@ class DataLakeTable:
         self,
         id_col: str,
         vec_col: str = "embedding",
-        num_cells: int = 8,
+        num_cells: int | None = None,
         threshold: float = 0.9,
         **kwargs,
     ) -> "DataLakeTable":
         """SemDeDup in the fluent chain (operators/semdedup.py): keep only
         rows whose embedding has no higher-priority (lower-id) cosine
-        neighbor >= ``threshold`` within its cluster cell."""
+        neighbor >= ``threshold`` within its cluster cell. ``num_cells``
+        defaults to corpus-sized auto-selection (suggest_num_cells) so the
+        within-cell pair work stays linear in table size."""
         from pydatalake_spark.operators.semdedup import semantic_dedup
 
         df = self.to_df()

@@ -42,6 +42,11 @@ def _scaled(col: str, mn, mx, bits: int) -> Column:
     """Linear map of [mn, mx] onto the integer lattice [0, 2^bits)."""
     top = (1 << bits) - 1
     c = F.col(col).cast("double")
+    # an all-null column aggregates to mn = mx = None: map it (like any
+    # constant column) to the lattice origin instead of crashing on
+    # float(None) (ADVICE r3)
+    if mn is None or mx is None:
+        return F.lit(0).cast("long")
     lo = F.lit(float(mn))
     span = float(mx) - float(mn)
     if span <= 0:

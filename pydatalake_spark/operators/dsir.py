@@ -51,7 +51,13 @@ def dsir_weights(
     the paper's unnormalized importance weight; the log-mean form returned
     here is the numerically safe quantity to threshold or sample on.
     """
-    hex_chars = {256: 2, 16: 1, 4096: 3}[num_buckets]
+    # bucket space = 16^hex_chars md5-prefix buckets; any power of 16 works
+    hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}.get(num_buckets)
+    if hex_chars is None:
+        raise ValueError(
+            f"num_buckets must be a power of 16 (16, 256, 4096, 65536); "
+            f"got {num_buckets}"
+        )
     tok = fan_out(df).select(
         F.col(id_col),
         target.alias("_tgt"),

@@ -49,6 +49,17 @@ def _window_hashes(toks):
     return lambda k: F.transform(shingles(toks, k=k), F.md5)
 
 
+def _safe_toks(text_col) -> F.Column:
+    """Tokenize with NULL-document safety (ADVICE r3): tokenize(NULL) is
+    NULL, F.size(NULL) is -1, and a -1 token count fed F.sequence(0, -2) a
+    DESCENDING range downstream — null docs emitted negative token counts
+    and null clean_text. A null document is zero tokens."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(c.isNull(), F.array().cast("array<string>")).otherwise(
+        tokenize(c)
+    )
+
+
 def _doc_window_counts(
     df: DataFrame, id_col: str, text_col: str, window: int
 ) -> DataFrame:
@@ -57,7 +68,7 @@ def _doc_window_counts(
     # bind tokens to a real column BEFORE the windowing lambdas — an inlined
     # split() would be re-evaluated per element_at inside the shingle HOF
     # (the CollapseProject re-inline hazard; ~20x slower)
-    base = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    base = df.select(F.col(id_col), _safe_toks(text_col).alias("_toks"))
     wh = _window_hashes(F.col("_toks"))(window)
     ex = base.select(F.col(id_col), F.explode(wh).alias("wh"))
     g = ex.groupBy(id_col, "wh").agg(F.count("*").alias("cnt"))
@@ -114,7 +125,7 @@ def strip_dup_spans(
     """
     df = fan_out(df)
     base0 = df.select(
-        F.col(id_col), tokenize(text_col).alias("_toks")
+        F.col(id_col), _safe_toks(text_col).alias("_toks")
     )
     wh = _window_hashes(F.col("_toks"))(window)
 
@@ -133,7 +144,7 @@ def strip_dup_spans(
         .agg(F.collect_list("pos").alias("dup_starts"))
     )
 
-    base = df.select(F.col(id_col), tokenize(text_col).alias("toks"))
+    base = df.select(F.col(id_col), _safe_toks(text_col).alias("toks"))
     joined = base.join(starts, id_col, "left").withColumn(
         "dup_starts",
         F.coalesce("dup_starts", F.array().cast("array<int>")),
@@ -148,9 +159,15 @@ def strip_dup_spans(
             | (F.size(F.col("toks")) < F.lit(window))
         ),
     )
-    kept = F.filter(
-        F.sequence(F.lit(0), F.size(F.col("toks")) - 1),
-        lambda i: ~covers(i),
+    # guard the position range for zero-token (null) docs: sequence(0, -1)
+    # infers a DESCENDING step and yields [0, -1], not an empty range
+    kept = F.when(
+        F.size(F.col("toks")) <= 0, F.array().cast("array<int>")
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), F.size(F.col("toks")) - 1),
+            lambda i: ~covers(i),
+        )
     )
     return joined.select(
         id_col,
@@ -199,6 +216,6 @@ def dup_spans_against(
 def _doc_window_hashes(
     df: DataFrame, id_col: str, text_col: str, window: int
 ) -> DataFrame:
-    base = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    base = df.select(F.col(id_col), _safe_toks(text_col).alias("_toks"))
     wh = _window_hashes(F.col("_toks"))(window)
     return base.select(F.col(id_col), F.explode(wh).alias("wh"))

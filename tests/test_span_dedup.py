@@ -130,3 +130,21 @@ def test_dedup_by_clusters_best_keeps_high_priority(spark):
     }
     # cluster {1,2,3}: keep 2 (highest quality), not min-id 1; 4 untouched
     assert kept == {2, 4}
+
+
+def test_null_text_yields_zero_tokens_not_garbage(spark):
+    """NULL documents: tokenize(NULL)=NULL made F.size()=-1 and fed
+    sequence(0,-2) a descending range — strip emitted negative token
+    counts and null clean_text (ADVICE r3). A null doc is zero tokens."""
+    docs = spark.createDataFrame(
+        [(1, SHARED + " unique tail"), (2, SHARED + " other tail"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_dup_spans(docs, window=8).collect()}
+    assert out[3].n_tokens == 0
+    assert out[3].n_kept_tokens == 0
+    assert out[3].clean_text == ""
+    # non-null docs unaffected by the guard
+    assert out[1].n_tokens == 10 and out[1].clean_text == "unique tail"
+    stats = {r.doc_id: r for r in dup_span_stats(docs, window=8).collect()}
+    assert all(s.n_windows >= 0 and s.n_dup_windows >= 0 for s in stats.values())

@@ -76,3 +76,18 @@ def test_zorder_rejects_wide_keys(spark):
 
     with pytest.raises(ValueError):
         zorder_key(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_all_null_zorder_column_maps_to_origin(spark):
+    """An all-null z-column aggregates to min=max=None; the key must map
+    it to the lattice origin, not crash on float(None) (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "a long, b double"
+    ).withColumn("c", F.lit(None).cast("double"))
+    keyed = df.withColumn("zkey", zorder_key(df, ["b", "c"]))
+    rows = keyed.orderBy("a").collect()
+    assert [r.zkey for r in rows] == sorted(r.zkey for r in rows)
+    # null column contributes constant-0 bits: key ordering == b ordering
+    assert rows[0].zkey < rows[1].zkey < rows[2].zkey
