@@ -14,66 +14,71 @@ for _mod in (relational, text, similarity):
     ORACLE.update(_mod.ORACLE)
 
 # The driver's correctness gate checks the FIRST 50 registry entries per
-# round (CORRECTNESS_r01/r02 are each exactly the first 50 keys in
-# iteration order). With 120+ queries that cap forces a rotation: this
-# front list pins 49 queries with no green driver row in ANY prior round
-# — every round-3 addition plus the never-checked backlog, keeping at
-# least one member of every operator family — plus one previously-green
-# canary. The still-unchecked stragglers (15 deferred family siblings
-# plus queries added after this rotation was fixed) go in round 4's
-# front — count them with: keys not in CORRECTNESS_r01|r02|r03. Relative order within each
-# group is the module definition order.
+# round (CORRECTNESS_r01..r03 are each exactly the first 50 keys in
+# iteration order). With 131 queries that cap forces a rotation. Round-4
+# front, three groups:
+#   (a) the 25 queries with no driver row in ANY prior round (keys not in
+#       CORRECTNESS_r01|r02|r03) — after this round the green union
+#       covers the whole registry;
+#   (b) the 10 round-3 red rows, all fixed this round (representation
+#       normalization + the two new oracles) — the driver must confirm;
+#   (c) 15 canaries: previously-green members of every major operator
+#       family, preferring queries whose implementation CHANGED this
+#       round (semantic_dedup auto-sizing, span-dedup null guard).
 _GATE_FRONT = [
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "window_lag_lead",
-    "exact_percentiles",
-    "string_agg_per_group",
-    "q7_nation_volume",
-    "q8_market_share",
+    # (a) never driver-checked
+    "session_sequences",
+    "k_anonymity_screen",
+    "key_skew_profile",
+    "resample_ffill",
+    "hopping_window_agg",
+    "event_transition_matrix",
+    "text_token_stats",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "unigram_surprisal",
+    "token_budget_sample",
+    "pipeline_clean_corpus",
+    "pipeline_clean_corpus_v2",
+    "pii_redact",
+    "doc_repetition_stats",
+    "gopher_quality_flags",
+    "sequence_pack",
+    "doc_chunks",
+    "bpe_pair_counts",
+    "lsh_recall_eval",
+    "char_entropy",
+    "embedding_normalize",
+    "ann_bucket_candidates",
+    "ann_recall_eval",
+    # (b) round-3 red rows, fixed
     "q9_product_type_revenue",
     "q10_returned_items",
     "q11_supplier_concentration",
     "q12_priority_shipping",
-    "q16_supplier_part_counts",
-    "q20_excess_stock_suppliers",
-    "q21_sole_returned_supplier",
-    "text_quality_score",
-    "text_langid",
-    "exact_dedup_docs",
-    "token_frequencies",
-    "bpe_token_stats",
-    "winnow_fingerprints",
-    "lsh_candidate_pairs",
-    "near_dup_pairs",
-    "ngram_jaccard_pairs",
     "simhash_near_dup",
+    "winnow_fingerprints",
     "approx_profile",
-    "train_test_split",
-    "tfidf_keywords",
-    "near_dup_clusters",
-    "incremental_near_dup",
-    "split_contamination",
-    "stratified_sample_docs",
-    "pipeline_clean_corpus_v3",
-    "multimodal_features",
-    "embedding_stats",
-    "cosine_topk",
     "embedding_quantize",
-    "ann_lsh_buckets",
-    "ann_multiprobe_candidates",
-    "embedding_near_dup",
     "ivf_topk",
+    "image_phash_near_dup",
+    # (c) canaries: one per family; changed-this-round first
+    "semantic_dedup",
     "dup_span_stats",
     "strip_dup_spans",
-    "semantic_dedup",
-    "dsir_importance",
-    "hard_triplet_mining",
-    "image_phash_near_dup",
-    "source_mix_weights",
-    "quality_classifier",
-    "exact_ngram_decontamination",
-    "q1_pricing_summary",  # canary: green in r01+r02, re-pinned each round
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "dedup_keep_first",
+    "tables_diff_full",
+    "topk_orders",
+    "window_running_sum",
+    "asof_join_events",
+    "sessionize",
+    "near_dup_pairs",
+    "cosine_topk",
+    "exact_dedup_docs",
+    "multimodal_features",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]
