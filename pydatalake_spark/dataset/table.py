@@ -271,12 +271,14 @@ class DataLakeTable:
         rows whose embedding has no higher-priority (lower-id) cosine
         neighbor >= ``threshold`` within its cluster cell. ``num_cells``
         defaults to corpus-sized auto-selection (suggest_num_cells) so the
-        within-cell pair work stays linear in table size."""
-        from pydatalake_spark.operators.semdedup import semantic_dedup
+        within-cell pair work stays linear in table size; the verify tier
+        is the Arrow/numpy gram-matrix path (pytest-pinned equal to the
+        expression form)."""
+        from pydatalake_spark.operators.semdedup import semantic_dedup_numpy
 
         df = self.to_df()
         keep = (
-            semantic_dedup(
+            semantic_dedup_numpy(
                 df, id_col=id_col, vec_col=vec_col,
                 num_cells=num_cells, threshold=threshold, **kwargs,
             )

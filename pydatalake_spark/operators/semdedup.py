@@ -149,6 +149,72 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_numpy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int | None = None,
+    threshold: float = 0.3,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cell, keep): SemDeDup verdict — numpy within-cell verify.
+
+    Same semantics as ``semantic_dedup`` (pytest-pinned equal): keep = no
+    smaller-id vector in the same cell has cosine >= threshold. The
+    within-cell stage runs as ``groupBy(cell).applyInPandas``: one
+    shuffle keyed by cell (identical to the self-join's exchange), then
+    each cell's pair matrix is ONE numpy matmul instead of |cell|²
+    interpreted ``aggregate``/``zip_with`` trees — the same
+    expression-vs-Arrow swap as ``cosine_topk_numpy``
+    (operators/similarity.py), and the win grows with embedding width.
+
+    Scale shape: cells arrive sized ~``target_cell_size`` by
+    ``suggest_num_cells``, so per-group work is bounded (~10⁶ pair dots)
+    and the matmul never exceeds a few MB per task. applyInPandas groups
+    can't be AQE-split, so a pathologically hot cell lands on one task —
+    if the quantizer can't hold cells balanced, fall back to
+    ``semantic_dedup`` (joins split fine) or refine centroids.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cells = assign_fixed_cells(
+        emb, id_col, vec_col, num_cells=num_cells, centroids=centroids
+    )
+    wv = cells.join(
+        emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
+        id_col,
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, wv.schema[id_col].dataType),
+            T.StructField("cell", wv.schema["cell"].dataType),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.array(pdf["dv"].tolist(), dtype=np.float64)
+        # dot / (na * nb): the same quantity as the expression form
+        # (cosine()), evaluated as one gram matrix
+        norms = np.sqrt((V * V).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (V @ V.T) / np.outer(norms, norms)
+        M = np.triu(S >= threshold, k=1)  # [i, j]: i smaller-id, i<j
+        dominated = M.any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "keep": ~dominated,
+            }
+        )
+
+    return wv.groupBy("cell").applyInPandas(verify, out_schema)
+
+
 def suggest_num_cells(n_vectors: int, target_cell_size: int = 1000) -> int:
     """Cell count that keeps within-cell pair work bounded.
 

@@ -334,3 +334,32 @@ def test_zorder_write_is_single_range_exchange(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") == 1
     assert "rangepartitioning" in p.lower()
+
+
+def test_delta_diff_prunes_existing_scan_by_batch_window(spark, tmp_path):
+    """Delta writes must restrict the EXISTING side to the incoming
+    batch's [min, max] datetime window BEFORE the anti-join, and that
+    restriction must reach the parquet scan as a pushed filter — this is
+    what keeps delta appends cheap against a years-deep dataset
+    (writer.py:_delta_diff; VERDICT r3 #7)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.dataset.writer import _delta_diff
+    from pydatalake_spark.queries.tables import load_table
+
+    events = load_table(spark, SF, "events")
+    path = os.path.join(str(tmp_path), "ds")
+    events.write.parquet(path)
+    batch = events.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+    )
+    diff = _delta_diff(batch, path, "parquet", "ts", None)
+    p = diff._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\n]*)", p)
+    # two scans: the batch side (its own ts predicate) and the existing
+    # side — BOTH must carry a ts range filter down to parquet
+    ts_pushed = [f for f in pushed if "ts" in f and "GreaterThan" in f]
+    assert len(ts_pushed) >= 2, f"existing-side scan not pruned: {pushed}"

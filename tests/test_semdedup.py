@@ -185,3 +185,36 @@ def test_auto_num_cells_default_matches_explicit(spark):
         for r in semantic_dedup(e, num_cells=1, threshold=0.99).collect()
     }
     assert auto == expl
+
+
+def test_numpy_variant_equals_expression_form(spark):
+    """semantic_dedup_numpy (applyInPandas gram-matrix verify) must emit
+    the exact same verdicts as the expression-form join, on the fixture
+    and on a real embeddings slice."""
+    from pydatalake_spark.operators.semdedup import semantic_dedup_numpy
+    from pydatalake_spark.queries.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = _emb(spark)
+    for tau in (0.99, 0.3):
+        expr = {
+            (r.vec_id, r.cell, r.keep)
+            for r in semantic_dedup(e, num_cells=2, threshold=tau).collect()
+        }
+        np_ = {
+            (r.vec_id, r.cell, r.keep)
+            for r in semantic_dedup_numpy(
+                e, num_cells=2, threshold=tau
+            ).collect()
+        }
+        assert expr == np_
+    real = load_table(spark, SF_DIR, "embeddings")
+    expr = {
+        (r.vec_id, r.cell, r.keep)
+        for r in semantic_dedup(real, threshold=0.3).collect()
+    }
+    np_ = {
+        (r.vec_id, r.cell, r.keep)
+        for r in semantic_dedup_numpy(real, threshold=0.3).collect()
+    }
+    assert expr == np_
