@@ -63,14 +63,24 @@ def dsir_weights(
         target.alias("_tgt"),
         F.explode(tokenize(text_col)).alias("tok"),
     )
-    b = tok.select(
-        F.col(id_col),
-        "_tgt",
-        F.substring(F.md5("tok"), 1, hex_chars).alias("b"),
+    # Collapse the token stream to (doc, bucket, count) FIRST: the
+    # groupBy's map-side partial agg caps each task's exchange output at
+    # |docs_in_task| * num_buckets rows, and everything downstream (the
+    # broadcast log-ratio join, the per-doc aggregate) runs at that
+    # granularity instead of once per token — the token stream itself
+    # never shuffles and is scanned exactly once.
+    docb = (
+        tok.select(
+            F.col(id_col),
+            "_tgt",
+            F.substring(F.md5("tok"), 1, hex_chars).alias("b"),
+        )
+        .groupBy(id_col, "_tgt", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    counts = b.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+    counts = docb.groupBy("b").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(0)).alias("ct"),
     )
     tot = counts.agg(
         F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
@@ -82,11 +92,14 @@ def dsir_weights(
             - F.log((F.col("cr") + 1) / (F.col("tr") + num_buckets))
         ).alias("lr"),
     )
+    # mean token log-ratio == count-weighted mean over the doc's buckets
     return (
-        b.join(F.broadcast(lr), "b")
+        docb.join(F.broadcast(lr), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.avg("lr").alias("dsir_logratio"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            (F.sum(F.col("c") * F.col("lr")) / F.sum("c")).alias(
+                "dsir_logratio"
+            ),
         )
     )

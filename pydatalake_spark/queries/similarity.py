@@ -568,7 +568,11 @@ def semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
 )
 def hard_triplet_mining_q(spark: SparkSession, sf: str) -> DataFrame:
     """Batch-hard triplet mining over the embedding corpus: 5 hardest
-    negatives + 1 hardest positive per anchor
-    (operators/similarity.py:hard_triplets)."""
+    negatives + 1 hardest positive per anchor. Runs the Arrow/numpy tier
+    (operators/similarity.py:hard_triplets_numpy — one matmul per batch,
+    per-batch local top-k prune; pytest-pinned equal to the expression
+    form ``hard_triplets``, which stays the oracle-exact baseline)."""
+    from pydatalake_spark.operators.similarity import hard_triplets_numpy
+
     e = _t(spark, sf, "embeddings")
-    return hard_triplets(e, e.filter(F.col("vec_id") < 10), k_neg=5)
+    return hard_triplets_numpy(e, e.filter(F.col("vec_id") < 10), k_neg=5)

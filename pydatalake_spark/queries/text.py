@@ -1576,10 +1576,15 @@ def strip_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents
     ), bk AS (
         SELECT doc_id, lang, substr(md5(t), 1, 2) AS b FROM tok
+    ), docb AS (
+        -- (doc, bucket, count) granularity, mirroring the Spark plan:
+        -- the mean token log-ratio is the count-weighted bucket mean
+        SELECT doc_id, lang, b, count(*) AS c
+        FROM bk GROUP BY doc_id, lang, b
     ), counts AS (
-        SELECT b, count(*) AS cr,
-               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-        FROM bk GROUP BY b
+        SELECT b, sum(c) AS cr,
+               sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
+        FROM docb GROUP BY b
     ), tot AS (
         SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts
     ), lr AS (
@@ -1589,9 +1594,9 @@ def strip_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
         FROM counts CROSS JOIN tot
     )
     SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           avg(lr) AS dsir_logratio
-    FROM bk JOIN lr USING (b)
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           sum(c * lr) / sum(c) AS dsir_logratio
+    FROM docb JOIN lr USING (b)
     GROUP BY doc_id
     """,
 )

@@ -129,6 +129,28 @@ def test_hard_triplets_labels_and_ranks(spark):
         assert poss[0].sim == min(all_pos_sims)
 
 
+def test_hard_triplets_numpy_matches_expression(spark):
+    """The Arrow/numpy tier (per-batch local top-k prune) must return the
+    same triplets as the oracle-exact expression form."""
+    from pydatalake_spark.operators.similarity import (
+        hard_triplets,
+        hard_triplets_numpy,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    anchors = e.filter(F.col("vec_id") < 8)
+    exp = {
+        (r.q_id, r.c_id, r.kind, round(r.sim, 9))
+        for r in hard_triplets(e, anchors, k_neg=5).collect()
+    }
+    got = {
+        (r.q_id, r.c_id, r.kind, round(r.sim, 9))
+        for r in hard_triplets_numpy(e, anchors, k_neg=5).collect()
+    }
+    assert exp == got
+
+
 def test_quantized_topk_recall(spark):
     """int8 top-k must recover >=80% of the float top-10 on the fixture
     corpus (4x memory cut, bounded recall cost)."""
