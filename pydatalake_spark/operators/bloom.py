@@ -1,0 +1,113 @@
+"""Bloom-filter membership screening (constant-size set digest).
+
+The scale problem: `exact_ngram_decontamination` (queries/text.py) screens
+eval documents against the train-side window-hash set with a distinct +
+semi-join — correct, but the train hash set is data-sized, so every screen
+of a new eval batch re-shuffles against it. The standard fix (used by the
+GPT-3/PaLM decontamination tooling and most web-pipeline blocklists) is a
+Bloom filter: fold the train set ONCE into a fixed-size bitmap
+(``num_bits`` bits, here materialized as ``num_bits/32`` 32-bit words so
+no engine hits BIGINT shift overflow), then test any stream against it
+with a broadcast join — zero shuffles on the probe side, a bounded
+false-positive rate (~(1-e^{-kn/m})^k), and NO false negatives, which is
+the safe direction for decontamination (over-flagging, never missing).
+
+Everything is deterministic md5 arithmetic, so a SQL oracle reproduces the
+bitmap and the membership verdicts bit-for-bit: position j of key g is
+``conv(substr(md5(g), 1+8j, 8), 16, 10) % num_bits``.
+
+Scale shape: the build is one groupBy over ≤ num_bits/32 word indices
+(map-side bit_or partials collapse each task to ≤128 rows); the bitmap
+broadcasts as a table of ≤128 rows; the probe is explode(k) → broadcast
+join → two keyed aggregations. The reference engine has no probabilistic
+membership structure (SURVEY.md §2 gap list) — beyond-reference
+capability for the 100 TB pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+_WORD = 32  # bits per bitmap word; 1 << 31 still fits a BIGINT unsigned
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> Column:
+    """array<long> of ``num_hashes`` bit positions for ``key``."""
+    h = F.md5(key)
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+            % num_bits
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(word_idx, word): the filter as ≤ num_bits/32 bitmap words.
+
+    bit_or is idempotent, so duplicate keys need no pre-distinct — the
+    map-side partial aggregate already collapses every task to at most
+    num_bits/32 rows before the (tiny) exchange.
+    """
+    pos = (
+        keys.select(
+            F.explode(
+                _positions(F.col(key_col), num_bits, num_hashes)
+            ).alias("pos")
+        )
+    )
+    return (
+        pos.select(
+            (F.col("pos") / _WORD).cast("long").alias("word_idx"),
+            # F.shiftleft takes a literal shift; the per-row shift needs
+            # the SQL form
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+
+
+def bloom_contains(
+    df: DataFrame,
+    bitmap: DataFrame,
+    key_col: str = "key",
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Input rows + ``bf_hit``: true iff ALL ``num_hashes`` bits of
+    ``key_col`` are set in ``bitmap`` (possible member; false = definitely
+    absent). The bitmap side broadcasts; the probe side never shuffles —
+    the two aggregations are keyed by the probe's own row.
+    """
+    cols = df.columns
+    probes = df.withColumn(
+        "_pos",
+        F.explode(_positions(F.col(key_col), num_bits, num_hashes)),
+    ).select(
+        *cols,
+        (F.col("_pos") / _WORD).cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_pos % {_WORD} AS INT))"
+        ).alias("mask"),
+    )
+    tested = probes.join(F.broadcast(bitmap), "word_idx", "left").withColumn(
+        "_bit_set",
+        F.coalesce(
+            (F.col("word").bitwiseAND(F.col("mask")) != 0), F.lit(False)
+        ),
+    )
+    return tested.groupBy(*cols).agg(
+        F.min(F.col("_bit_set").cast("int")).cast("boolean").alias("bf_hit")
+    )

@@ -63,22 +63,29 @@ _GATE_FRONT = [
     "embedding_quantize",
     "ivf_topk",
     "image_phash_near_dup",
-    # (c) canaries: one per family; changed-this-round first
+    # (a') new this round — never driver-checked by construction
+    "bloom_decontamination",
+    "cms_heavy_hitters",
+    "zipf_fit",
+    # (c) 12 canaries: changed-this-round implementations first
+    # (dsir_importance now aggregates at doc-bucket granularity;
+    # hard_triplet_mining runs the hard_triplets_numpy tier), then one
+    # stable previously-green member per major family.
+    # tables_diff_full/topk_orders/window_running_sum/cosine_topk/
+    # multimodal_features rotated out to stay at 50 — each green in a
+    # prior round and unchanged since.
+    "dsir_importance",
+    "hard_triplet_mining",
     "semantic_dedup",
     "dup_span_stats",
     "strip_dup_spans",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "dedup_keep_first",
-    "tables_diff_full",
-    "topk_orders",
-    "window_running_sum",
     "asof_join_events",
     "sessionize",
     "near_dup_pairs",
-    "cosine_topk",
     "exact_dedup_docs",
-    "multimodal_features",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

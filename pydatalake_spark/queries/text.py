@@ -1822,10 +1822,10 @@ def quality_classifier_q(spark: SparkSession, sf: str) -> DataFrame:
 
 _DECON_K = 13  # the standard exact-overlap width (GPT-3 appendix C)
 
-
-@q(
-    "exact_ngram_decontamination",
-    f"""
+# shared decon CTE prefix: tokenized 13-gram window hashes per doc (`ex`)
+# + the deterministic 80/20 train/eval label (`lab`) — used by both the
+# exact semi-join screen and the Bloom-filter screen so they can't drift
+_DECON_CTE = f"""
     WITH tok AS (
         SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
     ), win AS (
@@ -1842,7 +1842,13 @@ _DECON_K = 13  # the standard exact-overlap width (GPT-3 appendix C)
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                     AS BIGINT) % 100 < 80 AS is_train
         FROM documents
-    ), train_w AS (
+    )"""
+
+
+@q(
+    "exact_ngram_decontamination",
+    _DECON_CTE
+    + """, train_w AS (
         SELECT DISTINCT wh FROM ex JOIN lab USING (doc_id) WHERE is_train
     ), ev AS (
         SELECT ex.doc_id, wh FROM ex JOIN lab USING (doc_id)
@@ -1887,6 +1893,209 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated"),
         (F.sum(F.coalesce("_hit", F.lit(0))) > 0).alias("contaminated"),
+    )
+
+
+@q(
+    "bloom_decontamination",
+    _DECON_CTE
+    + """, tw AS (
+        SELECT wh FROM ex JOIN lab USING (doc_id) WHERE is_train
+    ), tpos AS (
+        SELECT CAST(('0x' || substr(md5(wh), 1 + 8 * j, 8)) AS BIGINT)
+                   % 4096 AS p
+        FROM tw CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), bitmap AS (
+        SELECT p // 32 AS word_idx,
+               bit_or((1::BIGINT) << CAST(p % 32 AS INT)) AS word
+        FROM tpos GROUP BY 1
+    ), ev AS (
+        SELECT ex.doc_id, wh FROM ex JOIN lab USING (doc_id)
+        WHERE NOT is_train
+    ), probe AS (
+        SELECT doc_id, wh,
+               CAST(('0x' || substr(md5(wh), 1 + 8 * j, 8)) AS BIGINT)
+                   % 4096 AS p
+        FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), tested AS (
+        SELECT doc_id, wh,
+               min(CASE WHEN (word & ((1::BIGINT) << CAST(p % 32 AS INT)))
+                             != 0
+                        THEN 1 ELSE 0 END) AS hit
+        FROM probe LEFT JOIN bitmap ON bitmap.word_idx = p // 32
+        GROUP BY doc_id, wh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(hit) AS BIGINT) AS n_bf_hits,
+           max(hit) = 1 AS flagged
+    FROM tested GROUP BY doc_id
+    """,
+)
+def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter 13-gram decontamination — the constant-memory scale
+    path of `exact_ngram_decontamination`: the train window-hash set folds
+    into a 4096-bit bitmap (≤128 bitmap words, broadcast), so screening an
+    eval stream needs NO shuffle against train data, with a bounded
+    false-positive rate and no false negatives (pytest pins flagged ⊇
+    exact-contaminated). See operators/bloom.py."""
+    from pydatalake_spark.functions.split import hash_bucket
+    from pydatalake_spark.functions.text import shingles
+    from pydatalake_spark.operators.bloom import bloom_build, bloom_contains
+
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", tokenize("text").alias("_toks"))
+    wh = F.transform(shingles(F.col("_toks"), k=_DECON_K), F.md5)
+    ex = base.select("doc_id", F.explode(wh).alias("wh")).distinct()
+    lab = d.select(
+        "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
+    )
+    exl = ex.join(lab, "doc_id")
+    bitmap = bloom_build(
+        exl.filter("is_train").select("wh"), key_col="wh"
+    )
+    ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
+    hits = bloom_contains(ev, bitmap, key_col="wh")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.col("bf_hit").cast("int")).cast("long").alias("n_bf_hits"),
+        F.max(F.col("bf_hit")).alias("flagged"),
+    )
+
+
+_CMS_D, _CMS_W = 4, 256  # count-min sketch depth x width
+
+
+def _cms_bucket_sql(tok_expr: str, i_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({i_expr} AS VARCHAR) || '|' "
+        f"|| {tok_expr}), 1, 4)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_bucket_col(tok, i: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), tok)), 1, 4), 16, 10
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@q(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), exact AS (
+        SELECT tok, count(*) AS n FROM tok GROUP BY tok
+    ), top AS (
+        SELECT tok, n FROM exact ORDER BY n DESC, tok ASC LIMIT 20
+    ), rows AS (
+        SELECT i, {_cms_bucket_sql('tok', 'i')} AS b
+        FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    ), cms AS (
+        SELECT i, b, count(*) AS c FROM rows GROUP BY i, b
+    ), probe AS (
+        SELECT tok, n, i, {_cms_bucket_sql('tok', 'i')} AS b
+        FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    )
+    SELECT tok, CAST(n AS BIGINT) AS exact_n,
+           CAST(min(c) AS BIGINT) AS cms_n
+    FROM probe JOIN cms USING (i, b)
+    GROUP BY tok, n
+    """,
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream: a 4x256 mergeable counter grid estimates any token's
+    frequency within epsilon*N with cms_n >= exact_n always (pytest pins
+    the one-sided bound). The query reports the sketch estimate next to
+    the exact count for the top-20 tokens. Scale shape: the sketch
+    build's map-side partial agg collapses every task to <= 1024 rows
+    before the (tiny) exchange — streamable and unionable across corpus
+    shards, unlike the exact counter whose state is vocabulary-sized."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(tokenize("text")).alias("tok"))
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
+    rows = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket_col(F.col("tok"), i).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select("s.i", "s.b")
+    cms = rows.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    probe = top.select(
+        "tok",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket_col(F.col("tok"), i).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("tok", "n", "s.i", "s.b")
+    return (
+        probe.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").cast("long").alias("cms_n"))
+        .select("tok", F.col("n").cast("long").alias("exact_n"), "cms_n")
+    )
+
+
+@q(
+    "zipf_fit",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, count(*) AS n FROM tok GROUP BY tok
+    ), top AS (
+        SELECT tok, n FROM freq ORDER BY n DESC, tok ASC LIMIT 100
+    ), ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS r
+        FROM top
+    )
+    SELECT regr_slope(ln(n), ln(r)) AS zipf_slope,
+           regr_intercept(ln(n), ln(r)) AS zipf_intercept,
+           regr_r2(ln(n), ln(r)) AS zipf_r2,
+           CAST(count(*) AS BIGINT) AS n_ranks
+    FROM ranked
+    """,
+)
+def zipf_fit_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of log(freq)
+    vs log(rank) for the top-100 tokens — the standard sanity diagnostic
+    for corpus naturalness (natural text ~ -1; templated/spammy corpora
+    deviate hard). The top-k is TakeOrderedAndProject (no global sort, no
+    single-partition window over the vocabulary); the rank window then
+    runs on 100 rows; the regression is one tiny aggregate."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    tok = d.select(F.explode(tokenize("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = freq.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(100)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = top.select("tok", "n", F.row_number().over(w).alias("r"))
+    return ranked.agg(
+        F.regr_slope(F.log("n"), F.log("r")).alias("zipf_slope"),
+        F.regr_intercept(F.log("n"), F.log("r")).alias("zipf_intercept"),
+        F.regr_r2(F.log("n"), F.log("r")).alias("zipf_r2"),
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
     )
 
 

@@ -843,3 +843,71 @@ def test_token_budget_sample_hits_budget(spark):
     ids_small = {r.doc_id for r in out.filter("lang='en'").select("doc_id").collect()}
     ids_big = {r.doc_id for r in bigger.filter("lang='en'").select("doc_id").collect()}
     assert ids_small <= ids_big
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Every key folded into the filter must test positive; absent keys
+    false-positive at a bounded (and here observed-low) rate."""
+    from pydatalake_spark.operators.bloom import bloom_build, bloom_contains
+
+    members = spark.range(200).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    absent = spark.range(200, 1200).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bitmap = bloom_build(members, key_col="k")
+    assert bitmap.count() <= 4096 // 32
+
+    hits_m = bloom_contains(members, bitmap, key_col="k")
+    assert hits_m.filter(~F.col("bf_hit")).count() == 0  # no false negatives
+
+    hits_a = bloom_contains(absent, bitmap, key_col="k")
+    fp = hits_a.filter(F.col("bf_hit")).count()
+    # 200 keys * 3 hashes in 4096 bits -> theoretical fp ~ (1-e^-0.146)^3
+    # ~ 0.25%; allow generous slack
+    assert fp / 1000 < 0.05
+
+
+def test_bloom_decon_supersets_exact_decon(spark):
+    """The Bloom screen may over-flag (false positives) but must never
+    miss a document the exact screen flags, and the window universe must
+    be identical."""
+    from pydatalake_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.doc_id: (r.n_windows, r.contaminated)
+        for r in QUERIES["exact_ngram_decontamination"](spark, sf).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_windows, r.flagged)
+        for r in QUERIES["bloom_decontamination"](spark, sf).collect()
+    }
+    assert set(exact) == set(bloom)
+    for doc_id, (n_win, contaminated) in exact.items():
+        assert bloom[doc_id][0] == n_win
+        if contaminated:
+            assert bloom[doc_id][1]  # no false negatives
+
+
+def test_cms_estimate_bounds_exact_count(spark):
+    """Count-min estimates are one-sided: cms_n >= exact_n for every
+    reported token, and exact for tokens with no bucket collisions."""
+    from pydatalake_spark.queries import QUERIES
+
+    rows = QUERIES["cms_heavy_hitters"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    assert all(r.cms_n >= r.exact_n for r in rows)
+
+
+def test_zipf_fit_negative_slope(spark):
+    from pydatalake_spark.queries import QUERIES
+
+    row = QUERIES["zipf_fit"](spark, "/root/testdata/sf0.001").collect()[0]
+    # top-100 cap; the sf0.001 fixture vocabulary is smaller than that
+    assert 10 <= row.n_ranks <= 100
+    assert row.zipf_slope < 0  # frequency falls with rank
+    assert 0 <= row.zipf_r2 <= 1
