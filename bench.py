@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "key_skew_profile",
     "lsh_recall_eval",
     "char_entropy",
+    "bloom_decontamination",
+    "cms_heavy_hitters",
+    "zipf_fit",
+    "edit_distance_near_dup",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash
@@ -122,6 +126,9 @@ PROBE_QUERIES = [
     "dup_span_stats",
     "embedding_near_dup",
     "semantic_dedup",
+    "dsir_importance",
+    "hard_triplet_mining",
+    "bloom_decontamination",
 ]
 PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]
 

@@ -67,13 +67,15 @@ _GATE_FRONT = [
     "bloom_decontamination",
     "cms_heavy_hitters",
     "zipf_fit",
-    # (c) 12 canaries: changed-this-round implementations first
+    "edit_distance_near_dup",
+    "dup_cluster_histogram",
+    # (c) 10 canaries: changed-this-round implementations first
     # (dsir_importance now aggregates at doc-bucket granularity;
     # hard_triplet_mining runs the hard_triplets_numpy tier), then one
     # stable previously-green member per major family.
     # tables_diff_full/topk_orders/window_running_sum/cosine_topk/
-    # multimodal_features rotated out to stay at 50 — each green in a
-    # prior round and unchanged since.
+    # multimodal_features/dedup_keep_first/sessionize rotated out to
+    # stay at 50 — each green in a prior round and unchanged since.
     "dsir_importance",
     "hard_triplet_mining",
     "semantic_dedup",
@@ -81,9 +83,7 @@ _GATE_FRONT = [
     "strip_dup_spans",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "dedup_keep_first",
     "asof_join_events",
-    "sessionize",
     "near_dup_pairs",
     "exact_dedup_docs",
 ]

@@ -2406,3 +2406,123 @@ def pipeline_clean_corpus_v3(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: edit-distance verify tier + cluster-size diagnostics
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "edit_distance_near_dup",
+    _shingle_cte()
+    + f""", bb AS ({_bands_sql()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bb a JOIN bb b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+           levenshtein(da.text, db.text)
+             / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+             AS rel_edit
+    FROM cand
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    WHERE levenshtein(da.text, db.text)
+            <= 0.4 * greatest(length(da.text), length(db.text))
+    """,
+)
+def edit_distance_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level edit-distance near-dup: LSH candidates verified by
+    relative Levenshtein distance (<= 0.4 of the longer text) — the
+    strictest fuzzy-match tier, catching char-level mutations that
+    token-shingle Jaccard smears out. Scale shape: the O(len^2)-per-pair
+    distance runs ONLY on the LSH-bounded candidate set, and full texts
+    are re-joined by id AFTER candidate generation, so text never rides
+    the band shuffle. levenshtein() is codegen (JVM, no Python)."""
+    d = _t(spark, sf, "documents")
+    cand = lsh_candidate_pairs(
+        d, num_hashes=_MH_N, num_bands=_MH_BANDS, shingle_size=_MH_K
+    )
+    txt = d.select("doc_id", "text")
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    longest = F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        cand.join(
+            txt.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")),
+            "id_a",
+        )
+        .join(
+            txt.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb")),
+            "id_b",
+        )
+        .filter(lev <= 0.4 * longest)
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("lev"),
+            (lev / longest.cast("double")).alias("rel_edit"),
+        )
+    )
+
+
+@q(
+    "dup_cluster_histogram",
+    _ngram_pruned_cte().replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """, edges AS (
+        SELECT id_a, id_b
+        FROM co JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+    ), bidir AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM bidir
+        UNION
+        SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+    ), clusters AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ), csize AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM csize GROUP BY cluster_size
+    """,
+)
+def dup_cluster_histogram_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup planning
+    diagnostic (how much of the corpus is near-duplicated, and in what
+    shape: many pairs vs few giant clusters decides whether
+    lowest-id-keep or quality-priority keep matters). Rides the same CC
+    output as `near_dup_clusters`; the histogram is two tiny keyed
+    aggregations past the (already bounded) cluster assignment."""
+    from pydatalake_spark.operators.cluster import connected_components
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
+    )
+    csize = (
+        connected_components(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return csize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )
