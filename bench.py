@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "zipf_fit",
     "edit_distance_near_dup",
+    "bigram_perplexity",
+    "token_pmi",
+    "prefix_dup_docs",
+    "kmeans_lloyd_step",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -87,3 +87,71 @@ def is_unique(df: DataFrame, subset: Sequence[str] | None = None) -> bool:
         F.count_distinct(F.struct(*probe.columns)).alias("d"),
     ).first()
     return row["n"] == row["d"]
+
+
+def prefix_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 8,
+) -> DataFrame:
+    """Strict prefix-containment duplicates: pairs (prefix_id, super_id)
+    where one document's full text is a proper prefix of another's — the
+    truncation/re-crawl duplicate class that exact dedup misses and
+    shingle Jaccard under-scores (a 10%-long prefix has Jaccard ≈ 0.1).
+
+    Beyond-reference north-star op (dedup family). Detection floor: both
+    docs must share their first ``block_tokens`` tokens (documents shorter
+    than the block never match — same fixed-floor contract as
+    ``operators/span_dedup.py``'s 8-token window).
+
+    Scale: candidates come from an equi-join on the first-``block_tokens``
+    hash key, so the only wide shuffle moves (id, key, n_tokens) triples —
+    texts are re-joined BY ID on the candidate-bounded pair set before the
+    ``startswith`` verify (the edit_distance_near_dup pattern; full texts
+    never enter the blocking exchange). Work is linear in corpus size plus
+    quadratic only within a shared-prefix block, which the key length
+    bounds in practice.
+    """
+    from pydatalake_spark.functions.text import tokenize
+
+    toks = tokenize(text_col)
+    keyed = docs.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.array_join(F.slice(toks, 1, block_tokens), " ")).alias("_k"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") >= block_tokens)
+    a = keyed.select(
+        F.col("_id").alias("prefix_id"),
+        F.col("_k"),
+        F.col("_n").alias("prefix_tokens"),
+    )
+    b = keyed.select(
+        F.col("_id").alias("super_id"),
+        F.col("_k"),
+        F.col("_n").alias("super_tokens"),
+    )
+    cand = a.join(b, "_k").filter(
+        F.col("prefix_tokens") < F.col("super_tokens")
+    )
+    ta = docs.select(
+        F.col(id_col).alias("prefix_id"), F.col(text_col).alias("_ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("super_id"), F.col(text_col).alias("_tb")
+    )
+    return (
+        cand.join(ta, "prefix_id")
+        .join(tb, "super_id")
+        .filter(
+            F.trim(F.col("_tb")).startswith(
+                F.concat(F.trim(F.col("_ta")), F.lit(" "))
+            )
+        )
+        .select(
+            "prefix_id",
+            "super_id",
+            F.col("prefix_tokens").cast("long").alias("prefix_tokens"),
+            F.col("super_tokens").cast("long").alias("super_tokens"),
+        )
+    )

@@ -226,3 +226,71 @@ def suggest_num_cells(n_vectors: int, target_cell_size: int = 1000) -> int:
     """
     c = max(1, n_vectors // max(1, target_cell_size))
     return 1 << (c - 1).bit_length()  # next power of two
+
+
+def kmeans_step(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus:
+    assign every vector to its nearest centroid (Euclidean, deterministic
+    (distance, centroid-id) tie-break), recompute each centroid as its
+    cell's elementwise mean, and report how far each centroid moved.
+
+    Returns (cell, n_members BIGINT, drift DOUBLE) — the per-iteration
+    convergence readout a clustering loop monitors; empty cells drop out
+    (no members → no row), matching standard Lloyd behavior.
+
+    This is the trainer step behind the IVF quantizer
+    (operators/similarity.train_ivf_centroids samples; this runs over the
+    FULL corpus): iterate by feeding the new means back in as
+    ``centroids``. Beyond-reference op (clustering family).
+
+    Scale shape: assignment reuses ``assign_fixed_cells`` (broadcast
+    centroids + map-side min partial agg). The mean recomputation is ONE
+    hash aggregation keyed on cell with ``dim`` scalar ``avg(dv[i])``
+    columns — whole-stage-codegen friendly, map-side partials collapse
+    each task to |cells|·dim values, and no per-element explode ever
+    multiplies the row count. ``dim`` is read from one head row (bounded
+    driver scalar, documented contract).
+    """
+    if centroids is None:
+        centroids = (
+            emb.orderBy(F.col(id_col).asc())
+            .limit(num_cells)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                to_double_array(vec_col).alias("cvec"),
+            )
+        )
+    cells = assign_fixed_cells(emb, id_col, vec_col, centroids=centroids)
+    wv = cells.join(
+        emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
+        id_col,
+    )
+    head = emb.select(F.size(to_double_array(vec_col)).alias("d")).first()
+    dim = int(head["d"])
+    means = wv.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.avg(F.col("dv")[i]).alias(f"_m{i}") for i in range(dim)],
+    )
+    new = means.select(
+        "cell",
+        "n_members",
+        F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("mvec"),
+    )
+    old = centroids.select(F.col("cent_id").alias("cell"), "cvec")
+    return new.join(old, "cell").select(
+        F.col("cell"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("mvec", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("drift"),
+    )

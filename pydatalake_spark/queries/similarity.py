@@ -576,3 +576,60 @@ def hard_triplet_mining_q(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _t(spark, sf, "embeddings")
     return hard_triplets_numpy(e, e.filter(F.col("vec_id") < 10), k_neg=5)
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd iteration (operators/semdedup.py:kmeans_step)
+# ---------------------------------------------------------------------------
+
+_KM_SQ = (
+    "(e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+    " * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+)
+
+
+@q(
+    "kmeans_lloyd_step",
+    f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+    ), dist AS (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(range(1, {_DIM} + 1), i -> {_KM_SQ}))
+                   AS d2
+        FROM embeddings e CROSS JOIN cent c
+    ), cells AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM dist) WHERE rn = 1
+    ), ex AS (
+        SELECT cells.cell, u.i AS i, e.embedding[u.i]::DOUBLE AS v
+        FROM cells JOIN embeddings e USING (vec_id),
+             (SELECT unnest(range(1, {_DIM} + 1)) AS i) u
+    ), md AS (
+        SELECT cell, i, avg(v) AS m FROM ex GROUP BY cell, i
+    ), nm AS (
+        SELECT cell, count(*) AS n_members FROM cells GROUP BY cell
+    ), dr AS (
+        SELECT md.cell,
+               sum((md.m - c.cvec[md.i]::DOUBLE)
+                   * (md.m - c.cvec[md.i]::DOUBLE)) AS s2
+        FROM md JOIN cent c ON md.cell = c.cell GROUP BY md.cell
+    )
+    SELECT nm.cell, CAST(nm.n_members AS BIGINT) AS n_members,
+           sqrt(dr.s2) AS drift
+    FROM nm JOIN dr ON nm.cell = dr.cell
+    """,
+)
+def kmeans_lloyd_step_q(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd k-means iteration over the embedding corpus with the
+    deterministic 8-lowest-id init (oracle-pinned; production loops feed
+    trained centroids back in): per-cell membership count + centroid
+    drift. Mean recomputation is one hash agg with per-index avg columns
+    — no explode multiplies the corpus (operators/semdedup.py)."""
+    from pydatalake_spark.operators.semdedup import kmeans_step
+
+    return kmeans_step(_t(spark, sf, "embeddings"), num_cells=8)

@@ -2526,3 +2526,116 @@ def dup_cluster_histogram_q(spark: SparkSession, sf: str) -> DataFrame:
         "n_docs",
         "n_removable",
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring / PMI phrase mining (operators/ngram_lm.py)
+# ---------------------------------------------------------------------------
+
+_BG_CTE = """
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ), bgu AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+        FROM tok
+    ), p AS (
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM bgu
+    ), db AS (
+        SELECT doc_id, w1, w2, count(*) AS c_doc FROM p GROUP BY ALL
+    )"""
+
+
+@q(
+    "bigram_perplexity",
+    _BG_CTE
+    + """, bc AS (
+        SELECT w1, w2, sum(c_doc) AS c_bg FROM db GROUP BY ALL
+    ), cx AS (
+        SELECT w1, sum(c_doc) AS c_ctx FROM db GROUP BY ALL
+    ), vb AS (
+        SELECT count(DISTINCT t) AS v
+        FROM (SELECT unnest(toks) AS t FROM tok)
+    ), s AS (
+        SELECT doc_id, c_doc,
+               -ln((c_bg + 0.5) / (c_ctx + 0.5 * (SELECT v FROM vb))) AS s
+        FROM db JOIN bc USING (w1, w2) JOIN cx USING (w1)
+    )
+    SELECT doc_id,
+           CAST(sum(c_doc) AS BIGINT) AS n_bigrams,
+           sum(c_doc * s) / sum(c_doc) AS avg_surprisal,
+           exp(sum(c_doc * s) / sum(c_doc)) AS ppl
+    FROM s GROUP BY doc_id
+    """,
+)
+def bigram_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained add-k bigram LM —
+    the KenLM-style perplexity quality gate (CCNet, Wenzek et al. 2020)
+    one model order up from `unigram_surprisal`. Model tables are
+    vocabulary-sized; scoring joins run on collapsed (doc, w1, w2,
+    count) granularity (operators/ngram_lm.py)."""
+    from pydatalake_spark.operators.ngram_lm import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf, "documents"))
+
+
+@q(
+    "token_pmi",
+    _BG_CTE
+    + """, pair AS (
+        SELECT w1, w2, sum(c_doc) AS c12 FROM db GROUP BY ALL
+        HAVING sum(c_doc) >= 5
+    ), uni AS (
+        SELECT t AS w, count(*) AS c
+        FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1
+    ), nt AS (SELECT sum(c) AS n_tok FROM uni),
+    nb AS (SELECT sum(c_doc) AS n_bg FROM db)
+    SELECT w1, w2,
+           CAST(c12 AS BIGINT) AS n_pair,
+           ln((c12 / nb.n_bg)
+              / ((u1.c / nt.n_tok) * (u2.c / nt.n_tok))) AS pmi
+    FROM pair
+    JOIN uni u1 ON pair.w1 = u1.w
+    JOIN uni u2 ON pair.w2 = u2.w
+    CROSS JOIN nt CROSS JOIN nb
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+    """,
+)
+def token_pmi_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 adjacent-token pairs by PMI — collocation/phrase mining
+    (word2vec phrase pass) with a min-count-5 Zipf-tail prune applied
+    BEFORE the unigram joins; deterministic (pmi DESC, w1, w2) top-k
+    plans as TakeOrderedAndProject (operators/ngram_lm.py)."""
+    from pydatalake_spark.operators.ngram_lm import token_pmi
+
+    return token_pmi(_t(spark, sf, "documents"))
+
+
+@q(
+    "prefix_dup_docs",
+    """
+    WITH tok AS (
+        SELECT doc_id, trim(text) AS t,
+               string_split(trim(text), ' ') AS toks
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, md5(array_to_string(toks[1:8], ' ')) AS k,
+               len(toks) AS n, t
+        FROM tok WHERE len(toks) >= 8
+    )
+    SELECT a.doc_id AS prefix_id, b.doc_id AS super_id,
+           CAST(a.n AS BIGINT) AS prefix_tokens,
+           CAST(b.n AS BIGINT) AS super_tokens
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.n < b.n
+    WHERE starts_with(b.t, a.t || ' ')
+    """,
+)
+def prefix_dup_docs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict prefix-containment duplicates (truncation/re-crawl class):
+    blocked on the first-8-token hash so the wide shuffle moves id/key
+    triples only; texts re-join by id for the startswith verify
+    (operators/dedup.py:prefix_containment_pairs)."""
+    from pydatalake_spark.operators.dedup import prefix_containment_pairs
+
+    return prefix_containment_pairs(_t(spark, sf, "documents"))

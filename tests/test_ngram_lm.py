@@ -1,0 +1,187 @@
+"""Behavioral tests for the bigram-LM tier (operators/ngram_lm.py),
+prefix-containment dedup (operators/dedup.py), and the k-means Lloyd step
+(operators/semdedup.py) — value parity vs DuckDB is covered by the oracle
+gate (bigram_perplexity / token_pmi / prefix_dup_docs / kmeans_lloyd_step);
+these pin the semantics against pure-Python / numpy references.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pydatalake_spark.operators.dedup import prefix_containment_pairs
+from pydatalake_spark.operators.ngram_lm import bigram_surprisal, token_pmi
+from pydatalake_spark.operators.semdedup import kmeans_step
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _py_bigram_surprisal(texts: dict[int, str], k: float = 0.5):
+    from collections import Counter
+
+    bg, ctx, vocab = Counter(), Counter(), set()
+    docs_bg = {}
+    for did, t in texts.items():
+        toks = t.strip().split(" ")
+        vocab.update(toks)
+        pairs = list(zip(toks, toks[1:]))
+        docs_bg[did] = pairs
+        bg.update(pairs)
+        ctx.update(w1 for w1, _ in pairs)
+    v = len(vocab)
+    out = {}
+    for did, pairs in docs_bg.items():
+        if not pairs:
+            continue
+        s = [
+            -math.log((bg[p] + k) / (ctx[p[0]] + k * v)) for p in pairs
+        ]
+        out[did] = (len(pairs), sum(s) / len(s))
+    return out
+
+
+def test_bigram_surprisal_matches_python_reference(spark):
+    texts = {
+        1: "a b a b a c",
+        2: "a b a b a b",
+        3: "c c a b x y",
+        4: "z",  # single token: no bigrams, no output row
+    }
+    got = {
+        r.doc_id: r
+        for r in bigram_surprisal(
+            _docs(spark, list(texts.items()))
+        ).collect()
+    }
+    ref = _py_bigram_surprisal(texts)
+    assert set(got) == set(ref)
+    for did, (n, avg) in ref.items():
+        assert got[did].n_bigrams == n
+        assert abs(got[did].avg_surprisal - avg) < 1e-9
+        assert abs(got[did].ppl - math.exp(avg)) < 1e-9
+
+
+def test_bigram_surprisal_ranks_unseen_transitions_higher(spark):
+    # "a b" dominates the corpus; a doc full of unseen transitions must
+    # score (perplex) higher than the boilerplate doc
+    rows = [(i, "a b a b a b a b") for i in range(10)] + [
+        (99, "q w e r t y u i")
+    ]
+    out = {
+        r.doc_id: r.ppl for r in bigram_surprisal(_docs(spark, rows)).collect()
+    }
+    assert out[99] > out[0]
+
+
+def test_token_pmi_prefers_exclusive_collocation(spark):
+    # "x y" always co-occur exclusively (5 times, meets min_count);
+    # "a b" are frequent but promiscuous -> lower PMI
+    rows = [(i, "x y a b a c a d b c b d") for i in range(5)]
+    out = token_pmi(_docs(spark, rows), min_count=5, top_n=10).collect()
+    assert out[0].w1 == "x" and out[0].w2 == "y"
+    pmi = {(r.w1, r.w2): r.pmi for r in out}
+    assert pmi[("x", "y")] > pmi.get(("a", "b"), -99)
+    # below min_count pairs are pruned
+    assert all(r.n_pair >= 5 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# prefix-containment dedup
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_containment_pairs(spark):
+    base = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, base + " t9 t10"),          # superset of 2 and prefix of 3's text
+        (2, base),                      # 8-token prefix of 1 and 3
+        (3, base + " t9 t10 t11"),      # superset of 1 and 2
+        (4, base + " zz t10"),          # shares block key; 2 prefixes it, 1/3 don't
+        (5, "t1 t2 t3"),                # under the 8-token floor: never matches
+        (6, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # different block
+    ]
+    got = {
+        (r.prefix_id, r.super_id)
+        for r in prefix_containment_pairs(_docs(spark, rows)).collect()
+    }
+    assert got == {(2, 1), (2, 3), (2, 4), (1, 3)}
+
+
+def test_prefix_pairs_token_boundary(spark):
+    # "…t9" is NOT a prefix of "…t90": the verify must respect token
+    # boundaries, not raw character prefixes
+    rows = [
+        (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+        (2, "t1 t2 t3 t4 t5 t6 t7 t8 t90 t9"),
+    ]
+    got = prefix_containment_pairs(_docs(spark, rows)).collect()
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd step
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_step_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.cell: r for r in kmeans_step(emb, num_cells=4).collect()}
+
+    V = vecs.astype(np.float64)
+    C = V[:4]
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # ties broken by lowest centroid id, as argmin
+    for c in range(4):
+        members = V[assign == c]
+        assert out[c].n_members == len(members)
+        drift = float(np.sqrt(((members.mean(axis=0) - C[c]) ** 2).sum()))
+        assert abs(out[c].drift - drift) < 1e-9
+
+
+def test_kmeans_iterating_reduces_drift(spark):
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.operators.semdedup import assign_fixed_cells
+
+    rng = np.random.default_rng(11)
+    # two tight blobs: after one iteration centroids land on blob means,
+    # so a second step from those means should barely move
+    blob = np.concatenate(
+        [
+            rng.normal(0, 0.05, size=(30, 4)),
+            rng.normal(5, 0.05, size=(30, 4)),
+        ]
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in blob[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    step1 = kmeans_step(emb, num_cells=2)
+    # refit centroids = cell means, rerun the step
+    V = blob.astype(np.float64)
+    C = V[:2]
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    means = [V[assign == c].mean(axis=0) for c in range(2)]
+    cent2 = spark.createDataFrame(
+        [(c, [float(x) for x in means[c]]) for c in range(2)],
+        "cent_id long, cvec array<double>",
+    )
+    step2 = kmeans_step(emb, centroids=cent2)
+    d1 = {r.cell: r.drift for r in step1.collect()}
+    d2_ = {r.cell: r.drift for r in step2.collect()}
+    assert max(d2_.values()) < max(d1.values())
