@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "token_pmi",
     "prefix_dup_docs",
     "kmeans_lloyd_step",
+    "minhash_jaccard_estimate",
+    "cap_per_source",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

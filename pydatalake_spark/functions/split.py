@@ -137,3 +137,40 @@ def sample_to_token_budget(
         df, key_col, strata_col, rates,
         default_rate=1.0, num_buckets=num_buckets, salt=salt,
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, chosen by deterministic
+    hash order — the domain-cap / source-cap control of a training mix
+    (bound any one crawl domain's share without a random sample that
+    reshuffles on re-run).
+
+    Selection order is ``(md5(key), key)``: a uniform permutation of the
+    group that is a pure function of row identity, so the kept set is
+    stable across runs, partitionings, and engines, and NESTED for
+    growing caps (the cap-100 set contains the cap-50 set — raising a cap
+    only ever adds rows). Same contract family as ``split_by_hash`` /
+    ``stratified_sample``.
+
+    Scale: one hash-partition shuffle on ``group_col`` for the
+    row_number window — identical exchange shape to keyed dedup
+    (operators/dedup.py); AQE splits skewed (hot-domain) groups.
+    """
+    from pyspark.sql import Window
+
+    w = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.md5(F.col(key_col).cast("string")).asc(),
+            F.col(key_col).asc(),
+        )
+    )
+    return (
+        df.withColumn("__rn", w)
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

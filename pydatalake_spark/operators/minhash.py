@@ -223,3 +223,69 @@ def choose_lsh_params(
             f"recall {min_recall} at threshold {threshold}; increase num_hashes"
         )
     return best
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    num_bands: int = 2,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Estimator calibration for the MinHash sketch: per LSH-candidate
+    pair, the signature-agreement Jaccard ESTIMATE (fraction of equal
+    minhash components — unbiased, E[est] = J, Broder 1997) next to the
+    exact shingle-set Jaccard and the absolute error. This is the
+    readout that justifies (or vetoes) skipping exact verification at a
+    given ``num_hashes``: mean |err| ~ 1/sqrt(num_hashes).
+
+    Scale: the pair set is LSH-bounded (never all-pairs); both the
+    signature arrays and the shingle sets are re-joined BY ID after the
+    candidate join, so the band exchange stays (id, band, bucket)-narrow.
+    """
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size
+    ).cache()
+    bb = band_buckets(sig, id_col, num_hashes, num_bands)
+    a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    mharr = F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)])
+    side = sig.select(
+        F.col(id_col), mharr.alias("mhs"), F.col("shingles").alias("sset")
+    )
+    j = cand.join(
+        side.select(
+            F.col(id_col).alias("id_a"),
+            F.col("mhs").alias("mh_a"),
+            F.col("sset").alias("set_a"),
+        ),
+        "id_a",
+    ).join(
+        side.select(
+            F.col(id_col).alias("id_b"),
+            F.col("mhs").alias("mh_b"),
+            F.col("sset").alias("set_b"),
+        ),
+        "id_b",
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v
+        )
+    ) / F.lit(float(num_hashes))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    exact = inter / (F.size("set_a") + F.size("set_b") - inter)
+    return j.select(
+        "id_a",
+        "id_b",
+        est.alias("jaccard_est"),
+        exact.alias("jaccard_exact"),
+        F.abs(est - exact).alias("abs_err"),
+    )

@@ -34,10 +34,14 @@ def _doc_bigrams(
 ) -> DataFrame:
     """(id, w1, w2, c_doc): per-document bigram multiplicities.
 
-    The bigram array is built with one higher-order ``transform`` over the
-    token array (adjacent pairs), exploded once, then collapsed per doc.
+    The token array is bound to a REAL column before the pair transform:
+    referencing the raw ``split()`` expression from inside the lambda
+    would re-inline (and re-split) it per element — the HOF re-inline
+    hazard (O(n²) per doc; same fix as winnowing). One explode, then a
+    per-doc collapse whose partial agg runs map-side.
     """
-    toks = tokenize(text_col)
+    bound = docs.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    toks = F.col("__toks")
     pairs: Column = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda t, i: F.struct(
@@ -45,7 +49,7 @@ def _doc_bigrams(
         ),
     )
     return (
-        docs.select(F.col(id_col), F.explode(pairs).alias("p"))
+        bound.select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(id_col, "p.w1", "p.w2")
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_doc"))

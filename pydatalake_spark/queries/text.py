@@ -2639,3 +2639,75 @@ def prefix_dup_docs_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.dedup import prefix_containment_pairs
 
     return prefix_containment_pairs(_t(spark, sf, "documents"))
+
+
+_MJE_MATCHES = " + ".join(
+    f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END" for j in range(_MH_N)
+)
+
+
+@q(
+    "minhash_jaccard_estimate",
+    _shingle_cte()
+    + f""", bb AS ({_bands_sql()}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bb x JOIN bb y
+          ON x.band = y.band AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id
+    ), sets AS (
+        SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+    )
+    SELECT c.id_a, c.id_b,
+           ({_MJE_MATCHES}) / {float(_MH_N)} AS jaccard_est,
+           len(list_intersect(sa.sset, sb.sset))
+             / (len(sa.sset) + len(sb.sset)
+                - len(list_intersect(sa.sset, sb.sset))) AS jaccard_exact,
+           abs(({_MJE_MATCHES}) / {float(_MH_N)}
+               - len(list_intersect(sa.sset, sb.sset))
+                 / (len(sa.sset) + len(sb.sset)
+                    - len(list_intersect(sa.sset, sb.sset)))) AS abs_err
+    FROM cand c
+    JOIN mh a ON a.doc_id = c.id_a
+    JOIN mh b ON b.doc_id = c.id_b
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
+    """,
+)
+def minhash_jaccard_estimate_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate pairs:
+    signature-agreement estimate vs exact shingle Jaccard vs |error| —
+    decides whether exact verification can be skipped at this sketch
+    width (operators/minhash.py:minhash_jaccard_estimate)."""
+    from pydatalake_spark.operators.minhash import minhash_jaccard_estimate
+
+    d = _t(spark, sf, "documents")
+    return minhash_jaccard_estimate(
+        d, num_hashes=_MH_N, num_bands=_MH_BANDS, shingle_size=_MH_K
+    )
+
+
+@q(
+    "cap_per_source",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                           doc_id ASC) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 20
+    """,
+)
+def cap_per_source_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-cap control for the training mix: at most 20 documents per
+    source, chosen by deterministic (md5(id), id) order so the kept set
+    is stable across runs/partitionings and NESTED under growing caps
+    (functions/split.py:cap_per_group)."""
+    from pydatalake_spark.functions.split import cap_per_group
+
+    d = _t(spark, sf, "documents")
+    return cap_per_group(d, "source", "doc_id", max_rows=20).select(
+        "doc_id", "source"
+    )

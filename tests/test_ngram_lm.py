@@ -185,3 +185,71 @@ def test_kmeans_iterating_reduces_drift(spark):
     d1 = {r.cell: r.drift for r in step1.collect()}
     d2_ = {r.cell: r.drift for r in step2.collect()}
     assert max(d2_.values()) < max(d1.values())
+
+
+# ---------------------------------------------------------------------------
+# minhash estimator calibration
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_jaccard_estimate_matches_python_mirror(spark):
+    """The estimate is deterministic given the md5-window hash family —
+    mirror it in pure Python and compare every pair's readout exactly."""
+    import hashlib
+
+    from pydatalake_spark.operators.minhash import minhash_jaccard_estimate
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g x",   # near-dup of 1
+        3: "a b c d e f g h",   # exact dup of 1
+        4: "p q r s t u v w",
+    }
+    n_hashes, n_bands, k = 8, 4, 3
+
+    def sh(t):
+        toks = t.split(" ")
+        return list(dict.fromkeys(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ))
+
+    def sig(t):
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in sh(t)]
+        return [min(h[3 * j : 3 * j + 8] for h in hs) for j in range(n_hashes)]
+
+    def buckets(t):
+        s = sig(t)
+        rows = n_hashes // n_bands
+        return {
+            (b, hashlib.md5("".join(s[b * rows : (b + 1) * rows]).encode()).hexdigest())
+            for b in range(n_bands)
+        }
+
+    exp = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j and buckets(texts[i]) & buckets(texts[j]):
+                si, sj = sig(texts[i]), sig(texts[j])
+                est = sum(x == y for x, y in zip(si, sj)) / n_hashes
+                a, b = set(sh(texts[i])), set(sh(texts[j]))
+                exact = len(a & b) / len(a | b)
+                exp[(i, j)] = (est, exact)
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.jaccard_est, r.jaccard_exact, r.abs_err)
+        for r in minhash_jaccard_estimate(
+            df, num_hashes=n_hashes, num_bands=n_bands, shingle_size=k
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for pair, (est, exact) in exp.items():
+        g_est, g_exact, g_err = got[pair]
+        assert abs(g_est - est) < 1e-12
+        assert abs(g_exact - exact) < 1e-12
+        assert abs(g_err - abs(est - exact)) < 1e-12
+    # the exact-dup pair must read as certainty
+    assert got[(1, 3)][0] == 1.0 and got[(1, 3)][1] == 1.0

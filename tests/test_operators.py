@@ -911,3 +911,31 @@ def test_zipf_fit_negative_slope(spark):
     assert 10 <= row.n_ranks <= 100
     assert row.zipf_slope < 0  # frequency falls with rank
     assert 0 <= row.zipf_r2 <= 1
+
+
+def test_cap_per_group_deterministic_and_nested(spark):
+    from pydatalake_spark.functions.split import cap_per_group
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k10 = {
+        (r.doc_id, r.source)
+        for r in cap_per_group(df, "source", "doc_id", 10).collect()
+    }
+    k10_again = {
+        (r.doc_id, r.source)
+        for r in cap_per_group(
+            df.repartition(7), "source", "doc_id", 10
+        ).collect()
+    }
+    k20 = {
+        (r.doc_id, r.source)
+        for r in cap_per_group(df, "source", "doc_id", 20).collect()
+    }
+    # stable under repartition, exactly k per group, nested under growth
+    assert k10 == k10_again
+    from collections import Counter
+
+    assert all(v == 10 for v in Counter(s for _, s in k10).values())
+    assert all(v == 20 for v in Counter(s for _, s in k20).values())
+    assert k10 <= k20
