@@ -140,6 +140,12 @@ PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]
 
 
 def _run_timed(fn, spark, sf_dir) -> float:
+    # NOTE deliberately NO clearCache here: the oracle side is timed on
+    # its SECOND execution (warm buffer pool), so Spark keeps its warm
+    # table caches too — clearing them charges every query a cold parquet
+    # re-read the DuckDB side never pays (measured +48% total, all of it
+    # scan overhead). Operator-internal caches (minhash signatures) are
+    # per-plan and tiny relative to executor memory at this SF.
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 4)
@@ -174,8 +180,14 @@ def _build_scaled_dir(spark, out_dir: str) -> None:
             elif t == "documents":
                 df = df.withColumn("doc_id", F.col("doc_id") + i * shift)
                 if i > 0:
+                    # decorrelate by PREFIXING every token with a replica
+                    # marker: token count (and so shingle/window counts)
+                    # stays identical to the base table — the old
+                    # insert-a-marker-token form doubled per-doc work and
+                    # inflated measured exponents by ~log10(2) ≈ 0.3
                     df = df.withColumn(
-                        "text", F.regexp_replace("text", " ", f" r{i} ")
+                        "text",
+                        F.regexp_replace("text", r"(^|\s)", f"$1r{i}"),
                     )
             elif t == "embeddings":
                 df = df.withColumn("vec_id", F.col("vec_id") + i * shift)
@@ -202,11 +214,13 @@ def _scaling_probe(spark, queries) -> dict:
         os.environ.get("TMPDIR", "/tmp"), f"pydatalake_bench_x{REPLICAS}"
     )
     marker = os.path.join(scaled_dir, "_built_from")
-    if not (os.path.isfile(marker) and open(marker).read() == SF_DIR):
+    # v2: token-prefix decorrelation (marker version busts stale replicas)
+    stamp = SF_DIR + "|gen-v2"
+    if not (os.path.isfile(marker) and open(marker).read() == stamp):
         shutil.rmtree(scaled_dir, ignore_errors=True)
         _build_scaled_dir(spark, scaled_dir)
         with open(marker, "w") as f:
-            f.write(SF_DIR)
+            f.write(stamp)
     result = {"replicas": REPLICAS, "queries": {}}
     for name in PROBE_QUERIES:
         fn = queries[name]
