@@ -267,6 +267,19 @@ def kmeans_step(
             )
         )
     cells = assign_fixed_cells(emb, id_col, vec_col, centroids=centroids)
+    return _lloyd_readout(emb, cells, centroids, id_col, vec_col)
+
+
+def _lloyd_readout(
+    emb: DataFrame,
+    cells: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared Lloyd-step tail: per-cell elementwise mean (one hash agg of
+    ``dim`` scalar avg columns, map-side partials, no explode) + centroid
+    drift. ``dim`` is read from one head row (bounded driver scalar)."""
     wv = cells.join(
         emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
         id_col,
@@ -294,3 +307,83 @@ def kmeans_step(
             )
         ).alias("drift"),
     )
+
+
+def assign_cells_numpy(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment — Arrow/numpy tier.
+
+    Same semantics as ``assign_fixed_cells`` with explicit ``centroids``
+    (pytest-pinned equal): Euclidean argmin with lowest-centroid-id
+    tie-break. Each Arrow batch computes ALL its distances as one
+    ``|batch| x |centroids|`` matrix via the expansion
+    ``|x|^2 + |c|^2 - 2 x.c`` (one matmul) instead of per-(row, centroid)
+    interpreted ``zip_with`` trees — the same expression-vs-Arrow swap as
+    ``semantic_dedup_numpy``, and the win grows with dim x num_cells.
+
+    Scale shape: the centroid table is collected once (bounded by
+    contract: |cells| rows) and broadcast inside the closure; the map is
+    shuffle-free — output is (id, cell) pairs only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(
+        centroids.select("cent_id", "cvec").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cent_ids = np.array([r["cent_id"] for r in cent_rows])
+    C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    src = emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, src.schema[id_col].dataType),
+            T.StructField("cell", centroids.schema["cent_id"].dataType),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["dv"].tolist(), dtype=np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (V @ C.T)
+            # argmin takes the FIRST minimum -> lowest centroid index; the
+            # centroid rows are sorted by cent_id, so ties break identically
+            # to min(struct(d2, cent_id))
+            best = cent_ids[d2.argmin(axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": best})
+
+    return src.mapInPandas(assign, out_schema)
+
+
+def kmeans_step_numpy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """One Lloyd iteration — Arrow/numpy assignment tier. Same output as
+    ``kmeans_step`` (pytest-pinned equal): (cell, n_members, drift). The
+    mean/drift aggregation stays in codegen (per-index avg columns); only
+    the distance argmin moves to the vectorized path.
+    """
+    if centroids is None:
+        centroids = (
+            emb.orderBy(F.col(id_col).asc())
+            .limit(num_cells)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                to_double_array(vec_col).alias("cvec"),
+            )
+        )
+    cells = assign_cells_numpy(emb, centroids, id_col, vec_col)
+    return _lloyd_readout(emb, cells, centroids, id_col, vec_col)

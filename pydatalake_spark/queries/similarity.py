@@ -629,7 +629,12 @@ def kmeans_lloyd_step_q(spark: SparkSession, sf: str) -> DataFrame:
     deterministic 8-lowest-id init (oracle-pinned; production loops feed
     trained centroids back in): per-cell membership count + centroid
     drift. Mean recomputation is one hash agg with per-index avg columns
-    — no explode multiplies the corpus (operators/semdedup.py)."""
-    from pydatalake_spark.operators.semdedup import kmeans_step
+    — no explode multiplies the corpus (operators/semdedup.py).
 
-    return kmeans_step(_t(spark, sf, "embeddings"), num_cells=8)
+    Runs the Arrow/numpy assignment tier (one |batch| x |cells| distance
+    matmul per Arrow batch instead of interpreted zip_with trees — the
+    semantic_dedup_numpy swap); equality with the expression form is
+    pytest-pinned."""
+    from pydatalake_spark.operators.semdedup import kmeans_step_numpy
+
+    return kmeans_step_numpy(_t(spark, sf, "embeddings"), num_cells=8)

@@ -253,3 +253,20 @@ def test_minhash_jaccard_estimate_matches_python_mirror(spark):
         assert abs(g_err - abs(est - exact)) < 1e-12
     # the exact-dup pair must read as certainty
     assert got[(1, 3)][0] == 1.0 and got[(1, 3)][1] == 1.0
+
+
+def test_kmeans_step_numpy_matches_expression(spark):
+    from pydatalake_spark.operators.semdedup import kmeans_step_numpy
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i + 1000, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    expr = {r.cell: r for r in kmeans_step(emb, num_cells=4).collect()}
+    fast = {r.cell: r for r in kmeans_step_numpy(emb, num_cells=4).collect()}
+    assert set(expr) == set(fast)
+    for c in expr:
+        assert expr[c].n_members == fast[c].n_members
+        assert abs(expr[c].drift - fast[c].drift) < 1e-9
