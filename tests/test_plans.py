@@ -363,3 +363,24 @@ def test_delta_diff_prunes_existing_scan_by_batch_window(spark, tmp_path):
     # side — BOTH must carry a ts range filter down to parquet
     ts_pushed = [f for f in pushed if "ts" in f and "GreaterThan" in f]
     assert len(ts_pushed) >= 2, f"existing-side scan not pruned: {pushed}"
+
+
+def test_bigram_lm_broadcasts_model_tables(spark):
+    # the vocabulary-sized bigram/context count tables must broadcast onto
+    # the collapsed doc-bigram side (corpus-sized), never sort-merge
+    p = physical_plan(spark, "bigram_perplexity")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_prefix_dup_blocking_join_excludes_text(spark):
+    # the blocking equi-join on the first-8-token key must not carry the
+    # text column; texts re-join BY ID and the startswith verify rides
+    # that join as its condition
+    p = physical_plan(spark, "prefix_dup_docs")
+    assert "StartsWith" in p
+    key_join = next(
+        ln for ln in p.splitlines()
+        if "Join" in ln and "_k#" in ln
+    )
+    assert "_ta" not in key_join and "_tb" not in key_join
