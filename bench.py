@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "kmeans_lloyd_step",
     "minhash_jaccard_estimate",
     "cap_per_source",
+    "pipeline_embedding_curation",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

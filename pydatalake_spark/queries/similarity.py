@@ -476,9 +476,7 @@ _SD_SQ = (
 )
 
 
-@q(
-    "semantic_dedup",
-    f"""
+_SD_CORE_CTE = f"""
     WITH nv AS (
         SELECT count(*) AS n FROM embeddings
     ), cn AS (
@@ -510,7 +508,13 @@ _SD_SQ = (
         WHERE {_dot('a.embedding', 'b.embedding')}
                 / (sqrt({_dot('a.embedding', 'a.embedding')})
                    * sqrt({_dot('b.embedding', 'b.embedding')})) >= {_SD_TAU}
-    )
+    )"""
+
+
+@q(
+    "semantic_dedup",
+    _SD_CORE_CTE
+    + """
     SELECT vec_id, cell,
            vec_id NOT IN (SELECT dup_id FROM pairs) AS keep
     FROM cells
@@ -638,3 +642,50 @@ def kmeans_lloyd_step_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.semdedup import kmeans_step_numpy
 
     return kmeans_step_numpy(_t(spark, sf, "embeddings"), num_cells=8)
+
+
+@q(
+    "pipeline_embedding_curation",
+    _SD_CORE_CTE
+    + """, kept AS (
+        SELECT vec_id, cell FROM cells
+        WHERE vec_id NOT IN (SELECT dup_id FROM pairs)
+    ), ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                           vec_id ASC) AS rn
+        FROM kept
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM ranked GROUP BY cell
+    """,
+)
+def pipeline_embedding_curation_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed embedding-side curation flow, ONE lazy plan: SemDeDup
+    (auto-sized cells, Arrow gram-matrix verify) → keep survivors →
+    deterministic per-cell cap at 100 (functions/split.py:cap_per_group,
+    hash order — run-stable and nested) → per-cell readout
+    (candidates vs kept). The embedding twin of pipeline_clean_corpus_v3:
+    dedup bounds redundancy, the cap bounds any one semantic region's
+    share of the training mix."""
+    from pydatalake_spark.functions.split import cap_per_group
+    from pydatalake_spark.operators.semdedup import semantic_dedup_numpy
+
+    e = _t(spark, sf, "embeddings")
+    sd = semantic_dedup_numpy(e, threshold=_SD_TAU)
+    kept = sd.filter(F.col("keep")).select("vec_id", "cell")
+    capped = cap_per_group(kept, "cell", "vec_id", max_rows=100).select(
+        "vec_id", F.lit(1).alias("__kept")
+    )
+    return (
+        kept.join(capped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce("__kept", F.lit(0))).cast("long").alias("n_kept"),
+        )
+    )
