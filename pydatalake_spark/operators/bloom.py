@@ -111,3 +111,51 @@ def bloom_contains(
     return tested.groupBy(*cols).agg(
         F.min(F.col("_bit_set").cast("int")).cast("boolean").alias("bf_hit")
     )
+
+
+def bloom_words_literal(bitmap: DataFrame) -> dict[int, int]:
+    """Collect a built filter into {word_idx: word} — bounded by contract
+    (≤ num_bits/32 rows, ~128 longs ≈ 1 KB) for literal embedding."""
+    return {int(r["word_idx"]): int(r["word"]) for r in bitmap.collect()}
+
+
+def bloom_hit_expr(
+    key: Column,
+    words: dict[int, int],
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> Column:
+    """Scalar ``possible-member`` test against a LITERAL bitmap — no join,
+    no shuffle, no aggregation, so it composes into streaming append-mode
+    plans and higher-order lambdas (``F.exists`` over a window-hash
+    array). The bitmap is a constant-folded literal array; each of the
+    ``num_hashes`` probes is one md5-window modulo + bit test, all
+    whole-stage codegen.
+
+    Semantics match ``bloom_contains`` bit-for-bit (same ``_positions``
+    family): no false negatives; FP rate (1-e^{-kn/m})^k.
+    """
+    arr = F.array(
+        *[
+            F.lit(int(words.get(i, 0))).cast("long")
+            for i in range(num_bits // _WORD)
+        ]
+    )
+    h = F.md5(key)
+    conds = []
+    for j in range(num_hashes):
+        pos = (
+            F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+            % num_bits
+        )
+        word = F.element_at(arr, (pos / _WORD).cast("int") + 1)
+        # SQL shiftleft accepts a column shift (the PySpark wrapper is
+        # literal-only), exactly matching bloom_build's mask construction
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % _WORD).cast("int")
+        )
+        conds.append(word.bitwiseAND(mask) != 0)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

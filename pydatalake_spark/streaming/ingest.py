@@ -170,3 +170,75 @@ def stream_ingest_dedup_corpus(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_quality_screen(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    bloom_words: dict[int, int],
+    quality_threshold: float = 0.45,
+    eval_window: int = 13,
+    query_name: str = "screened",
+) -> DataFrame:
+    """Streaming ingest gate: quality score + exact-n-gram eval
+    decontamination, per arriving micro-batch, with ZERO stream-side
+    shuffles — the online form of `text_quality_score` +
+    `exact_ngram_decontamination`/`bloom_decontamination`.
+
+    The eval-set filter arrives as a LITERAL bloom bitmap
+    (`operators/bloom.py:bloom_hit_expr`, built batch-side from the eval
+    corpus's 13-token window hashes via `bloom_build` +
+    `bloom_words_literal`): a doc is dropped iff any of its window hashes
+    is a possible member. Quality is the same stopword/punct/length
+    expression as the batch query. Everything is stateless per-row
+    codegen — append mode, no watermark/state needed, so the gate runs at
+    source line-rate on any number of executors; the bloom guarantees no
+    eval document leaks through (no false negatives), at a bounded
+    false-drop rate.
+
+    Drains with availableNow into an in-memory sink (test surface);
+    production swaps the sink for the parquet writer of `stream_ingest`.
+    Returns (doc_id, quality_score, n_tokens) for kept docs.
+    """
+    from pydatalake_spark.functions.text import STOPWORDS, tokenize
+    from pydatalake_spark.operators.bloom import bloom_hit_expr
+    from pydatalake_spark.functions.text import shingles
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    bound = stream.select(
+        "doc_id", "text", tokenize("text").alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    ) / F.nullif(F.length("text"), F.lit(0))
+    quality = (
+        stop_ratio * 0.3
+        + (F.lit(1) - punct_ratio) * 0.2
+        + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
+    )
+    whs = F.transform(shingles(toks, k=eval_window), F.md5)
+    contaminated = F.exists(
+        whs, lambda wh: bloom_hit_expr(wh, bloom_words)
+    )
+    kept = (
+        bound.withColumn("quality_score", quality)
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .filter(
+            (F.col("quality_score") >= quality_threshold) & ~contaminated
+        )
+        .select("doc_id", "quality_score", "n_tokens")
+    )
+    q = (
+        kept.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -243,3 +243,69 @@ def test_stream_stream_attribution_matches_batch(spark, events, tmpdir_path):
     assert got == want and len(want) > 0
     # lag bounds respected
     assert all(0 <= r.lag_seconds < 300 for r in want_rows)
+
+
+def test_stream_quality_screen_matches_batch(spark, tmpdir_path):
+    """The streaming quality + bloom-decontamination gate keeps exactly
+    the docs the equivalent batch expression keeps, and NEVER passes a
+    doc sharing a 13-token window with the eval set (no false
+    negatives by bloom construction)."""
+    from pydatalake_spark.functions.text import STOPWORDS, shingles, tokenize
+    from pydatalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_hit_expr,
+        bloom_words_literal,
+    )
+    from pydatalake_spark.streaming.ingest import stream_quality_screen
+
+    eval_text = " ".join(f"e{i}" for i in range(20))
+    good = "the of and to a " + " ".join(f"w{i}" for i in range(95))
+    rows = [(i, good + f" tail{i}") for i in range(20)]
+    rows.append((97, "x y"))                      # low quality: dropped
+    rows.append((98, eval_text + " extra pad"))   # contaminated: dropped
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import os
+    src_dir = os.path.join(str(tmpdir_path), "docs_src")
+    docs.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    ev = spark.createDataFrame([(0, eval_text)], "eid long, text string")
+    ev_hashes = ev.select(
+        F.explode(
+            F.transform(shingles(tokenize("text"), k=13), F.md5)
+        ).alias("wh")
+    )
+    words = bloom_words_literal(bloom_build(ev_hashes, key_col="wh"))
+
+    got = {
+        r.doc_id
+        for r in stream_quality_screen(
+            spark, src_dir, schema, words, query_name="screen_t"
+        ).collect()
+    }
+
+    # batch twin with the SAME literal bitmap
+    b = spark.read.parquet(src_dir).select(
+        "doc_id", "text", tokenize("text").alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    ) / F.nullif(F.length("text"), F.lit(0))
+    quality = (
+        stop_ratio * 0.3
+        + (F.lit(1) - punct_ratio) * 0.2
+        + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
+    )
+    whs = F.transform(shingles(toks, k=13), F.md5)
+    contaminated = F.exists(whs, lambda wh: bloom_hit_expr(wh, words))
+    expected = {
+        r.doc_id
+        for r in b.filter((quality >= 0.45) & ~contaminated).collect()
+    }
+    assert got == expected
+    assert 97 not in got and 98 not in got
+    assert len(got) > 0
