@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "minhash_jaccard_estimate",
     "cap_per_source",
     "pipeline_embedding_curation",
+    "near_dup_communities",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -314,3 +314,59 @@ def dedup_by_clusters_best(
         .select(F.col("node").alias(id_col))
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    num_iters: int = 3,
+) -> DataFrame:
+    """(node, community) after ``num_iters`` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al. 2007) over the undirected pair graph: each
+    round every node adopts its neighbors' most frequent label, ties
+    broken by the SMALLEST label — fully deterministic, unlike classic
+    async LPA, and therefore oracle-checkable with a fixed iteration
+    count. Labels start as node ids; isolated rounds keep a node's label
+    when it has no neighbors.
+
+    Where connected components merges everything reachable (one bridge
+    edge fuses two boilerplate families), LPA keeps densely-linked
+    near-dup groups separate across weak bridges — the finer-grained
+    community readout for dedup planning.
+
+    Scale: per round ONE label join keyed on dst + one (node, label)
+    count aggregation + one argmax — all hash exchanges on node ids;
+    labels table is node-sized, lineage truncated per round via
+    localCheckpoint like the CC loop. num_iters is a fixed small constant
+    (LPA converges in a few rounds on near-dup graphs).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node"))
+    )
+    for _ in range(num_iters):
+        neighbor = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), F.col("community").alias("nl"))
+        counted = neighbor.groupBy("node", "nl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # most frequent neighbor label, smallest label on ties:
+        # max(struct(c, -nl)) picks highest count then lowest label
+        best = (
+            counted.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("nl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("community"))
+        )
+        labels = best.localCheckpoint(eager=True)
+    return labels

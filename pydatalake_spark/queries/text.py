@@ -2711,3 +2711,59 @@ def cap_per_source_q(spark: SparkSession, sf: str) -> DataFrame:
     return cap_per_group(d, "source", "doc_id", max_rows=20).select(
         "doc_id", "source"
     )
+
+
+def _lpa_iters_sql(n: int) -> str:
+    """n synchronous LPA rounds as chained CTEs (deterministic: most
+    frequent neighbor label, smallest label on ties)."""
+    parts = ["""lab0 AS (
+        SELECT DISTINCT src AS node, src AS community FROM bidir
+    )"""]
+    for i in range(1, n + 1):
+        parts.append(f"""nb{i} AS (
+        SELECT b.src AS node, l.community AS nl
+        FROM bidir b JOIN lab{i - 1} l ON b.dst = l.node
+    ), ct{i} AS (
+        SELECT node, nl, count(*) AS c FROM nb{i} GROUP BY node, nl
+    ), lab{i} AS (
+        SELECT node, nl AS community FROM (
+            SELECT node, nl,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, nl ASC) AS rn
+            FROM ct{i}) WHERE rn = 1
+    )""")
+    return ", ".join(parts)
+
+
+@q(
+    "near_dup_communities",
+    _ngram_pruned_cte()
+    + """, edges AS (
+        SELECT id_a, id_b
+        FROM co JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+    ), bidir AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ), """
+    + _lpa_iters_sql(3)
+    + """
+    SELECT node AS doc_id, community FROM lab3
+    """,
+)
+def near_dup_communities_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-propagation communities over the exact-Jaccard near-dup
+    graph (3 synchronous rounds, deterministic tie-break) — the
+    finer-grained alternative to connected components: dense duplicate
+    families stay separate across weak bridge edges instead of fusing
+    (operators/cluster.py:label_propagation)."""
+    from pydatalake_spark.operators.cluster import label_propagation
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
+    )
+    return label_propagation(pairs, num_iters=3).select(
+        F.col("node").alias("doc_id"), "community"
+    )

@@ -51,3 +51,51 @@ def test_canonical_by_rank_keeps_hub(spark):
     assert 2 in kept and 1 not in kept and 3 not in kept and 4 not in kept
     assert 5 in kept and 6 not in kept
     assert 7 in kept
+
+
+def test_label_propagation_matches_python_and_splits_bridges(spark):
+    """3-round synchronous LPA == pure-Python reference; two 4-cliques
+    joined by ONE bridge edge stay separate communities (where CC fuses
+    them into a single cluster)."""
+    from collections import Counter
+
+    from pydatalake_spark.operators.cluster import (
+        connected_components,
+        label_propagation,
+    )
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = cl1 + cl2 + [(3, 10)]  # bridge
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, num_iters=3).collect()
+    }
+
+    # pure-Python synchronous LPA, same tie rule
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n in nbrs:
+            c = Counter(lab[m] for m in nbrs[n])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    assert got == lab
+
+    # bridge separation: the two cliques carry different communities
+    comm1 = {got[n] for n in range(4)}
+    comm2 = {got[n] for n in range(10, 14)}
+    assert comm1.isdisjoint(comm2)
+    # ...while CC sees one component
+    cc = {
+        r.cluster_id
+        for r in connected_components(df).collect()
+    }
+    assert len(cc) == 1
