@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "cap_per_source",
     "pipeline_embedding_curation",
     "near_dup_communities",
+    "weighted_sample_docs",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -174,3 +174,48 @@ def cap_per_group(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = ":ws",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows:
+    Efraimidis–Spirakis A-ES (2006) with the uniform drawn from the row's
+    salted key hash instead of an RNG — inclusion probability stays
+    proportional to weight, but the chosen set is a pure function of row
+    identity (stable across runs/partitionings, re-randomizable only by
+    changing ``salt``). The sampling key is ``ln(u) / w`` maximized, the
+    standard one-pass reservoir form — here a global top-k, which Spark
+    plans as TakeOrderedAndProject (per-partition partial top-k, no
+    global sort).
+
+    This is the quality-weighted selection step of a training mix
+    ("sample 1M docs preferring high quality") made reproducible.
+    Zero-or-negative weights are excluded (standard A-ES domain).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in (0, 1]: 8 hex chars of md5 -> (val + 1) / 2^32
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(float(1 << 32))
+    es_key = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__es", es_key)
+        .orderBy(F.col("__es").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__es")
+    )

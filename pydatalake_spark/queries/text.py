@@ -2767,3 +2767,32 @@ def near_dup_communities_q(spark: SparkSession, sf: str) -> DataFrame:
     return label_propagation(pairs, num_iters=3).select(
         F.col("node").alias("doc_id"), "community"
     )
+
+
+@q(
+    "weighted_sample_docs",
+    """
+    WITH ks AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'),
+                          1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+                 / n_chars AS es
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ks ORDER BY es DESC, doc_id ASC LIMIT 100
+    """,
+)
+def weighted_sample_docs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible length-weighted 100-doc sample without replacement —
+    Efraimidis-Spirakis with hash-uniforms, so inclusion odds track the
+    weight but the chosen set is a pure function of doc identity
+    (functions/split.py:weighted_sample). Plans as
+    TakeOrderedAndProject: per-partition partial top-k, no global
+    sort."""
+    from pydatalake_spark.functions.split import weighted_sample
+
+    d = _t(spark, sf, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", k=100).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -939,3 +939,31 @@ def test_cap_per_group_deterministic_and_nested(spark):
     assert all(v == 10 for v in Counter(s for _, s in k10).values())
     assert all(v == 20 for v in Counter(s for _, s in k20).values())
     assert k10 <= k20
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from pydatalake_spark.functions.split import weighted_sample
+
+    # 200 light rows (w=1) + 50 heavy rows (w=50): a 50-row sample should
+    # be dominated by heavy rows, identically on every run/partitioning
+    rows = [(i, 1.0) for i in range(200)] + [(1000 + i, 50.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 50).collect()}
+    s2 = {
+        r.doc_id
+        for r in weighted_sample(df.repartition(13), "doc_id", "w", 50).collect()
+    }
+    assert s1 == s2 and len(s1) == 50
+    heavy = sum(1 for d in s1 if d >= 1000)
+    assert heavy >= 35  # weight dominates (expected ~45/50)
+    # a different salt re-randomizes
+    s3 = {
+        r.doc_id
+        for r in weighted_sample(df, "doc_id", "w", 50, salt=":x").collect()
+    }
+    assert s3 != s1
+    # zero/negative weights never selected
+    dfz = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0)], "doc_id long, w double"
+    )
+    assert {r.doc_id for r in weighted_sample(dfz, "doc_id", "w", 3).collect()} == {3}
