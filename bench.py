@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "pipeline_embedding_curation",
     "near_dup_communities",
     "weighted_sample_docs",
+    "ngram_containment_pairs",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

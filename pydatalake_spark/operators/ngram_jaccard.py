@@ -164,3 +164,73 @@ def ngram_jaccard_pairs_against(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All ordered pairs where the SMALLER document's shingle set is
+    ``threshold``-contained in the larger's: containment =
+    inter / min(|A|, |B|). The partial-duplication class Jaccard
+    under-scores — a full document embedded in one 10x longer has
+    Jaccard ~0.1 but containment ~1.0 (quote-expansion, aggregation
+    pages, prefix/suffix re-crawls beyond `prefix_containment_pairs`'s
+    contiguous-prefix case).
+
+    Output (inner_id, outer_id, containment): inner is the contained
+    (smaller-set) side; set-size ties default to the smaller id as
+    inner. Same inverted-index join + DF-prune scale shape as
+    `ngram_jaccard_pairs` (one shuffle keyed by shingle, pair stream
+    partially aggregated map-side; containment on the PRUNED space).
+    """
+    sets = shingle_sets(df, id_col, text_col, shingle_size)
+    inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
+    inv = inv.cache()
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
+    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    inner_first = F.col("n_a") < F.col("n_b")
+    tie = (F.col("n_a") == F.col("n_b"))
+    return scored.select(
+        F.when(inner_first | tie, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("inner_id"),
+        F.when(inner_first | tie, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("outer_id"),
+        "containment",
+    )

@@ -2796,3 +2796,35 @@ def weighted_sample_docs_q(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_sample(d, "doc_id", "n_chars", k=100).select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@q(
+    "ngram_containment_pairs",
+    _ngram_pruned_cte()
+    + """, scored AS (
+        SELECT id_a, id_b, na.n AS n_a, nb.n AS n_b,
+               CAST(inter AS DOUBLE) / least(na.n, nb.n) AS containment
+        FROM co
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / least(na.n, nb.n) >= 0.8
+    )
+    SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS inner_id,
+           CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS outer_id,
+           containment
+    FROM scored
+    """,
+)
+def ngram_containment_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Shingle-set containment pairs (inter / min set size >= 0.8) over
+    the DF-pruned shingle space — catches documents EMBEDDED in longer
+    ones, which Jaccard under-scores by the length ratio
+    (operators/ngram_jaccard.py:ngram_containment_pairs)."""
+    from pydatalake_spark.operators.ngram_jaccard import (
+        ngram_containment_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    return ngram_containment_pairs(
+        d, shingle_size=_MH_K, threshold=0.8, max_df=_ngram_max_df(d)
+    )

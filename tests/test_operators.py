@@ -967,3 +967,26 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
         [(1, 0.0), (2, -3.0), (3, 1.0)], "doc_id long, w double"
     )
     assert {r.doc_id for r in weighted_sample(dfz, "doc_id", "w", 3).collect()} == {3}
+
+
+def test_ngram_containment_catches_embedded_doc(spark):
+    from pydatalake_spark.operators.ngram_jaccard import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    inner = " ".join(f"t{i}" for i in range(12))
+    outer = inner + " " + " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert all(k == (1, 2) for k in got)
+    # the same pair is invisible to Jaccard at any common threshold
+    j = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert j == []
