@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "near_dup_communities",
     "weighted_sample_docs",
     "ngram_containment_pairs",
+    "bm25_search",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

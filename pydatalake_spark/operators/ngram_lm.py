@@ -153,3 +153,73 @@ def token_pmi(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_n)
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N documents by BM25 (Robertson/Okapi) for a bag of query
+    terms — the lexical-retrieval complement of the embedding ANN tier
+    (hybrid search = this + ``cosine_topk``).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Returns (id, score DOUBLE) with a deterministic (score DESC, id)
+    top-N. Scale shape: the token stream is filtered to the query terms
+    BEFORE any aggregation (the per-term postings are the only rows that
+    ever reach an exchange — query-sized, not corpus-sized); document
+    length and corpus stats ride one narrow per-doc projection; N, avgdl
+    and the per-term df/idf table are scalars/broadcasts. Top-N plans as
+    TakeOrderedAndProject.
+    """
+    terms = [t for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    bound = docs.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    )
+    dl = bound.select(
+        F.col(id_col), F.size("__toks").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tok = bound.select(
+        F.col(id_col), F.explode("__toks").alias("t")
+    ).filter(F.col("t").isin(terms))
+    tf = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_n)
+    )

@@ -2828,3 +2828,48 @@ def ngram_containment_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_containment_pairs(
         d, shingle_size=_MH_K, threshold=0.8, max_df=_ngram_max_df(d)
     )
+
+
+_BM25_TERMS = ["spark", "join", "stream"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@q(
+    "bm25_search",
+    f"""
+    WITH dl AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+        FROM documents
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM tok
+        WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, t
+    ), dfq AS (
+        SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (tf.tf * (1.2 + 1))
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+        FROM tf
+        JOIN dfq USING (t)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, sum(sc) AS score FROM scored
+    GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def bm25_search_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval for a fixed query bag — the keyword
+    complement of the embedding ANN tier (hybrid search pairs this with
+    `cosine_topk`). Postings are filtered to the query terms BEFORE any
+    exchange (operators/ngram_lm.py:bm25_search)."""
+    from pydatalake_spark.operators.ngram_lm import bm25_search
+
+    return bm25_search(_t(spark, sf, "documents"), _BM25_TERMS)

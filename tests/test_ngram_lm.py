@@ -270,3 +270,54 @@ def test_kmeans_step_numpy_matches_expression(spark):
     for c in expr:
         assert expr[c].n_members == fast[c].n_members
         assert abs(expr[c].drift - fast[c].drift) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_python_reference(spark):
+    import math as m
+
+    from pydatalake_spark.operators.ngram_lm import bm25_search
+
+    texts = {
+        1: "spark join spark join spark",
+        2: "spark " + " ".join(f"f{i}" for i in range(40)),
+        3: "join stream join stream",
+        4: "nothing relevant here at all",
+        5: "stream",
+    }
+    terms, k1, b = ["spark", "join", "stream"], 1.2, 0.75
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    N = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    ref = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = m.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            ref[d] = s
+    got = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            ),
+            terms,
+        ).collect()
+    }
+    assert set(got) == set(ref)  # doc 4 scores nothing
+    for d in ref:
+        assert abs(got[d] - ref[d]) < 1e-9
+    # short spam doc with repeated terms outranks the long diluted one
+    assert got[1] > got[2]
