@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "ngram_containment_pairs",
     "bm25_search",
+    "corpus_datacard",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -2873,3 +2873,90 @@ def bm25_search_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.ngram_lm import bm25_search
 
     return bm25_search(_t(spark, sf, "documents"), _BM25_TERMS)
+
+
+@q(
+    "corpus_datacard",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source, lang, text,
+               string_split(trim(text), ' ') AS toks
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id, source, lang,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / len(toks) * 0.3
+                 + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                         / nullif(length(text), 0)) * 0.2
+                 + least(len(toks) / 100, 1.0) * 0.5 AS q
+        FROM tok
+    ), by_lang AS (
+        SELECT source, lang, count(*) AS c FROM per_doc GROUP BY source, lang
+    ), top_lang AS (
+        SELECT source, lang AS top_lang FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang ASC) AS rn
+            FROM by_lang) WHERE rn = 1
+    )
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+           avg(p.q) AS avg_quality,
+           CAST(count(DISTINCT p.lang) AS BIGINT) AS n_langs,
+           min(t.top_lang) AS top_lang
+    FROM per_doc p JOIN top_lang t ON p.source = t.source
+    GROUP BY p.source
+    """,
+)
+def corpus_datacard_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source dataset-card rollup — the one-pass corpus report a
+    training-mix decision starts from: volume (docs/tokens), mean
+    quality, language spread, dominant language. Everything is grouped
+    aggregation over one tokenize pass; the dominant language is a
+    source-keyed argmax (deterministic count DESC, lang ASC)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    ) / F.nullif(F.length("text"), F.lit(0))
+    quality = (
+        stop_ratio * 0.3
+        + (F.lit(1) - punct_ratio) * 0.2
+        + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
+    )
+    per_doc = d.select(
+        "doc_id", "source", "lang",
+        n_tokens.alias("n_tokens"), quality.alias("q"),
+    )
+    by_lang = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top_lang = (
+        by_lang.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("c").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_doc.join(top_lang, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.avg("q").alias("avg_quality"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("top_lang").alias("top_lang"),
+        )
+    )
