@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "ngram_containment_pairs",
     "bm25_search",
     "corpus_datacard",
+    "curriculum_stages",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

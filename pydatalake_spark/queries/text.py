@@ -2960,3 +2960,60 @@ def corpus_datacard_q(spark: SparkSession, sf: str) -> DataFrame:
             F.min("top_lang").alias("top_lang"),
         )
     )
+
+
+@q(
+    "curriculum_stages",
+    """
+    WITH dl AS (
+        SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    ), th AS (
+        SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY n_tokens) AS t1,
+               percentile_cont(0.50) WITHIN GROUP (ORDER BY n_tokens) AS t2,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY n_tokens) AS t3
+        FROM dl
+    ), staged AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens <= t1 THEN 1
+                    WHEN n_tokens <= t2 THEN 2
+                    WHEN n_tokens <= t3 THEN 3
+                    ELSE 4 END AS stage
+        FROM dl CROSS JOIN th
+    )
+    SELECT CAST(stage AS BIGINT) AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM staged GROUP BY stage
+    """,
+)
+def curriculum_stages_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-based curriculum staging (short→long is the classic
+    curriculum-learning schedule, Bengio et al. 2009): stage boundaries
+    are exact length quartiles computed once (a 3-scalar aggregate
+    broadcast back as a CASE chain — integer token counts interpolate
+    exactly, so the boundary comparisons are FP-safe), then one grouped
+    rollup per stage. No global sort or single-partition window — the
+    scale-hostile ntile() form this replaces."""
+    d = _t(spark, sf, "documents")
+    dl = d.select(
+        "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    th = dl.agg(
+        F.expr("percentile(n_tokens, 0.25D)").alias("t1"),
+        F.expr("percentile(n_tokens, 0.5D)").alias("t2"),
+        F.expr("percentile(n_tokens, 0.75D)").alias("t3"),
+    )
+    staged = dl.crossJoin(F.broadcast(th)).withColumn(
+        "stage",
+        F.when(F.col("n_tokens") <= F.col("t1"), 1)
+        .when(F.col("n_tokens") <= F.col("t2"), 2)
+        .when(F.col("n_tokens") <= F.col("t3"), 3)
+        .otherwise(4),
+    )
+    return staged.groupBy(F.col("stage").cast("long").alias("stage")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
