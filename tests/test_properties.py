@@ -225,3 +225,53 @@ def test_span_dedup_matches_model(spark, texts):
         for r in strip_dup_spans(df, window=3).collect()
     }
     assert got_kept == kept
+
+
+# ---------------------------------------------------------------------------
+# bigram LM vs pure-Python model on random corpora
+# ---------------------------------------------------------------------------
+
+corpora = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=corpora)
+def test_bigram_surprisal_matches_model(spark, corpus):
+    """Random tiny corpora (empty docs, single-token docs, repeated
+    bigrams, shared vocab) score identically to the pure-Python add-k
+    bigram LM."""
+    import math
+    from collections import Counter
+
+    from pydatalake_spark.operators.ngram_lm import bigram_surprisal
+
+    texts = {i: " ".join(toks) for i, toks in enumerate(corpus)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+
+    bg, ctx, vocab = Counter(), Counter(), set()
+    per_doc = {}
+    for did, t in texts.items():
+        # match engine tokenization exactly: split(trim(t), ' ')
+        toks = t.strip().split(" ")
+        vocab.update(toks)
+        pairs = list(zip(toks, toks[1:]))
+        per_doc[did] = pairs
+        bg.update(pairs)
+        ctx.update(w for w, _ in pairs)
+    v = len(vocab)
+    for did, pairs in per_doc.items():
+        if not pairs:
+            assert did not in got
+            continue
+        s = [-math.log((bg[p] + 0.5) / (ctx[p[0]] + 0.5 * v)) for p in pairs]
+        assert got[did].n_bigrams == len(pairs)
+        assert abs(got[did].avg_surprisal - sum(s) / len(s)) < 1e-9
