@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "corpus_datacard",
     "curriculum_stages",
+    "pipeline_full_curation",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -689,3 +689,86 @@ def pipeline_embedding_curation_q(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.coalesce("__kept", F.lit(0))).cast("long").alias("n_kept"),
         )
     )
+
+
+from pydatalake_spark.functions.text import STOPWORDS as _FC_STOPWORDS
+
+_FC_STOP = ", ".join(f"'{w}'" for w in _FC_STOPWORDS)
+
+
+@q(
+    "pipeline_full_curation",
+    _SD_CORE_CTE
+    + f""", sd_keep AS (
+        SELECT vec_id FROM cells
+        WHERE vec_id NOT IN (SELECT dup_id FROM pairs)
+    ), tokd AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+        FROM documents
+    ), q_keep AS (
+        SELECT doc_id FROM tokd
+        WHERE len(list_filter(toks, t -> t IN ({_FC_STOP})))
+                / len(toks) * 0.3
+              + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                      / nullif(length(text), 0)) * 0.2
+              + least(len(toks) / 100, 1.0) * 0.5 >= 0.45
+    ), final AS (
+        SELECT doc_id FROM q_keep JOIN sd_keep ON doc_id = vec_id
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 AS bucket
+          FROM final)
+    GROUP BY 1
+    """,
+)
+def pipeline_full_curation_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Capstone cross-modal curation, ONE lazy plan across BOTH corpora:
+    text-quality gate on `documents` ∩ SemDeDup survivors on the
+    paired `embeddings` (vec_id = doc_id), then the deterministic
+    hash split readout. The join of the two keep-sets is an id equi-join
+    of two already-reduced sides — the cheap way to compose per-modality
+    screens at 100 TB (each screen's shuffles stay inside its own
+    modality; only ids cross)."""
+    from pydatalake_spark.functions.split import hash_bucket
+    from pydatalake_spark.functions.text import STOPWORDS
+    from pydatalake_spark.operators.semdedup import semantic_dedup_numpy
+    from pydatalake_spark.functions.text import tokenize
+
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    toks = tokenize("text")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    )
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    ) / F.nullif(F.length("text"), F.lit(0))
+    quality = (
+        stop_ratio * 0.3
+        + (F.lit(1) - punct_ratio) * 0.2
+        + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
+    )
+    q_keep = d.filter(quality >= 0.45).select("doc_id")
+    sd_keep = (
+        semantic_dedup_numpy(e, threshold=_SD_TAU)
+        .filter(F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    final = q_keep.join(sd_keep, "doc_id")
+    bucket = hash_bucket("doc_id", 100)
+    return (
+        final.select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
