@@ -143,6 +143,7 @@ PROBE_QUERIES = [
     "dsir_importance",
     "hard_triplet_mining",
     "bloom_decontamination",
+    "bigram_perplexity",
 ]
 PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]
 
