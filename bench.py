@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "curriculum_stages",
     "pipeline_full_curation",
+    "source_duplication_matrix",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -3017,3 +3017,54 @@ def curriculum_stages_q(spark: SparkSession, sf: str) -> DataFrame:
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+@q(
+    "source_duplication_matrix",
+    _ngram_pruned_cte()
+    + """, edges AS (
+        SELECT id_a, id_b
+        FROM co JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM edges
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2
+    """,
+)
+def source_duplication_matrix_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source near-duplication matrix: how many exact-Jaccard
+    near-dup pairs join each (unordered) source pair — the provenance
+    diagnostic that tells you WHICH feeds mirror each other (high
+    off-diagonal mass = syndication/scrape overlap; high diagonal =
+    within-source boilerplate). Rides the bounded near-dup pair set;
+    source labels join by id (two narrow joins), then one tiny grouped
+    count."""
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
+    )
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        ).join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
