@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "curriculum_stages",
     "pipeline_full_curation",
     "source_duplication_matrix",
+    "embedding_outlier_screen",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

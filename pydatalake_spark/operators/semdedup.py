@@ -387,3 +387,56 @@ def kmeans_step_numpy(
         )
     cells = assign_cells_numpy(emb, centroids, id_col, vec_col)
     return _lloyd_readout(emb, cells, centroids, id_col, vec_col)
+
+
+def assignment_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int | None = None,
+    centroids: DataFrame | None = None,
+    pct: float = 0.99,
+) -> DataFrame:
+    """(id, dist2) for vectors whose nearest-centroid squared distance is
+    at or above the corpus ``pct`` quantile — the embedding-side data
+    quality screen (corrupt/degenerate/off-distribution vectors sit far
+    from every quantizer cell; the flagged tail is what you eyeball or
+    drop before training).
+
+    Same quantizer contract as ``assign_fixed_cells`` (auto-sized
+    deterministic init by default, trained centroids optional). The
+    threshold is ONE exact-percentile scalar broadcast back over the
+    per-vector distances — no global sort of the corpus.
+    """
+    if centroids is None:
+        if num_cells is None:
+            num_cells = suggest_num_cells(emb.count())
+        centroids = (
+            emb.orderBy(F.col(id_col).asc())
+            .limit(num_cells)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                to_double_array(vec_col).alias("cvec"),
+            )
+        )
+    j = (
+        emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with("dv", "cvec", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    best = j.groupBy(id_col).agg(F.min("d2").alias("dist2"))
+    thr = best.agg(
+        F.expr(f"percentile(dist2, {pct}D)").alias("thr")
+    )
+    return (
+        best.crossJoin(F.broadcast(thr))
+        .filter(F.col("dist2") >= F.col("thr"))
+        .select(id_col, "dist2")
+    )

@@ -772,3 +772,26 @@ def pipeline_full_curation_q(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@q(
+    "embedding_outlier_screen",
+    _SD_CORE_CTE
+    + """, best AS (
+        SELECT vec_id, min(d2) AS dist2 FROM dist GROUP BY vec_id
+    ), thr AS (
+        SELECT percentile_cont(0.99) WITHIN GROUP (ORDER BY dist2) AS t
+        FROM best
+    )
+    SELECT vec_id, dist2 FROM best CROSS JOIN thr WHERE dist2 >= t
+    """,
+)
+def embedding_outlier_screen_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space outlier screen: vectors whose nearest-cell squared
+    distance sits in the top 1% — off-distribution/corrupt embeddings to
+    inspect or drop before training. One exact-percentile scalar
+    broadcast over per-vector distances; no global sort
+    (operators/semdedup.py:assignment_outliers)."""
+    from pydatalake_spark.operators.semdedup import assignment_outliers
+
+    return assignment_outliers(_t(spark, sf, "embeddings"), pct=0.99)
