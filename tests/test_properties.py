@@ -275,3 +275,47 @@ def test_bigram_surprisal_matches_model(spark, corpus):
         s = [-math.log((bg[p] + 0.5) / (ctx[p[0]] + 0.5 * v)) for p in pairs]
         assert got[did].n_bigrams == len(pairs)
         assert abs(got[did].avg_surprisal - sum(s) / len(s)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# label propagation vs pure-Python synchronous model on random graphs
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_label_propagation_matches_model(spark, edges):
+    """Random multigraphs (duplicate edges, self-free, both orientations)
+    propagate identically to the pure-Python synchronous model with the
+    (count DESC, label ASC) tie rule."""
+    from collections import Counter
+
+    from pydatalake_spark.operators.cluster import label_propagation
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, num_iters=3).collect()
+    }
+
+    nbrs: dict[int, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n in nbrs:
+            c = Counter(lab[m] for m in nbrs[n])
+            new[n] = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lab = new
+    assert got == lab
