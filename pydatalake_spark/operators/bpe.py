@@ -159,3 +159,23 @@ def apply_bpe(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum(F.size("sym")).cast("long").alias("n_subwords"),
     )
+
+
+def save_bpe_merges(
+    spark, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist learned merge rules as parquet (rank order preserved) so
+    the corpus-scale training pass runs ONCE and every tokenization job —
+    batch or streaming — applies the SAME vocabulary; re-training per job
+    would silently shift token boundaries between runs (the same
+    train-once contract as `similarity.save_ivf_centroids`)."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "rank int, left string, right string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of `save_bpe_merges`, rank order preserved."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.left, r.right) for r in rows]

@@ -79,3 +79,28 @@ def test_apply_bpe_subword_counts(spark):
     seg_low = next(len(w) for w in ref_words if "".join(w) == "low")
     assert out[1].n_tokens == 5
     assert out[1].n_subwords == 5 * seg_low
+
+
+def test_bpe_merges_roundtrip(spark, tmpdir_path):
+    import os
+
+    from pydatalake_spark.operators.bpe import (
+        apply_bpe,
+        load_bpe_merges,
+        save_bpe_merges,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest low low newer new") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=5)
+    path = os.path.join(str(tmpdir_path), "bpe_merges")
+    save_bpe_merges(spark, merges, path)
+    loaded = load_bpe_merges(spark, path)
+    assert loaded == merges
+    # the reloaded rules tokenize identically
+    a = apply_bpe(docs, merges).orderBy("doc_id").collect()
+    b = apply_bpe(docs, loaded).orderBy("doc_id").collect()
+    assert a == b
