@@ -290,6 +290,32 @@ class DataLakeTable:
             df=df.join(keep, id_col, "left_semi"),
         )
 
+    def sample_weighted(
+        self, key_col: str, weight_col: str, k: int, salt: str = ":ws"
+    ) -> "DataLakeTable":
+        """Reproducible weighted sample without replacement in the fluent
+        chain (functions/split.py:weighted_sample — Efraimidis-Spirakis
+        with hash-uniforms; same rows on every run/partitioning)."""
+        from pydatalake_spark.functions.split import weighted_sample
+
+        return DataLakeTable(
+            self.spark, path=self.path, fmt=self.fmt, name=self.name,
+            df=weighted_sample(self.to_df(), key_col, weight_col, k, salt),
+        )
+
+    def cap_per(
+        self, group_col: str, key_col: str, max_rows: int
+    ) -> "DataLakeTable":
+        """Deterministic per-group cap in the fluent chain
+        (functions/split.py:cap_per_group — nested, run-stable; the
+        domain-cap control of a training mix)."""
+        from pydatalake_spark.functions.split import cap_per_group
+
+        return DataLakeTable(
+            self.spark, path=self.path, fmt=self.fmt, name=self.name,
+            df=cap_per_group(self.to_df(), group_col, key_col, max_rows),
+        )
+
     # --- write surface ------------------------------------------------------
     def write_dataset(self, path: str, **kwargs) -> "DataLakeTable":
         """Write the configured plan as a dataset (full write-mode surface

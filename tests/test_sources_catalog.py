@@ -157,3 +157,25 @@ def test_read_any_json_dispatch(spark, tmpdir_path):
     back = read_any(spark, d, fmt="json")
     assert back.count() == 6
     assert set(back.columns) == {"id", "v"}
+
+
+def test_fluent_sample_and_cap(spark, tmpdir_path):
+    import os
+
+    from pydatalake_spark.dataset.table import DataLakeTable
+
+    rows = [(i, f"s{i % 4}", float(1 + i % 7)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    p = os.path.join(str(tmpdir_path), "fluent_docs")
+    df.write.mode("overwrite").parquet(p)
+
+    t = DataLakeTable(spark, p, name="fluent_docs")
+    s1 = {r.doc_id for r in t.sample_weighted("doc_id", "w", 30).to_df().collect()}
+    s2 = {r.doc_id for r in t.sample_weighted("doc_id", "w", 30).to_df().collect()}
+    assert s1 == s2 and len(s1) == 30
+
+    capped = t.cap_per("source", "doc_id", 5).to_df()
+    from collections import Counter
+
+    c = Counter(r.source for r in capped.collect())
+    assert all(v == 5 for v in c.values()) and len(c) == 4
