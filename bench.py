@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "pipeline_full_curation",
     "source_duplication_matrix",
     "embedding_outlier_screen",
+    "multires_rollup",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -2538,3 +2538,52 @@ def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         (F.col("n") / F.sum("n").over(wp).cast("double")).alias("p"),
     )
+
+
+@q(
+    "multires_rollup",
+    """
+    WITH hr AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               count(*) AS n, sum(value) AS tv
+        FROM events GROUP BY 1
+    ), dy AS (
+        SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS bucket,
+               CAST(sum(n) AS BIGINT) AS n, sum(tv) AS tv
+        FROM hr GROUP BY 1
+    )
+    SELECT 'hour' AS level, bucket,
+           CAST(n AS BIGINT) AS n_events, tv AS total_value
+    FROM hr
+    UNION ALL
+    SELECT 'day' AS level, bucket, n AS n_events, tv AS total_value
+    FROM dy
+    """,
+)
+def multires_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution continuous-aggregate cascade (the hypertable
+    rollup-tree pattern): the day level aggregates FROM THE HOUR LEVEL,
+    not from raw events — legal because count/sum are algebraic — so at
+    100 TB each coarser tier reads a table ~3 orders of magnitude smaller
+    than raw and the raw scan happens exactly once for the whole
+    pyramid."""
+    e = _t(spark, sf, "events")
+    hr = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
+    )
+    dy = hr.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("tv").alias("tv")
+    )
+    out_h = hr.select(
+        F.lit("hour").alias("level"),
+        "bucket",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("tv").alias("total_value"),
+    )
+    out_d = dy.select(
+        F.lit("day").alias("level"),
+        "bucket",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("tv").alias("total_value"),
+    )
+    return out_h.unionByName(out_d)
