@@ -2568,8 +2568,13 @@ def multires_rollup(spark: SparkSession, sf: str) -> DataFrame:
     than raw and the raw scan happens exactly once for the whole
     pyramid."""
     e = _t(spark, sf, "events")
-    hr = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
+    # cache the hour tier: it feeds BOTH union branches, and without
+    # materialization Spark re-plans (and re-scans raw) per branch —
+    # the whole point of the cascade is one raw scan for the pyramid
+    hr = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .cache()
     )
     dy = hr.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
         F.sum("n").alias("n"), F.sum("tv").alias("tv")

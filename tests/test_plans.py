@@ -384,3 +384,11 @@ def test_prefix_dup_blocking_join_excludes_text(spark):
         if "Join" in ln and "_k#" in ln
     )
     assert "_ta" not in key_join and "_tb" not in key_join
+
+
+def test_multires_rollup_scans_raw_once(spark):
+    # the day tier must aggregate from the hour tier: both union branches
+    # read the CACHED hour aggregate (InMemoryTableScan), so raw parquet
+    # is scanned once — at cache materialization — for the whole pyramid
+    p = physical_plan(spark, "multires_rollup")
+    assert p.count("InMemoryTableScan") == 2
