@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "source_duplication_matrix",
     "embedding_outlier_screen",
     "multires_rollup",
+    "rolling_median_value",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -2592,3 +2592,34 @@ def multires_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("tv").alias("total_value"),
     )
     return out_h.unionByName(out_d)
+
+
+@q(
+    "rolling_median_value",
+    """
+    SELECT event_id, user_id, ts, value,
+           quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med10
+    FROM events
+    """,
+)
+def rolling_median_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-10-row exact median per user stream — the robust
+    (outlier-immune) smoother a spiky metric needs where a rolling mean
+    lies. Exact `percentile` as a window aggregate over the user-keyed
+    exchange (same single-shuffle shape as every §2.6 window); the frame
+    is 10 rows so per-row work is constant."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("percentile(value, 0.5D)").over(w).alias("med10"),
+    )
