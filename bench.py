@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "embedding_outlier_screen",
     "multires_rollup",
     "rolling_median_value",
+    "value_histogram",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

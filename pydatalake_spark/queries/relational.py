@@ -2623,3 +2623,51 @@ def rolling_median_value(spark: SparkSession, sf: str) -> DataFrame:
         "value",
         F.expr("percentile(value, 0.5D)").over(w).alias("med10"),
     )
+
+
+@q(
+    "value_histogram",
+    """
+    WITH b AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               (max(value) - min(value)) / 20 AS w
+        FROM events
+    ), binned AS (
+        SELECT least(CAST(floor((value - lo) / w) AS BIGINT), 19) AS bin
+        FROM events CROSS JOIN b
+    )
+    SELECT bin,
+           (SELECT lo FROM b) + bin * (SELECT w FROM b)       AS bin_lo,
+           (SELECT lo FROM b) + (bin + 1) * (SELECT w FROM b) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin
+    """,
+)
+def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed 20-bin fixed-width histogram of a metric column: the
+    range is one scalar aggregate broadcast back, binning is pure
+    codegen arithmetic, and the grouped count collapses map-side to at
+    most 20 rows per task — the O(1)-output distribution profile that
+    never sorts or samples. Top bin is closed (max lands in bin 19)."""
+    e = _t(spark, sf, "events")
+    b = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        ((F.max("value") - F.min("value")) / 20).alias("w"),
+    )
+    binned = e.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / F.col("w")).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+        "lo",
+        "w",
+    )
+    return binned.groupBy("bin", "lo", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(
+        "bin",
+        (F.col("lo") + F.col("bin") * F.col("w")).alias("bin_lo"),
+        (F.col("lo") + (F.col("bin") + 1) * F.col("w")).alias("bin_hi"),
+        "n",
+    )
