@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "multires_rollup",
     "rolling_median_value",
     "value_histogram",
+    "rp_distortion",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

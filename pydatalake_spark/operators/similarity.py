@@ -791,3 +791,85 @@ def cosine_topk_quantized(
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "sim")
     )
+
+
+def _jl_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign(j, i) from the parity of
+    the first hex digit of md5(f"jl:{j}:{i}") — engine-portable (the same
+    constants generate the SQL oracle), no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0], 16) % 2
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def rp_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, proj): Johnson–Lindenstrauss random projection to ``out_dim``
+    dims with a deterministic ±1/sqrt(out_dim) sign matrix (Achlioptas
+    2003: sign entries preserve pairwise distances within (1±ε) w.h.p.)
+    — the cheap front-end that shrinks embeddings 4x before ANN
+    bucketing or transfer, with no training and no stored model beyond
+    the hash-derived matrix.
+
+    Scale: the matrix is literal (folded into codegen); each output dim
+    is one dot product against a constant array — no shuffle, no Python,
+    map-only."""
+    scale = 1.0 / float(out_dim) ** 0.5
+    signs = _jl_signs(out_dim, dim)
+    dv = to_double_array(vec_col)
+    proj = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        dv,
+                        F.array(*[F.lit(float(s)) for s in signs[j]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * scale
+            ).alias(f"p{j}")
+            for j in range(out_dim)
+        ]
+    )
+    return emb.select(F.col(id_col), proj.alias("proj"))
+
+
+def rp_distortion(
+    emb: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """One-row norm-distortion readout of the JL projection: per-vector
+    ratio ||Pv|| / ||v|| aggregated to (n_vectors, avg_ratio, min_ratio,
+    max_ratio) — the acceptance check before swapping the projected
+    vectors into the ANN tier (ratios concentrated near 1 = distances
+    survive the 4x shrink)."""
+    pr = rp_project(emb, out_dim, id_col, vec_col, dim)
+    src = emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
+    j = pr.join(src, id_col).select(
+        (l2_norm(F.col("proj")) / l2_norm(F.col("dv"))).alias("r")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("r").alias("avg_ratio"),
+        F.min("r").alias("min_ratio"),
+        F.max("r").alias("max_ratio"),
+    )

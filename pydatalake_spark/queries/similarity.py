@@ -795,3 +795,54 @@ def embedding_outlier_screen_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.semdedup import assignment_outliers
 
     return assignment_outliers(_t(spark, sf, "embeddings"), pct=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+from pydatalake_spark.operators.similarity import _jl_signs as _jl
+
+_JL_K = 16
+_JL_S = _jl(_JL_K, _DIM)
+
+
+def _jl_proj_sql(j: int) -> str:
+    terms = " + ".join(
+        f"embedding[{i + 1}]::DOUBLE * ({s})"
+        for i, s in enumerate(_JL_S[j])
+    )
+    return f"(({terms}) * {1.0 / _JL_K ** 0.5})"
+
+
+@q(
+    "rp_distortion",
+    f"""
+    WITH pr AS (
+        SELECT vec_id,
+               {", ".join(f"{_jl_proj_sql(j)} AS p{j}" for j in range(_JL_K))},
+               sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS vn
+        FROM embeddings
+    ), r AS (
+        SELECT sqrt({" + ".join(f"p{j} * p{j}" for j in range(_JL_K))}) / vn
+                   AS ratio
+        FROM pr
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           avg(ratio) AS avg_ratio,
+           min(ratio) AS min_ratio,
+           max(ratio) AS max_ratio
+    FROM r
+    """,
+)
+def rp_distortion_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson–Lindenstrauss 64→16 projection acceptance check: norm
+    ratios ||Pv||/||v|| concentrated near 1 mean pairwise distances
+    survive the 4x shrink and the projected vectors can feed the ANN
+    tier. Deterministic ±1 sign matrix from md5 parity — the oracle is
+    generated from the same constants
+    (operators/similarity.py:rp_project/rp_distortion)."""
+    from pydatalake_spark.operators.similarity import rp_distortion
+
+    return rp_distortion(_t(spark, sf, "embeddings"), out_dim=_JL_K)

