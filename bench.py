@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "rolling_median_value",
     "value_histogram",
     "rp_distortion",
+    "rp_ann_recall",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

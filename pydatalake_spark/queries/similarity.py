@@ -846,3 +846,102 @@ def rp_distortion_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.similarity import rp_distortion
 
     return rp_distortion(_t(spark, sf, "embeddings"), out_dim=_JL_K)
+
+
+def _jl_cos16(a: str, b: str) -> str:
+    d = " + ".join(f"{a}.p{j} * {b}.p{j}" for j in range(_JL_K))
+    na = " + ".join(f"{a}.p{j} * {a}.p{j}" for j in range(_JL_K))
+    nb = " + ".join(f"{b}.p{j} * {b}.p{j}" for j in range(_JL_K))
+    return f"(({d}) / (sqrt({na}) * sqrt({nb})))"
+
+
+@q(
+    "rp_ann_recall",
+    f"""
+    WITH pr AS (
+        SELECT vec_id, embedding,
+               {", ".join(f"{_jl_proj_sql(j)} AS p{j}" for j in range(_JL_K))}
+        FROM embeddings
+    ), qs AS (
+        SELECT * FROM pr WHERE vec_id < 10
+    ), exact AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM qs q JOIN pr c ON q.vec_id <> c.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_dot('q.embedding', 'c.embedding')}
+                       / (sqrt({_dot('q.embedding', 'q.embedding')})
+                          * sqrt({_dot('c.embedding', 'c.embedding')})) DESC,
+                     c.vec_id ASC) <= 10
+    ), approx AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM qs q JOIN pr c ON q.vec_id <> c.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_jl_cos16('q', 'c')} DESC, c.vec_id ASC) <= 10
+    ), hits AS (
+        SELECT e.q_id, count(*) AS h
+        FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+        GROUP BY e.q_id
+    )
+    SELECT qs.vec_id AS q_id,
+           coalesce(h, 0) / 10.0 AS recall10
+    FROM qs LEFT JOIN hits ON hits.q_id = qs.vec_id
+    """,
+)
+def rp_ann_recall_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of cosine ranking in the 16-dim JL-projected space vs
+    the exact 64-dim ranking, per query — the end-to-end acceptance
+    number for swapping projected vectors into the ANN tier (pair
+    distances survive, so neighbor sets mostly survive). Both rankings
+    are windowed top-k over the broadcast query set; the projected side
+    ranks on 4x narrower vectors (operators/similarity.py:rp_project).
+
+    NOTE the fixture's embeddings are isotropic random vectors, whose
+    neighbor margins are near zero — recall on such data is inherently
+    low at any projection and measures the FIXTURE, not the operator
+    (test_semdedup.py shows 100% cluster purity and far higher recall on
+    clustered embeddings, the shape real corpora have)."""
+    from pydatalake_spark.operators.similarity import rp_project
+
+    e = _t(spark, sf, "embeddings")
+    pr = rp_project(e, out_dim=_JL_K)
+    full = e.select("vec_id", to_double_array("embedding").alias("dv"))
+    qs_full = full.filter(F.col("vec_id") < 10)
+    qs_pr = pr.filter(F.col("vec_id") < 10)
+
+    from pydatalake_spark.functions.vector import cosine
+
+    from pyspark.sql import Window
+
+    def topk(q, c, qcol, ccol):
+        j = (
+            q.select(F.col("vec_id").alias("q_id"), F.col(qcol).alias("qv"))
+            .crossJoin(
+                c.select(F.col("vec_id").alias("c_id"), F.col(ccol).alias("cv"))
+            )
+            .filter(F.col("q_id") != F.col("c_id"))
+            .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("sim").desc(), F.col("c_id").asc()
+        )
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("q_id", "c_id")
+        )
+
+    exact = topk(qs_full, full, "dv", "dv")
+    approx = topk(qs_pr, pr, "proj", "proj")
+    hits = exact.join(approx, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return (
+        qs_full.select(F.col("vec_id").alias("q_id"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            (F.coalesce("h", F.lit(0)) / F.lit(10.0)).alias("recall10"),
+        )
+    )

@@ -271,3 +271,63 @@ def test_rp_projection_preserves_neighbors(spark):
     got = {r.vec_id: np.array(r.proj) for r in rp_project(emb).collect()}
     for i in range(100):
         assert np.allclose(got[i], P[i], atol=1e-9)
+
+
+def test_rp_ann_recall_high_on_clustered_data(spark):
+    """On CLUSTERED embeddings (the shape real corpora have) every
+    projected top-10 neighbor lands in the query's own cluster — the
+    property ANN actually needs — and exact-rank recall stays well above
+    the isotropic-fixture level. (Exact rank membership is a harsh
+    metric even unprojected: points inside a tight blob are
+    near-equidistant, so small distortions shuffle in-blob ranks without
+    changing which cluster is retrieved.)"""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from pydatalake_spark.functions.vector import cosine, to_double_array
+    from pydatalake_spark.operators.similarity import rp_project
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(5, 64)) * 5
+    V = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(20, 64)) for c in centers]
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+
+    full = emb.select("vec_id", to_double_array("embedding").alias("v"))
+    pr = rp_project(emb).withColumnRenamed("proj", "v")
+
+    def topk(t):
+        import pyspark.sql.functions as F
+
+        q = t.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        j = (
+            q.crossJoin(
+                t.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+            )
+            .filter(F.col("q_id") != F.col("c_id"))
+            .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("sim").desc(), F.col("c_id").asc()
+        )
+        return {
+            (r.q_id, r.c_id)
+            for r in j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("q_id", "c_id")
+            .collect()
+        }
+
+    exact, approx = topk(full), topk(pr)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5
+    # cluster purity: every projected neighbor is from the query's blob
+    blob = lambda i: i // 20
+    assert all(blob(q) == blob(c) for q, c in approx)
