@@ -112,3 +112,60 @@ def compact_dataset(
         partition_by=partition_by,
         max_records_per_file=max_records_per_file,
     )
+
+
+def small_files_report(
+    spark: SparkSession,
+    path: str,
+    small_threshold_bytes: int = 32 * 1024 * 1024,
+) -> DataFrame:
+    """Per-directory small-file audit — the diagnostic that decides WHEN
+    the compaction job above is worth running (many sub-threshold files
+    = scan-planning and open() overhead dominating reads; the classic
+    lakehouse maintenance trigger).
+
+    Returns one row per dataset directory (hive partition or root):
+    (dir, n_files, n_small, total_bytes, avg_bytes, needs_compaction).
+    Listing rides Spark's own file index (`input_file_name` over a
+    metadata-only projection would force a scan; instead the Hadoop
+    FileSystem client lists recursively — driver-side, but file-COUNT
+    sized, never data-sized, and the same listing every Spark scan
+    planning step already performs).
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    rows = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        fp = f.getPath().toString()
+        name = fp.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue
+        rows.append((fp.rsplit("/", 1)[0], int(f.getLen())))
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "dir string, n_files long, n_small long, total_bytes long, "
+            "avg_bytes double, needs_compaction boolean",
+        )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "dir string, bytes long")
+    thr = int(small_threshold_bytes)
+    return (
+        df.groupBy("dir")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum((F.col("bytes") < thr).cast("long")).alias("n_small"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.avg("bytes").alias("avg_bytes"),
+        )
+        .withColumn(
+            "needs_compaction",
+            (F.col("n_small") > 1) & (F.col("avg_bytes") < thr),
+        )
+    )

@@ -65,3 +65,26 @@ def test_insert_only_new(spark, events):
     modified = events.limit(100).withColumn("value", F.col("value") + 1)
     merged2 = insert_only_new(target, modified, subset=["event_id"])
     assert merged2.count() == 100
+
+
+def test_small_files_report_flags_fragmented_dataset(spark, tmpdir_path):
+    import os
+
+    from pydatalake_spark.dataset.repartition import (
+        repartition_dataset,
+        small_files_report,
+    )
+
+    src = os.path.join(str(tmpdir_path), "frag")
+    # 40 tiny files in one directory
+    spark.range(2000).repartition(40).write.mode("overwrite").parquet(src)
+    rep = small_files_report(spark, src).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r.n_files == 40 and r.n_small == 40 and r.needs_compaction
+
+    # compaction fixes it
+    dst = os.path.join(str(tmpdir_path), "compact")
+    repartition_dataset(spark, src, dst)
+    rep2 = small_files_report(spark, dst).collect()
+    assert sum(x.n_files for x in rep2) < 40
