@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "rp_distortion",
     "rp_ann_recall",
+    "dedup_rate_by_threshold",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -3068,3 +3068,45 @@ def source_duplication_matrix_q(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source_x", "source_y")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@q(
+    "dedup_rate_by_threshold",
+    _ngram_pruned_cte()
+    + """, j AS (
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+        FROM co
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+    ), t AS (
+        SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold
+    )
+    SELECT t.threshold,
+           CAST(count(j.jaccard) AS BIGINT) AS n_pairs
+    FROM t LEFT JOIN j ON j.jaccard >= t.threshold
+    GROUP BY t.threshold
+    """,
+)
+def dedup_rate_by_threshold_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup threshold-tuning curve: near-dup pair counts at Jaccard
+    0.5–0.9 from ONE pair computation — the knob-setting diagnostic run
+    before committing a threshold (steep curve = threshold-sensitive
+    corpus; flat = safe). The pair set is computed once at the loosest
+    threshold; the five counts are a 5-row broadcast join over it."""
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
+    )
+    t = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    return (
+        F.broadcast(t)
+        .join(pairs, pairs.jaccard >= t.threshold, "left")
+        .groupBy("threshold")
+        .agg(F.count("jaccard").cast("long").alias("n_pairs"))
+    )
