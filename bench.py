@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "rp_distortion",
     "rp_ann_recall",
     "dedup_rate_by_threshold",
+    "langid_confusion",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

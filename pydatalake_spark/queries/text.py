@@ -3110,3 +3110,42 @@ def dedup_rate_by_threshold_q(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.count("jaccard").cast("long").alias("n_pairs"))
     )
+
+
+@q(
+    "langid_confusion",
+    "WITH pred AS ("
+    + _langid_sql()
+    + """)
+    SELECT labeled_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY labeled_lang) AS frac
+    FROM pred GROUP BY labeled_lang, pred_lang
+    """,
+)
+def langid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion matrix against the labeled `lang` column —
+    the accuracy eval of the marker-word classifier (diagonal mass =
+    per-language recall; off-diagonal cells name the confusable pairs to
+    add markers for). One grouped count over the langid projection; the
+    row-normalized fractions ride a window over the (|langs|²-bounded)
+    grouped result."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        predicted_language(toks).alias("pred_lang"),
+    )
+    g = pred.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return g.select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        (F.col("n") / F.sum("n").over(w).cast("double")).alias("frac"),
+    )
