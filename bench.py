@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "rp_ann_recall",
     "dedup_rate_by_threshold",
     "langid_confusion",
+    "source_novelty",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

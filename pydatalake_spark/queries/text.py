@@ -3149,3 +3149,64 @@ def langid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         (F.col("n") / F.sum("n").over(w).cast("double")).alias("frac"),
     )
+
+
+@q(
+    "source_novelty",
+    _shingle_cte()
+    + """, sets AS (
+        SELECT doc_id, list_distinct(shingles) AS sset FROM sh
+    ), inv0 AS (
+        SELECT doc_id, unnest(sset) AS shingle FROM sets
+    ), own AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM inv0 GROUP BY 1
+    ), per AS (
+        SELECT inv0.doc_id,
+               count(*) AS n_sh,
+               sum(CASE WHEN own.first_doc = inv0.doc_id THEN 1 ELSE 0 END)
+                   AS n_new
+        FROM inv0 JOIN own USING (shingle) GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(sum(n_sh) AS BIGINT)  AS total_shingles,
+           CAST(sum(n_new) AS BIGINT) AS novel_shingles,
+           CAST(sum(n_new) AS DOUBLE) / sum(n_sh) AS novelty_rate
+    FROM per JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def source_novelty_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source content novelty: the fraction of each source's distinct
+    shingles whose FIRST owner (lowest doc id) lives in that source — the
+    marginal-value diagnostic for mix decisions (a feed that mostly
+    re-shingles earlier content adds tokens, not information). First
+    ownership is one min-aggregation keyed on shingle; everything else is
+    id-keyed joins and grouped sums."""
+    from pydatalake_spark.operators.ngram_jaccard import shingle_sets
+
+    d = _t(spark, sf, "documents")
+    inv = shingle_sets(d, shingle_size=_MH_K).select(
+        "doc_id", F.explode("sset").alias("shingle")
+    )
+    own = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        inv.join(own, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_new"),
+        )
+    )
+    return (
+        per.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_sh").cast("long").alias("total_shingles"),
+            F.sum("n_new").cast("long").alias("novel_shingles"),
+            (F.sum("n_new") / F.sum("n_sh").cast("double")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
