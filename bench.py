@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "dedup_rate_by_threshold",
     "langid_confusion",
     "source_novelty",
+    "split_balance_report",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -3210,3 +3210,55 @@ def source_novelty_q(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "split_balance_report",
+    """
+    WITH s AS (
+        SELECT doc_id, source,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 AS bucket
+              FROM documents)
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY source) AS frac_of_source
+    FROM s GROUP BY split, source
+    """,
+)
+def split_balance_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-neutrality QA: per (split, source) counts and each source's
+    split fractions — the check that the hash split didn't correlate
+    with provenance (every source should sit near 80/10/10; a skewed row
+    means the split key leaks source structure). One grouped count; the
+    fractions ride a window over the |splits|x|sources|-bounded result."""
+    from pyspark.sql import Window
+
+    from pydatalake_spark.functions.split import hash_bucket
+
+    d = _t(spark, sf, "documents")
+    bucket = hash_bucket("doc_id", 100)
+    s = d.select(
+        "source",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    g = s.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "split",
+        "source",
+        "n",
+        (F.col("n") / F.sum("n").over(w).cast("double")).alias(
+            "frac_of_source"
+        ),
+    )
