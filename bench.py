@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "langid_confusion",
     "source_novelty",
     "split_balance_report",
+    "decontamination_audit",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

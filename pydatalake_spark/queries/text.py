@@ -3262,3 +3262,110 @@ def split_balance_report_q(spark: SparkSession, sf: str) -> DataFrame:
             "frac_of_source"
         ),
     )
+
+
+@q(
+    "decontamination_audit",
+    _DECON_CTE
+    + """, train_w AS (
+        SELECT DISTINCT wh FROM ex JOIN lab USING (doc_id) WHERE is_train
+    ), tpos AS (
+        SELECT CAST(('0x' || substr(md5(wh), 1 + 8 * j, 8)) AS BIGINT)
+                   % 4096 AS p
+        FROM train_w CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), bitmap AS (
+        SELECT p // 32 AS word_idx,
+               bit_or((1::BIGINT) << CAST(p % 32 AS INT)) AS word
+        FROM tpos GROUP BY 1
+    ), ev AS (
+        SELECT ex.doc_id, wh FROM ex JOIN lab USING (doc_id)
+        WHERE NOT is_train
+    ), exact_v AS (
+        SELECT doc_id,
+               max(CASE WHEN wh IN (SELECT wh FROM train_w)
+                        THEN 1 ELSE 0 END) = 1 AS contaminated
+        FROM ev GROUP BY doc_id
+    ), probe AS (
+        SELECT doc_id, wh,
+               CAST(('0x' || substr(md5(wh), 1 + 8 * j, 8)) AS BIGINT)
+                   % 4096 AS p
+        FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), tested AS (
+        SELECT doc_id, wh,
+               min(CASE WHEN (word & ((1::BIGINT) << CAST(p % 32 AS INT)))
+                             != 0
+                        THEN 1 ELSE 0 END) AS hit
+        FROM probe LEFT JOIN bitmap ON bitmap.word_idx = p // 32
+        GROUP BY doc_id, wh
+    ), bloom_v AS (
+        SELECT doc_id, max(hit) = 1 AS flagged FROM tested GROUP BY doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_eval_docs,
+           CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_contaminated,
+           CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_flagged,
+           CAST(sum(CASE WHEN flagged AND NOT contaminated
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_positives,
+           CAST(sum(CASE WHEN contaminated AND NOT flagged
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_negatives
+    FROM exact_v JOIN bloom_v USING (doc_id)
+    """,
+)
+def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row audit of the constant-memory decontamination tier against
+    the exact protocol: realized bloom false-positive count (over-drops,
+    the price of the 1 KB bitmap) and false negatives (must be 0 by
+    construction — a nonzero value means the filter is broken). The
+    number that justifies deploying the bloom path at a given bitmap
+    size. Composes the two existing screens' plans; the verdict join is
+    id-keyed over eval docs only.
+
+    The gate pins the oracle's 4096-bit bitmap, sized for the sf0.01
+    fixture — at sf0.1 the audit correctly reports it SATURATED (FP rate
+    ~1, FN still 0), which is exactly the deployment signal this query
+    exists to give: size m ≈ 1.44·k·n bits for the train-hash count n
+    (`bloom_build(num_bits=...)`), then re-audit."""
+    from pydatalake_spark.functions.split import hash_bucket
+    from pydatalake_spark.functions.text import shingles
+    from pydatalake_spark.operators.bloom import bloom_build, bloom_contains
+
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", tokenize("text").alias("_toks"))
+    wh = F.transform(shingles(F.col("_toks"), k=_DECON_K), F.md5)
+    ex = base.select("doc_id", F.explode(wh).alias("wh")).distinct()
+    lab = d.select(
+        "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
+    )
+    exl = ex.join(lab, "doc_id")
+    train_w = exl.filter("is_train").select("wh").distinct()
+    ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
+    exact_v = (
+        ev.join(train_w.withColumn("_hit", F.lit(1)), "wh", "left")
+        .groupBy("doc_id")
+        .agg((F.max(F.coalesce("_hit", F.lit(0))) == 1).alias("contaminated"))
+    )
+    bitmap = bloom_build(train_w, key_col="wh")
+    bloom_v = (
+        bloom_contains(ev, bitmap, key_col="wh")
+        .groupBy("doc_id")
+        .agg(F.max("bf_hit").alias("flagged"))
+    )
+    j = exact_v.join(bloom_v, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+        F.sum(F.col("contaminated").cast("long")).cast("long").alias(
+            "n_exact_contaminated"
+        ),
+        F.sum(F.col("flagged").cast("long")).cast("long").alias(
+            "n_bloom_flagged"
+        ),
+        F.sum((F.col("flagged") & ~F.col("contaminated")).cast("long"))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.sum((F.col("contaminated") & ~F.col("flagged")).cast("long"))
+        .cast("long")
+        .alias("n_false_negatives"),
+    )
