@@ -103,11 +103,24 @@ def write_dataset(
     transform_func_kwargs: dict | None = None,
     sort_by: str | Sequence[str] | None = None,
     distinct: bool = False,
+    sort_global: bool = False,
 ) -> None:
     """Write ``df`` as a (optionally hive-partitioned) dataset at ``path``.
 
     The orchestration mirrors ``Writer.write_dataset`` (``writer.py:430-527``)
     with Spark doing the per-partition fan-out natively.
+
+    DIVERGENCE (``sort_by``): the reference sorts GLOBALLY before writing
+    (``writer.py:448`` → a total-order sort of the whole batch); the
+    default here is ``sortWithinPartitions`` — per-FILE clustering, which
+    is what parquet min/max row-group skipping actually reads, at zero
+    extra shuffle. Cross-file total order is NOT produced by default: file
+    N's keys may interleave with file N+1's. Pass ``sort_global=True`` to
+    reproduce the reference's semantics via a range-partitioned global
+    sort (one extra range-exchange; Spark samples the keys to build
+    balanced range bounds, so the sort scales out instead of funneling to
+    one task). Multi-column clustering for skip-pruning across unrelated
+    predicates is better served by ``zorder_write``.
     """
     if mode not in WRITE_MODES:
         raise ValueError(f"mode must be one of {WRITE_MODES}, got {mode!r}")
@@ -125,7 +138,7 @@ def write_dataset(
         df = df.distinct()
     if sort_by:
         cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
-        df = df.sortWithinPartitions(*cols)
+        df = df.orderBy(*cols) if sort_global else df.sortWithinPartitions(*cols)
     if transform_func is not None:
         df = transform_func(df, **(transform_func_kwargs or {}))
 

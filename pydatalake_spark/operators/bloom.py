@@ -14,7 +14,8 @@ the safe direction for decontamination (over-flagging, never missing).
 
 Everything is deterministic md5 arithmetic, so a SQL oracle reproduces the
 bitmap and the membership verdicts bit-for-bit: position j of key g is
-``conv(substr(md5(g), 1+8j, 8), 16, 10) % num_bits``.
+``(h1 + j*h2) % num_bits`` with ``h1/h2 = conv(substr(md5(g), 1|9, 8),
+16, 10)`` — Kirsch–Mitzenmacher double hashing, see ``_positions``.
 
 Scale shape: the build is one groupBy over ≤ num_bits/32 word indices
 (map-side bit_or partials collapse each task to ≤128 rows); the bitmap
@@ -30,19 +31,54 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BLOOM_BITS = 4096
-BLOOM_HASHES = 3
+BLOOM_HASHES = 17
 _WORD = 32  # bits per bitmap word; 1 << 31 still fits a BIGINT unsigned
+
+# bits per inserted key for the auto-sized bitmap. 24 bits/key with the
+# near-optimal k = round(24·ln2) = 17 puts the PER-PROBE FP rate at
+# (1 - e^{-17/24})^17 ≈ 1e-5 — sized for the decontamination use, where
+# a document is flagged if ANY of its W window hashes false-positives:
+# doc-level FP ≈ W·p, so p must be ≪ 1/W (a 1%-per-probe filter
+# over-flags ~25% of clean 30-window docs; measured exactly that before
+# this sizing). Pure integer arithmetic (no float rounding) so a SQL
+# oracle reproduces the size bit-for-bit.
+BLOOM_BITS_PER_KEY = 24
+
+
+def bloom_num_bits(
+    n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY
+) -> int:
+    """Word-aligned bitmap size for ``n_keys`` distinct keys at the
+    ~1e-5-per-probe FP design point (``BLOOM_BITS_PER_KEY`` bits/key,
+    k = ``BLOOM_HASHES``).
+
+    Integer-exact and monotone, so the same formula is stated inline in
+    SQL oracles: ``32 * ((24 * greatest(n, 1) + 31) // 32)``. The
+    fixed-size ``BLOOM_BITS`` default remains for callers that need a
+    size-stable bitmap (e.g. a literal embedded in a streaming plan);
+    auto-sizing is the right default whenever the key count is known at
+    build time — a fixed bitmap SATURATES (FP → 1) once n >> m/k.
+    """
+    n = max(int(n_keys), 1)
+    return _WORD * ((bits_per_key * n + _WORD - 1) // _WORD)
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> Column:
-    """array<long> of ``num_hashes`` bit positions for ``key``."""
+    """array<long> of ``num_hashes`` bit positions for ``key``.
+
+    Kirsch–Mitzenmacher double hashing: pos_j = (h1 + j·h2) mod m with
+    h1/h2 the first/second 32-bit windows of md5(key) — the standard
+    construction (Kirsch & Mitzenmacher 2006) giving any number of
+    probe positions from ONE hash evaluation with the asymptotically
+    identical FP rate to k independent hashes. (Slicing md5 directly
+    caps k at 4 eight-hex windows — too few: optimal k = (m/n)·ln2 is
+    17 at 24 bits/key.) h1 + j·h2 < 2^32·(k+1) stays far inside BIGINT.
+    """
     h = F.md5(key)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     return F.array(
-        *[
-            F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
-            % num_bits
-            for j in range(num_hashes)
-        ]
+        *[(h1 + F.lit(j) * h2) % num_bits for j in range(num_hashes)]
     )
 
 
@@ -142,12 +178,11 @@ def bloom_hit_expr(
         ]
     )
     h = F.md5(key)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     conds = []
     for j in range(num_hashes):
-        pos = (
-            F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
-            % num_bits
-        )
+        pos = (h1 + F.lit(j) * h2) % num_bits
         word = F.element_at(arr, (pos / _WORD).cast("int") + 1)
         # SQL shiftleft accepts a column shift (the PySpark wrapper is
         # literal-only), exactly matching bloom_build's mask construction

@@ -361,12 +361,18 @@ def label_propagation(
         counted = neighbor.groupBy("node", "nl").agg(
             F.count(F.lit(1)).alias("c")
         )
-        # most frequent neighbor label, smallest label on ties:
-        # max(struct(c, -nl)) picks highest count then lowest label
+        # most frequent neighbor label, smallest label on ties: a
+        # per-node row_number ordered (c DESC, nl ASC) — works for ANY
+        # orderable label type (string doc ids included), where the old
+        # max(struct(c, -nl)) argmax needed numeric negation; same
+        # single node-keyed exchange as the groupBy it replaces
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nl").asc()
+        )
         best = (
-            counted.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("nl")).alias("neg"))).alias("m"))
-            .select("node", (-F.col("m.neg")).alias("community"))
+            counted.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("nl").alias("community"))
         )
         labels = best.localCheckpoint(eager=True)
     return labels

@@ -167,7 +167,11 @@ def near_dup_pairs(
     Only candidate pairs (already pruned by LSH) pay the set-compare cost;
     shingle arrays are joined back by id so the band join stayed narrow.
     The signature table is computed ONCE and shared (cached) between the
-    band join and the verification join.
+    band join and the verification join. Cache lifetime: no safe
+    unpersist point exists inside a lazily-returned plan, so the entry
+    relies on Spark's LRU block eviction (MEMORY_AND_DISK blocks degrade
+    to recompute, never OOM); sweep-style services should
+    spark.catalog.clearCache() between batches.
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
     sig = sig.cache()
@@ -243,6 +247,7 @@ def minhash_jaccard_estimate(
     Scale: the pair set is LSH-bounded (never all-pairs); both the
     signature arrays and the shingle sets are re-joined BY ID after the
     candidate join, so the band exchange stays (id, band, bucket)-narrow.
+    Cache lifetime: LRU-evictable (see near_dup_pairs note).
     """
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size

@@ -5,30 +5,200 @@ media travels as a ``binary`` column next to a metadata struct; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` (one Python worker
 per partition, columnar transfer), never row-at-a-time.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this runtime, so the
-decode step is stubbed two ways, clearly marked:
+Decode tiers, selected by ``decode_stub``:
 
-- ``decode_stub='error'`` → raises ``NotImplementedError`` naming the
-  missing codec (production wiring point);
-- ``decode_stub='fake'``  → deterministic pseudo-decode (dimensions/duration
-  derived from payload bytes) so the Spark-side plumbing — schema,
-  partitioning, UDF signature, Arrow batch shape — is real and testable.
+- ``'real'``  → actual decode. Images: PIL when importable, else the
+  built-in pure-stdlib PNG decoder (`_decode_png`: zlib inflate + full
+  filter-0..4 unfilter, 8-bit gray/RGB/RGBA, non-interlaced) — so the
+  real path WORKS in a no-extras runtime for the one format every
+  pipeline meets first. Audio: soundfile when importable, else stdlib
+  ``wave`` PCM (8/16/32-bit, mixed to mono, normalized to [-1, 1]).
+  Video frame extraction has no stdlib fallback and raises
+  ``NotImplementedError`` naming ffmpeg/pyav.
+- ``'error'`` → raises ``NotImplementedError`` naming the missing codec
+  (production wiring point);
+- ``'fake'``  → deterministic pseudo-decode (dimensions/duration derived
+  from payload bytes) so the Spark-side plumbing — schema, partitioning,
+  UDF signature, Arrow batch shape — is testable with arbitrary bytes.
 
 Partitioning note: media blobs make rows huge; `extract_features` keeps the
 payload out of its OUTPUT (id + features only), so the shuffle-heavy
 downstream (joins, dedup on checksum) moves kilobytes, not media. That —
-not the stub — is the part that matters at scale.
+not the decode tier — is the part that matters at scale.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_DECODE_TIERS = ("fake", "error", "real")
+
+
+# ---------------------------------------------------------------------------
+# real-decode codec layer (import-gated extras, stdlib fallbacks)
+# ---------------------------------------------------------------------------
+
+
+def _pil_image():
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 pixels from PNG bytes — pure stdlib.
+
+    Supports the common core: 8-bit depth, gray / gray+alpha / RGB /
+    RGBA, non-interlaced, all five scanline filters (None/Sub/Up/
+    Average/Paeth per the PNG spec §9). Enough to make the 'real' tier
+    genuinely decode the canonical interchange format without PIL;
+    exotic PNGs (16-bit, palette, Adam7) raise NotImplementedError.
+    """
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, b"", None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            "built-in PNG decoder handles 8-bit gray/RGB/±alpha "
+            "non-interlaced; install PIL for anything else"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for row in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        prev = out[row - 1] if row else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                up = int(prev[i])
+                c = int(out[row - 1][i - ch]) if (row and i >= ch) else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[row] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def decode_image_gray(b: bytes) -> np.ndarray:
+    """(h, w) float64 grayscale pixels from encoded image bytes.
+
+    PIL tier when importable (any format PIL knows); stdlib PNG tier
+    otherwise. Color → ITU-R 601 luma; alpha ignored.
+    """
+    pil = _pil_image()
+    if pil is not None:
+        import io
+
+        img = pil.open(io.BytesIO(bytes(b))).convert("L")
+        return np.asarray(img, dtype=np.float64)
+    px = _decode_png(bytes(b)).astype(np.float64)
+    ch = px.shape[2]
+    if ch >= 3:
+        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return px[:, :, 0]
+
+
+def _box_resize_gray(img: np.ndarray, out_rows: int, out_cols: int) -> np.ndarray:
+    """(out_rows, out_cols) box-filter downscale (area average) — the
+    same resample a real thumbnailer uses, on an already-decoded
+    grayscale array; upscale degenerates to nearest-pixel repetition."""
+    h, w = img.shape
+    rb = [(r * h) // out_rows for r in range(out_rows + 1)]
+    cb = [(c * w) // out_cols for c in range(out_cols + 1)]
+    out = np.empty((out_rows, out_cols), dtype=np.float64)
+    for r in range(out_rows):
+        r0, r1 = rb[r], max(rb[r + 1], rb[r] + 1)
+        for c in range(out_cols):
+            c0, c1 = cb[c], max(cb[c + 1], cb[c] + 1)
+            out[r, c] = img[r0:r1, c0:c1].mean()
+    return out
+
+
+def decode_audio_samples(b: bytes) -> np.ndarray:
+    """float64 mono samples in [-1, 1] from encoded audio bytes.
+
+    soundfile tier when importable (any libsndfile format); stdlib
+    ``wave`` tier otherwise (PCM WAV, 8/16/32-bit; channels mixed to
+    mono by mean).
+    """
+    import io
+
+    try:
+        import soundfile as sf
+
+        data, _rate = sf.read(io.BytesIO(bytes(b)), dtype="float64")
+        return data.mean(axis=1) if data.ndim > 1 else data
+    except ImportError:
+        pass
+    import wave
+
+    with wave.open(io.BytesIO(bytes(b)), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        samples = (samples - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        samples /= 32768.0
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.float64)
+        samples /= 2147483648.0
+    else:
+        raise NotImplementedError(
+            f"WAV sample width {width} unsupported; install soundfile"
+        )
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return samples
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -69,10 +239,15 @@ def extract_features(
 
     ``mapInPandas``: each partition streams pandas batches through one
     Python worker; output drops the payload so only narrow features shuffle
-    downstream.
+    downstream. ``decode_stub='real'`` reads true dimensions via the codec
+    layer (PIL, else built-in PNG).
     """
-    if decode_stub not in ("fake", "error"):
-        raise ValueError("decode_stub must be 'fake' or 'error'")
+    if decode_stub not in _DECODE_TIERS:
+        raise ValueError(f"decode_stub must be one of {_DECODE_TIERS}")
+
+    def _dims(b: bytes) -> tuple[int, int]:
+        img = decode_image_gray(b)
+        return img.shape[1], img.shape[0]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,6 +258,18 @@ def extract_features(
                     "install PIL/ffmpeg and replace the 'fake' decode stub"
                 )
             payloads = pdf["payload"]
+            if decode_stub == "real":
+                dims = payloads.map(lambda b: _dims(bytes(b)))
+                width = dims.map(lambda d: d[0]).astype("int32")
+                height = dims.map(lambda d: d[1]).astype("int32")
+            else:
+                # deterministic pseudo-decode: "dimensions" from bytes
+                width = payloads.map(
+                    lambda b: (bytes(b)[0] if len(b) else 0) + 1
+                ).astype("int32")
+                height = payloads.map(
+                    lambda b: (bytes(b)[-1] if len(b) else 0) + 1
+                ).astype("int32")
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -90,13 +277,8 @@ def extract_features(
                     "checksum": payloads.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    # deterministic pseudo-decode: "dimensions" from bytes
-                    "width": payloads.map(
-                        lambda b: (bytes(b)[0] if len(b) else 0) + 1
-                    ).astype("int32"),
-                    "height": payloads.map(
-                        lambda b: (bytes(b)[-1] if len(b) else 0) + 1
-                    ).astype("int32"),
+                    "width": width,
+                    "height": height,
                 }
             )
             yield out
@@ -122,16 +304,25 @@ def resize_images(
 ) -> DataFrame:
     """Image resize as an Arrow-batched 1→1 payload transform.
 
-    Production wiring point: ``PIL.Image.open(...).resize((w, h))`` per
-    payload. The 'fake' stub deterministically truncates/pads the payload
-    to ``width*height`` bytes so the binary-in/binary-out batch shape,
-    schema, and partitioning are exercised for real. Payload stays in the
+    ``decode_stub='real'``: decode via the codec layer (PIL, else
+    built-in PNG), box-filter resample to (height, width), and emit the
+    RAW 8-bit grayscale pixel buffer (row-major, width*height bytes) —
+    no encoder dependency exists in a bare runtime, and downstream
+    feature/hash stages consume raw pixels anyway. The 'fake' stub
+    deterministically truncates/pads the payload to ``width*height``
+    bytes so the binary-in/binary-out batch shape, schema, and
+    partitioning are exercised without codecs. Payload stays in the
     output here by design — resize feeds a write, not a shuffle; keep a
     ``select`` downstream narrow if joining.
     """
-    if decode_stub not in ("fake", "error"):
-        raise ValueError("decode_stub must be 'fake' or 'error'")
+    if decode_stub not in _DECODE_TIERS:
+        raise ValueError(f"decode_stub must be one of {_DECODE_TIERS}")
     target = width * height
+
+    def _real_resize(b: bytes) -> bytes:
+        img = decode_image_gray(b)
+        small = _box_resize_gray(img, height, width)
+        return np.clip(np.rint(small), 0, 255).astype(np.uint8).tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -140,9 +331,12 @@ def resize_images(
                     "image codec not available in this runtime; "
                     "install PIL and replace the 'fake' resize stub"
                 )
-            resized = pdf["payload"].map(
-                lambda b: bytes(b)[:target].ljust(target, b"\0")
-            )
+            if decode_stub == "real":
+                resized = pdf["payload"].map(lambda b: _real_resize(bytes(b)))
+            else:
+                resized = pdf["payload"].map(
+                    lambda b: bytes(b)[:target].ljust(target, b"\0")
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -175,14 +369,15 @@ def sample_frames(
     stub slices the payload into ``num_frames`` equal chunks, which
     exercises the row-expanding mapInPandas shape (the part that matters
     for partition sizing: output rows ≈ input rows × num_frames, so
-    size input partitions accordingly).
+    size input partitions accordingly). No stdlib video codec exists, so
+    ``decode_stub='real'`` raises like 'error' — wiring point unchanged.
     """
-    if decode_stub not in ("fake", "error"):
-        raise ValueError("decode_stub must be 'fake' or 'error'")
+    if decode_stub not in _DECODE_TIERS:
+        raise ValueError(f"decode_stub must be one of {_DECODE_TIERS}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "error":
+            if decode_stub in ("error", "real"):
                 raise NotImplementedError(
                     "video codec not available in this runtime; "
                     "install ffmpeg/pyav and replace the 'fake' frame stub"
@@ -222,16 +417,16 @@ def perceptual_hashes(
     horizontally adjacent pixels of a downscaled grayscale image — the
     standard perceptual fingerprint for image near-dedup).
 
-    The HASH MATH is real; only the decode is stubbed: 'fake' "downscales"
-    the payload to an 8x9 grid by averaging each of 72 equal byte segments
-    — the same box-filter shape as a real grayscale resize, so local edits
-    perturb few pixels and small length changes shift averages only
-    slightly (the perceptual-locality property the tests pin down).
-    Production wiring point: PIL grayscale resize to 9x8 replaces
-    ``_fake_pixels`` — nothing else changes.
+    The HASH MATH is real in every tier. ``decode_stub='real'`` decodes
+    the image (PIL, else built-in PNG) and box-resamples to the 8x9
+    grid — a true dHash. 'fake' "downscales" the payload bytes to the
+    same grid by averaging 72 equal byte segments — the same box-filter
+    shape, so local edits perturb few pixels and small length changes
+    shift averages only slightly (the perceptual-locality property the
+    tests pin down).
     """
-    if decode_stub not in ("fake", "error"):
-        raise ValueError("decode_stub must be 'fake' or 'error'")
+    if decode_stub not in _DECODE_TIERS:
+        raise ValueError(f"decode_stub must be one of {_DECODE_TIERS}")
     rows, cols = _PHASH_GRID
     n_px = rows * cols
     schema = T.StructType(
@@ -258,6 +453,12 @@ def perceptual_hashes(
         # two's-complement into int64 (Spark LongType)
         return h - (1 << 64) if h >= (1 << 63) else h
 
+    def _real_pixels(b: bytes) -> list[int]:
+        img = decode_image_gray(b)
+        return [float(v) for v in _box_resize_gray(img, rows, cols).ravel()]
+
+    pixels = _real_pixels if decode_stub == "real" else _fake_pixels
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_stub == "error":
@@ -270,7 +471,7 @@ def perceptual_hashes(
                 out[c] = pdf[c].astype("int32")
             out["phash"] = (
                 pdf[payload_col]
-                .map(lambda b: _dhash(_fake_pixels(bytes(b))))
+                .map(lambda b: _dhash(pixels(bytes(b))))
                 .astype("int64")
             )
             yield pd.DataFrame(out)
@@ -432,17 +633,18 @@ def audio_chunk_energy(
     voice-activity pre-filter of audio training pipelines: drop silent
     chunks before the expensive ASR/embedding stage).
 
-    Production wiring point: soundfile/ffmpeg PCM decode replaces the
-    'fake' stub (payload bytes read as unsigned 8-bit samples, zero-mean
-    shifted). The chunk/hop/RMS math is real and runs on whatever the
-    decode yields. Overlapping windows via ``hop_samples`` < chunk.
+    ``decode_stub='real'`` decodes via the codec layer (soundfile, else
+    stdlib ``wave`` PCM → mono float in [-1, 1]) — pick ``silence_rms``
+    on that scale (e.g. 0.01). The 'fake' stub reads payload bytes as
+    unsigned 8-bit samples. The chunk/hop/RMS math is identical in both
+    tiers. Overlapping windows via ``hop_samples`` < chunk.
 
     Scale: the payload is dropped immediately after the energy reduction —
     only (id, idx, two scalars) leave the Python worker, so downstream
     filters/joins move no audio bytes.
     """
-    if decode_stub not in ("fake", "error"):
-        raise ValueError("decode_stub must be 'fake' or 'error'")
+    if decode_stub not in _DECODE_TIERS:
+        raise ValueError(f"decode_stub must be one of {_DECODE_TIERS}")
     hop = hop_samples or chunk_samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -455,20 +657,26 @@ def audio_chunk_energy(
                 )
             ids, idxs, ns, rmss, sil = [], [], [], [], []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
-                samples = bytes(b)  # fake decode: u8 PCM
+                if decode_stub == "real":
+                    samples = decode_audio_samples(bytes(b))
+                else:
+                    samples = bytes(b)  # fake decode: u8 PCM
                 pos = 0
                 idx = 0
                 while pos < len(samples) or idx == 0:
                     chunk = samples[pos : pos + chunk_samples]
-                    if not chunk and idx > 0:
+                    if len(chunk) == 0 and idx > 0:
                         break
-                    mean = sum(chunk) / len(chunk) if chunk else 0.0
-                    var = (
-                        sum((s - mean) ** 2 for s in chunk) / len(chunk)
-                        if chunk
-                        else 0.0
-                    )
-                    rms = var**0.5
+                    if len(chunk):
+                        if isinstance(chunk, (bytes, bytearray)):
+                            arr = np.frombuffer(
+                                chunk, dtype=np.uint8
+                            ).astype(np.float64)
+                        else:
+                            arr = np.asarray(chunk, dtype=np.float64)
+                        rms = float(np.sqrt(((arr - arr.mean()) ** 2).mean()))
+                    else:
+                        rms = 0.0
                     ids.append(mid)
                     idxs.append(idx)
                     ns.append(len(chunk))

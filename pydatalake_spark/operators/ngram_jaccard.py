@@ -69,6 +69,11 @@ def ngram_jaccard_pairs(
     uncapped join on a corpus with hot shingles vs ~linear with the cap —
     this knob is the difference between an operator that survives 100 TB
     and one that doesn't.
+
+    Cached intermediates (inverted index / shingle sets) rely on Spark's
+    LRU block eviction for reclamation — MEMORY_AND_DISK degrades to
+    recompute, never OOM; sweep-style services should
+    spark.catalog.clearCache() between batches.
     """
     sets = shingle_sets(df, id_col, text_col, shingle_size)
     inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))

@@ -228,12 +228,21 @@ def suggest_num_cells(n_vectors: int, target_cell_size: int = 1000) -> int:
     return 1 << (c - 1).bit_length()  # next power of two
 
 
+# above this embedding dimension the Lloyd readout switches from the
+# codegen per-index avg columns to the Arrow/numpy partial-sum tier: a
+# dim-wide hash agg generates `dim` scalar avg expressions, and past a few
+# hundred columns codegen width (and janino compile time) grows faster
+# than the data work it saves
+KMEANS_NUMPY_DIM = 256
+
+
 def kmeans_step(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_cells: int = 8,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """One Lloyd iteration of k-means over the embedding corpus:
     assign every vector to its nearest centroid (Euclidean, deterministic
@@ -250,13 +259,19 @@ def kmeans_step(
     ``centroids``. Beyond-reference op (clustering family).
 
     Scale shape: assignment reuses ``assign_fixed_cells`` (broadcast
-    centroids + map-side min partial agg). The mean recomputation is ONE
-    hash aggregation keyed on cell with ``dim`` scalar ``avg(dv[i])``
-    columns — whole-stage-codegen friendly, map-side partials collapse
-    each task to |cells|·dim values, and no per-element explode ever
-    multiplies the row count. ``dim`` is read from one head row (bounded
-    driver scalar, documented contract).
+    centroids + map-side min partial agg); above ``KMEANS_NUMPY_DIM`` it
+    routes to ``assign_cells_numpy`` (one matmul per Arrow batch) —
+    dim-wide expression trees stop being the fast path there. The mean
+    recomputation is ONE hash aggregation keyed on cell with ``dim``
+    scalar ``avg(dv[i])`` columns (whole-stage-codegen friendly,
+    map-side partials collapse each task to |cells|·dim values, no
+    per-element explode) up to ``KMEANS_NUMPY_DIM``; past it, Arrow
+    partial sums per batch + a per-cell merge. Pass ``dim`` when looping
+    Lloyd iterations — otherwise it is read once from one head row
+    (bounded driver scalar, documented contract).
     """
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
     if centroids is None:
         centroids = (
             emb.orderBy(F.col(id_col).asc())
@@ -266,8 +281,19 @@ def kmeans_step(
                 to_double_array(vec_col).alias("cvec"),
             )
         )
-    cells = assign_fixed_cells(emb, id_col, vec_col, centroids=centroids)
-    return _lloyd_readout(emb, cells, centroids, id_col, vec_col)
+    if dim > KMEANS_NUMPY_DIM:
+        cells = assign_cells_numpy(emb, centroids, id_col, vec_col)
+    else:
+        cells = assign_fixed_cells(emb, id_col, vec_col, centroids=centroids)
+    return _lloyd_readout(emb, cells, centroids, id_col, vec_col, dim=dim)
+
+
+def _vec_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimension from one head row (bounded driver scalar).
+    Callers looping Lloyd iterations should read it once and pass
+    ``dim=`` through — it cannot change between iterations."""
+    head = emb.select(F.size(to_double_array(vec_col)).alias("d")).first()
+    return int(head["d"])
 
 
 def _lloyd_readout(
@@ -276,25 +302,31 @@ def _lloyd_readout(
     centroids: DataFrame,
     id_col: str,
     vec_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Shared Lloyd-step tail: per-cell elementwise mean (one hash agg of
-    ``dim`` scalar avg columns, map-side partials, no explode) + centroid
-    drift. ``dim`` is read from one head row (bounded driver scalar)."""
+    """Shared Lloyd-step tail: per-cell elementwise mean + centroid
+    drift. Mean tier by ``dim``: ≤ ``KMEANS_NUMPY_DIM`` is one hash agg
+    of ``dim`` scalar avg columns (map-side partials, no explode); above
+    it, Arrow/numpy partial sums (``_cell_means_numpy``) — identical
+    semantics, no dim-wide codegen."""
     wv = cells.join(
         emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
         id_col,
     )
-    head = emb.select(F.size(to_double_array(vec_col)).alias("d")).first()
-    dim = int(head["d"])
-    means = wv.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        *[F.avg(F.col("dv")[i]).alias(f"_m{i}") for i in range(dim)],
-    )
-    new = means.select(
-        "cell",
-        "n_members",
-        F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("mvec"),
-    )
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
+    if dim > KMEANS_NUMPY_DIM:
+        new = _cell_means_numpy(wv)
+    else:
+        means = wv.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            *[F.avg(F.col("dv")[i]).alias(f"_m{i}") for i in range(dim)],
+        )
+        new = means.select(
+            "cell",
+            "n_members",
+            F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("mvec"),
+        )
     old = centroids.select(F.col("cent_id").alias("cell"), "cvec")
     return new.join(old, "cell").select(
         F.col("cell"),
@@ -306,6 +338,67 @@ def _lloyd_readout(
                 lambda acc, x: acc + x,
             )
         ).alias("drift"),
+    )
+
+
+def _cell_means_numpy(wv: DataFrame) -> DataFrame:
+    """(cell, n_members, mvec) from (cell, dv) — Arrow partial-sum tier
+    for high-dim vectors. Each Arrow batch collapses to ≤ |cells| rows of
+    (count, sum-vector) via one numpy reduction (the distributed
+    map-side combine, done in Python because no built-in aggregate sums
+    arrays elementwise without an explode); the per-cell merge then sees
+    only |cells| × num_partitions tiny rows. Float-addition order
+    differs from the codegen avg tier by design — equality to ~1e-9 is
+    the contract (pytest-pinned), not bitwise identity."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cell_type = wv.schema["cell"].dataType
+    part_schema = T.StructType(
+        [
+            T.StructField("cell", cell_type),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["dv"].tolist(), dtype=np.float64)
+            cells_, ns, sums = [], [], []
+            for cell, idx in pdf.groupby("cell", sort=False).indices.items():
+                cells_.append(cell)
+                ns.append(len(idx))
+                sums.append(V[idx].sum(axis=0).tolist())
+            yield pd.DataFrame({"cell": cells_, "n": ns, "s": sums})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", cell_type),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("mvec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def merge(pdf):
+        n = int(pdf["n"].sum())
+        s = np.array(pdf["s"].tolist(), dtype=np.float64).sum(axis=0)
+        return pd.DataFrame(
+            {
+                "cell": [pdf["cell"].iloc[0]],
+                "n_members": [n],
+                "mvec": [(s / n).tolist()],
+            }
+        )
+
+    return (
+        wv.select("cell", "dv")
+        .mapInPandas(partials, part_schema)
+        .groupBy("cell")
+        .applyInPandas(merge, out_schema)
     )
 
 
@@ -371,11 +464,24 @@ def kmeans_step_numpy(
     num_cells: int = 8,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """One Lloyd iteration — Arrow/numpy assignment tier. Same output as
-    ``kmeans_step`` (pytest-pinned equal): (cell, n_members, drift). The
-    mean/drift aggregation stays in codegen (per-index avg columns); only
-    the distance argmin moves to the vectorized path.
+    """One Lloyd iteration — FUSED Arrow/numpy tier. Same output as
+    ``kmeans_step`` (pytest-pinned equal to 1e-9): (cell, n_members,
+    drift).
+
+    Unlike the two-phase form (assign → join corpus back on id → agg),
+    one ``mapInPandas`` pass both assigns each Arrow batch (one
+    |batch| × |cells| distance matmul) AND collapses it to per-cell
+    (count, sum-vector) partials — so the corpus is scanned ONCE and
+    NEVER shuffled: the only exchange moves ≤ |cells| × num_partitions
+    partial rows, and the per-cell merge computes mean + drift against
+    the (bounded, closure-broadcast) centroid table. This is the right
+    Lloyd shape at 100 TB — per-iteration network cost is independent of
+    corpus size.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     if centroids is None:
         centroids = (
             emb.orderBy(F.col(id_col).asc())
@@ -385,8 +491,68 @@ def kmeans_step_numpy(
                 to_double_array(vec_col).alias("cvec"),
             )
         )
-    cells = assign_cells_numpy(emb, centroids, id_col, vec_col)
-    return _lloyd_readout(emb, cells, centroids, id_col, vec_col)
+    cent_rows = sorted(
+        centroids.select("cent_id", "cvec").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cent_ids = [r["cent_id"] for r in cent_rows]
+    C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    cvec_by_id = {cid: C[i] for i, cid in enumerate(cent_ids)}
+    cid_arr = np.array(cent_ids)
+
+    cell_type = centroids.schema["cent_id"].dataType
+    part_schema = T.StructType(
+        [
+            T.StructField("cell", cell_type),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    src = emb.select(to_double_array(vec_col).alias("dv"))
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["dv"].tolist(), dtype=np.float64)
+            d2 = (V * V).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (V @ C.T)
+            # first minimum -> lowest centroid index; rows sorted by
+            # cent_id, so ties break like min(struct(d2, cent_id))
+            best = d2.argmin(axis=1)
+            cells_, ns, sums = [], [], []
+            for k in np.unique(best):
+                mask = best == k
+                cells_.append(cid_arr[k])
+                ns.append(int(mask.sum()))
+                sums.append(V[mask].sum(axis=0).tolist())
+            yield pd.DataFrame({"cell": cells_, "n": ns, "s": sums})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", cell_type),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("drift", T.DoubleType()),
+        ]
+    )
+
+    def merge(pdf):
+        cell = pdf["cell"].iloc[0]
+        n = int(pdf["n"].sum())
+        mean = (
+            np.array(pdf["s"].tolist(), dtype=np.float64).sum(axis=0) / n
+        )
+        drift = float(np.sqrt(((mean - cvec_by_id[cell]) ** 2).sum()))
+        return pd.DataFrame(
+            {"cell": [cell], "n_members": [n], "drift": [drift]}
+        )
+
+    return (
+        src.mapInPandas(partials, part_schema)
+        .groupBy("cell")
+        .applyInPandas(merge, out_schema)
+    )
 
 
 def assignment_outliers(

@@ -14,82 +14,78 @@ for _mod in (relational, text, similarity):
     ORACLE.update(_mod.ORACLE)
 
 # The driver's correctness gate checks the FIRST 50 registry entries per
-# round (CORRECTNESS_r01..r03 are each exactly the first 50 keys in
-# iteration order). With 150 queries that cap forces a rotation. Round-4
-# front, three groups (the 13 queries added late in round 4 — bigram LM,
-# PMI, prefix dup, k-means step, minhash estimator, source cap, embedding
-# curation pipeline, LPA communities, weighted sample, containment, BM25,
-# datacard, curriculum — sit after the front and lead the round-5
-# rotation):
-#   (a) the 25 queries with no driver row in ANY prior round (keys not in
-#       CORRECTNESS_r01|r02|r03) — after this round the green union
-#       covers the whole registry;
-#   (b) the 10 round-3 red rows, all fixed this round (representation
-#       normalization + the two new oracles) — the driver must confirm;
-#   (c) 15 canaries: previously-green members of every major operator
-#       family, preferring queries whose implementation CHANGED this
-#       round (semantic_dedup auto-sizing, span-dedup null guard).
+# round (CORRECTNESS_r01..r04 are each exactly the first 50 keys in
+# iteration order). With 162 @q entries that cap forces a rotation; the
+# union of green driver rows across r01–r04 covers 135 distinct keys.
+# Round-5 front, two groups:
+#   (a) the 27 queries with no green driver row in ANY prior round —
+#       the 26 late-round-4 additions (multires rollup family, bigram
+#       LM / PMI / prefix dup / containment / BM25, minhash estimator,
+#       sampling + curation reports, k-means step, RP diagnostics) that
+#       only have a local check_parity.py run, plus approx_profile,
+#       whose new within-error-bound oracle flips it from the permanent
+#       `no_oracle` row to a gateable one. After this round the green
+#       union covers the ENTIRE registry.
+#   (b) 23 canaries: queries whose implementation CHANGED this round
+#       first (bloom auto-sizing, zipf_fit window-free rank, LPA
+#       row_number tie-break feeds near_dup_communities — already in
+#       (a)), then one stable previously-green member per major operator
+#       family.
 _GATE_FRONT = [
-    # (a) never driver-checked
-    "session_sequences",
-    "k_anonymity_screen",
-    "key_skew_profile",
-    "resample_ffill",
-    "hopping_window_agg",
-    "event_transition_matrix",
-    "text_token_stats",
-    "doc_fingerprint",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "unigram_surprisal",
-    "token_budget_sample",
-    "pipeline_clean_corpus",
-    "pipeline_clean_corpus_v2",
-    "pii_redact",
-    "doc_repetition_stats",
-    "gopher_quality_flags",
-    "sequence_pack",
-    "doc_chunks",
-    "bpe_pair_counts",
-    "lsh_recall_eval",
-    "char_entropy",
-    "embedding_normalize",
-    "ann_bucket_candidates",
-    "ann_recall_eval",
-    # (b) round-3 red rows, fixed
-    "q9_product_type_revenue",
-    "q10_returned_items",
-    "q11_supplier_concentration",
-    "q12_priority_shipping",
-    "simhash_near_dup",
-    "winnow_fingerprints",
+    # (a) never driver-confirmed
     "approx_profile",
-    "embedding_quantize",
-    "ivf_topk",
-    "image_phash_near_dup",
-    # (a') new this round — never driver-checked by construction
+    "multires_rollup",
+    "rolling_median_value",
+    "value_histogram",
+    "bigram_perplexity",
+    "token_pmi",
+    "prefix_dup_docs",
+    "minhash_jaccard_estimate",
+    "cap_per_source",
+    "near_dup_communities",
+    "weighted_sample_docs",
+    "ngram_containment_pairs",
+    "bm25_search",
+    "corpus_datacard",
+    "curriculum_stages",
+    "source_duplication_matrix",
+    "dedup_rate_by_threshold",
+    "langid_confusion",
+    "source_novelty",
+    "split_balance_report",
+    "decontamination_audit",
+    "kmeans_lloyd_step",
+    "pipeline_embedding_curation",
+    "pipeline_full_curation",
+    "embedding_outlier_screen",
+    "rp_distortion",
+    "rp_ann_recall",
+    # (b) canaries — changed-this-round implementations first
     "bloom_decontamination",
-    "cms_heavy_hitters",
     "zipf_fit",
-    "edit_distance_near_dup",
-    "dup_cluster_histogram",
-    # (c) 10 canaries: changed-this-round implementations first
-    # (dsir_importance now aggregates at doc-bucket granularity;
-    # hard_triplet_mining runs the hard_triplets_numpy tier), then one
-    # stable previously-green member per major family.
-    # tables_diff_full/topk_orders/window_running_sum/cosine_topk/
-    # multimodal_features/dedup_keep_first/sessionize rotated out to
-    # stay at 50 — each green in a prior round and unchanged since.
-    "dsir_importance",
-    "hard_triplet_mining",
-    "semantic_dedup",
-    "dup_span_stats",
-    "strip_dup_spans",
+    "exact_ngram_decontamination",
+    # stable previously-green family representatives
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "topk_orders",
+    "window_running_sum",
+    "tables_diff_full",
+    "dedup_keep_first",
+    "sessionize",
     "asof_join_events",
     "near_dup_pairs",
     "exact_dedup_docs",
+    "semantic_dedup",
+    "dup_span_stats",
+    "strip_dup_spans",
+    "ann_recall_eval",
+    "ivf_topk",
+    "dsir_importance",
+    "multimodal_features",
+    "cosine_topk",
+    "simhash_near_dup",
+    "image_phash_near_dup",
+    "pipeline_clean_corpus_v3",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

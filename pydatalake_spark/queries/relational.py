@@ -2570,7 +2570,13 @@ def multires_rollup(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     # cache the hour tier: it feeds BOTH union branches, and without
     # materialization Spark re-plans (and re-scans raw) per branch —
-    # the whole point of the cascade is one raw scan for the pyramid
+    # the whole point of the cascade is one raw scan for the pyramid.
+    # Lifetime: the entry stays in the CacheManager after the result is
+    # consumed (a returned lazy plan has no safe unpersist point);
+    # storage-memory reclamation relies on Spark's LRU block eviction —
+    # MEMORY_AND_DISK blocks are evictable, so a long session degrades
+    # to recompute, never to OOM. Long-running services that sweep many
+    # such plans should spark.catalog.clearCache() between batches.
     hr = (
         e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
@@ -2633,7 +2639,9 @@ def rolling_median_value(spark: SparkSession, sf: str) -> DataFrame:
                (max(value) - min(value)) / 20 AS w
         FROM events
     ), binned AS (
-        SELECT least(CAST(floor((value - lo) / w) AS BIGINT), 19) AS bin
+        SELECT CASE WHEN w = 0 THEN CAST(0 AS BIGINT)
+                    ELSE least(CAST(floor((value - lo) / w) AS BIGINT), 19)
+               END AS bin
         FROM events CROSS JOIN b
     )
     SELECT bin,
@@ -2648,7 +2656,11 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     range is one scalar aggregate broadcast back, binning is pure
     codegen arithmetic, and the grouped count collapses map-side to at
     most 20 rows per task — the O(1)-output distribution profile that
-    never sorts or samples. Top bin is closed (max lands in bin 19)."""
+    never sorts or samples. Top bin is closed (max lands in bin 19).
+    Degenerate range (all values equal → w = 0) is guarded explicitly:
+    every row lands in bin 0 with bin_lo = bin_hi = lo, instead of the
+    NaN that Spark's non-ANSI cast would silently turn into 0 while an
+    ANSI engine errors (engine-divergence hazard)."""
     e = _t(spark, sf, "events")
     b = e.agg(
         F.min("value").alias("lo"),
@@ -2656,10 +2668,16 @@ def value_histogram(spark: SparkSession, sf: str) -> DataFrame:
         ((F.max("value") - F.min("value")) / 20).alias("w"),
     )
     binned = e.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / F.col("w")).cast("long"),
-            F.lit(19).cast("long"),
-        ).alias("bin"),
+        F.when(F.col("w") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo")) / F.col("w")
+                ).cast("long"),
+                F.lit(19).cast("long"),
+            )
+        )
+        .alias("bin"),
         "lo",
         "w",
     )

@@ -555,29 +555,71 @@ def simhash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("approx_profile")  # no SQL oracle: sketch estimates are engine-specific
-# (DataSketches HLL + KLL); bounded-error vs exact is pytest-proven in
-# tests/test_operators.py::test_sketch_summary_bounded_error
+@q(
+    "approx_profile",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                 AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT)  AS exact_distinct,
+           TRUE AS distinct_ok,
+           TRUE AS q_p25_ok, TRUE AS q_p50_ok,
+           TRUE AS q_p75_ok, TRUE AS q_p95_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable-sketch profile of the events stream: per event_type row
     count, HLL distinct-user estimate, approximate value quantiles — the
     one-pass cardinality/quantile tooling a 100 TB pipeline uses instead
     of exact COUNT(DISTINCT) (functions/sketch.py).
 
-    The quantile array is projected to one scalar DOUBLE column per
-    requested quantile: array result columns crash pandas-based
-    canonicalizers even on rows-only checks (VERDICT r3 #3)."""
-    from pydatalake_spark.functions.sketch import sketch_summary
-
+    Gateable-oracle contract: raw sketch estimates are engine-specific
+    (DataSketches HLL / approx_percentile here, different sketches in any
+    other engine), so the comparable surface is the exact aggregates plus
+    WITHIN-ERROR-BOUND booleans computed Spark-side against Spark's own
+    exact values — `distinct_ok` (HLL estimate within max(10%, ±1) of
+    exact COUNT DISTINCT; HLL lgK=12 rsd is ~1.6%, so 10% is ≥6σ) and one
+    `q_p*_ok` per quantile (approx_percentile accuracy=10000 ⇒ rank error
+    ≤ n/10000, far inside the ±0.01-quantile window checked). The oracle
+    states the exact columns and pins every bound TRUE; a hash mismatch
+    means a sketch actually left its documented error envelope.
+    (Tighter per-run error stats remain pytest-proven in
+    tests/test_operators.py::test_sketch_summary_bounded_error.)"""
     e = _t(spark, sf, "events")
     qs = (0.25, 0.5, 0.75, 0.95)
-    prof = sketch_summary(e, ["event_type"], "user_id", "value", quantiles=qs)
+    prof = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("approx_distinct"),
+        F.percentile_approx("value", list(qs), 10000).alias("aq"),
+        F.percentile(
+            "value",
+            F.array(*[F.lit(max(p - 0.01, 0.0)) for p in qs]),
+        ).alias("lo"),
+        F.percentile(
+            "value",
+            F.array(*[F.lit(min(p + 0.01, 1.0)) for p in qs]),
+        ).alias("hi"),
+    )
+    eps = F.lit(1e-9)
     return prof.select(
         "event_type",
         "n",
-        "approx_distinct",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.greatest(
+                F.lit(1).cast("double"),
+                F.col("exact_distinct") * F.lit(0.1),
+            )
+        ).alias("distinct_ok"),
         *[
-            F.col("approx_quantiles")[i].alias(f"q_p{int(p * 100)}")
+            (
+                (F.col("aq")[i] >= F.col("lo")[i] - eps)
+                & (F.col("aq")[i] <= F.col("hi")[i] + eps)
+            ).alias(f"q_p{int(p * 100)}_ok")
             for i, p in enumerate(qs)
         ],
     )
@@ -1901,10 +1943,15 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     _DECON_CTE
     + """, tw AS (
         SELECT wh FROM ex JOIN lab USING (doc_id) WHERE is_train
+    ), params AS (
+        SELECT 32 * ((24 * greatest(count(DISTINCT wh), 1) + 31) // 32)
+                   AS m
+        FROM tw
     ), tpos AS (
-        SELECT CAST(('0x' || substr(md5(wh), 1 + 8 * j, 8)) AS BIGINT)
-                   % 4096 AS p
-        FROM tw CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+        SELECT (CAST(('0x' || substr(md5(wh), 1, 8)) AS BIGINT)
+                + j * CAST(('0x' || substr(md5(wh), 9, 8)) AS BIGINT))
+                   % (SELECT m FROM params) AS p
+        FROM tw CROSS JOIN (SELECT unnest(range(0, 17)) AS j)
     ), bitmap AS (
         SELECT p // 32 AS word_idx,
                bit_or((1::BIGINT) << CAST(p % 32 AS INT)) AS word
@@ -1914,9 +1961,10 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
         WHERE NOT is_train
     ), probe AS (
         SELECT doc_id, wh,
-               CAST(('0x' || substr(md5(wh), 1 + 8 * j, 8)) AS BIGINT)
-                   % 4096 AS p
-        FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+               (CAST(('0x' || substr(md5(wh), 1, 8)) AS BIGINT)
+                + j * CAST(('0x' || substr(md5(wh), 9, 8)) AS BIGINT))
+                   % (SELECT m FROM params) AS p
+        FROM ev CROSS JOIN (SELECT unnest(range(0, 17)) AS j)
     ), tested AS (
         SELECT doc_id, wh,
                min(CASE WHEN (word & ((1::BIGINT) << CAST(p % 32 AS INT)))
@@ -1935,13 +1983,21 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
 def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter 13-gram decontamination — the constant-memory scale
     path of `exact_ngram_decontamination`: the train window-hash set folds
-    into a 4096-bit bitmap (≤128 bitmap words, broadcast), so screening an
-    eval stream needs NO shuffle against train data, with a bounded
-    false-positive rate and no false negatives (pytest pins flagged ⊇
-    exact-contaminated). See operators/bloom.py."""
+    into an auto-sized bitmap (24 bits per distinct train hash, k=17
+    double-hash probes ≈ 1e-5 per-probe FP, `bloom_num_bits` — sized so
+    the ANY-window doc-level flag stays rare on clean docs), so screening
+    an eval stream needs NO shuffle against train data, with a bounded
+    false-positive rate at EVERY scale factor and no false negatives
+    (pytest pins flagged ⊇ exact-contaminated). The sizing count is one
+    distinct-count job whose result is a bounded driver scalar. See
+    operators/bloom.py."""
     from pydatalake_spark.functions.split import hash_bucket
     from pydatalake_spark.functions.text import shingles
-    from pydatalake_spark.operators.bloom import bloom_build, bloom_contains
+    from pydatalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_num_bits,
+    )
 
     d = _t(spark, sf, "documents")
     base = d.select("doc_id", tokenize("text").alias("_toks"))
@@ -1951,11 +2007,11 @@ def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
     )
     exl = ex.join(lab, "doc_id")
-    bitmap = bloom_build(
-        exl.filter("is_train").select("wh"), key_col="wh"
-    )
+    tw = exl.filter("is_train").select("wh")
+    m = bloom_num_bits(tw.distinct().count())
+    bitmap = bloom_build(tw, key_col="wh", num_bits=m)
     ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
-    hits = bloom_contains(ev, bitmap, key_col="wh")
+    hits = bloom_contains(ev, bitmap, key_col="wh", num_bits=m)
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum(F.col("bf_hit").cast("int")).cast("long").alias("n_bf_hits"),
@@ -2081,16 +2137,32 @@ def zipf_fit_q(spark: SparkSession, sf: str) -> DataFrame:
     vs log(rank) for the top-100 tokens — the standard sanity diagnostic
     for corpus naturalness (natural text ~ -1; templated/spammy corpora
     deviate hard). The top-k is TakeOrderedAndProject (no global sort, no
-    single-partition window over the vocabulary); the rank window then
-    runs on 100 rows; the regression is one tiny aggregate."""
-    from pyspark.sql import Window
-
+    single-partition window over the vocabulary); ranks come from
+    sort_array + posexplode over the collected 100-row top-k — a bounded
+    single-row aggregate, so NO unpartitioned window anywhere (the
+    `WindowExec: No Partition Defined` warning the old row_number rank
+    emitted is gone); the regression is one tiny aggregate."""
     d = _t(spark, sf, "documents")
     tok = d.select(F.explode(tokenize("text")).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     top = freq.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(100)
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    ranked = top.select("tok", "n", F.row_number().over(w).alias("r"))
+    # rank without a window: pack the (bounded) top-k into one array
+    # sorted by (-n, tok) — identical order to the old row_number — and
+    # posexplode; pos + 1 IS the rank
+    packed = top.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n")).alias("neg_n"),
+                    F.col("tok").alias("tok"),
+                    F.col("n").alias("n"),
+                )
+            )
+        ).alias("a")
+    )
+    ranked = packed.select(
+        F.posexplode("a").alias("pos", "s")
+    ).select((F.col("pos") + 1).alias("r"), F.col("s.n").alias("n"))
     return ranked.agg(
         F.regr_slope(F.log("n"), F.log("r")).alias("zipf_slope"),
         F.regr_intercept(F.log("n"), F.log("r")).alias("zipf_intercept"),
@@ -3269,10 +3341,14 @@ def split_balance_report_q(spark: SparkSession, sf: str) -> DataFrame:
     _DECON_CTE
     + """, train_w AS (
         SELECT DISTINCT wh FROM ex JOIN lab USING (doc_id) WHERE is_train
+    ), params AS (
+        SELECT 32 * ((24 * greatest(count(*), 1) + 31) // 32) AS m
+        FROM train_w
     ), tpos AS (
-        SELECT CAST(('0x' || substr(md5(wh), 1 + 8 * j, 8)) AS BIGINT)
-                   % 4096 AS p
-        FROM train_w CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+        SELECT (CAST(('0x' || substr(md5(wh), 1, 8)) AS BIGINT)
+                + j * CAST(('0x' || substr(md5(wh), 9, 8)) AS BIGINT))
+                   % (SELECT m FROM params) AS p
+        FROM train_w CROSS JOIN (SELECT unnest(range(0, 17)) AS j)
     ), bitmap AS (
         SELECT p // 32 AS word_idx,
                bit_or((1::BIGINT) << CAST(p % 32 AS INT)) AS word
@@ -3287,9 +3363,10 @@ def split_balance_report_q(spark: SparkSession, sf: str) -> DataFrame:
         FROM ev GROUP BY doc_id
     ), probe AS (
         SELECT doc_id, wh,
-               CAST(('0x' || substr(md5(wh), 1 + 8 * j, 8)) AS BIGINT)
-                   % 4096 AS p
-        FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+               (CAST(('0x' || substr(md5(wh), 1, 8)) AS BIGINT)
+                + j * CAST(('0x' || substr(md5(wh), 9, 8)) AS BIGINT))
+                   % (SELECT m FROM params) AS p
+        FROM ev CROSS JOIN (SELECT unnest(range(0, 17)) AS j)
     ), tested AS (
         SELECT doc_id, wh,
                min(CASE WHEN (word & ((1::BIGINT) << CAST(p % 32 AS INT)))
@@ -3323,14 +3400,23 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     size. Composes the two existing screens' plans; the verdict join is
     id-keyed over eval docs only.
 
-    The gate pins the oracle's 4096-bit bitmap, sized for the sf0.01
-    fixture — at sf0.1 the audit correctly reports it SATURATED (FP rate
-    ~1, FN still 0), which is exactly the deployment signal this query
-    exists to give: size m ≈ 1.44·k·n bits for the train-hash count n
-    (`bloom_build(num_bits=...)`), then re-audit."""
+    The bitmap is auto-sized from the distinct train-hash count
+    (`bloom_num_bits`: 24 bits/key, k=17 double-hash probes → ~1e-5
+    per-probe FP; doc-level FP ≈ W·p for W windows/doc, hence the ≪1/W
+    sizing), so the realized FP rate the audit reports stays bounded at
+    every scale factor: measured at sf0.1, 1 false positive over 975
+    clean eval docs (0.1%) — where the old fixed 4096-bit / 3-hash map
+    saturated (FP rate ~1), and even per-probe-1% auto-sizing
+    over-flagged ~28% of clean docs through the ANY-window flag. FN
+    must read 0 at any size; a nonzero value means the filter is
+    broken."""
     from pydatalake_spark.functions.split import hash_bucket
     from pydatalake_spark.functions.text import shingles
-    from pydatalake_spark.operators.bloom import bloom_build, bloom_contains
+    from pydatalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_num_bits,
+    )
 
     d = _t(spark, sf, "documents")
     base = d.select("doc_id", tokenize("text").alias("_toks"))
@@ -3347,9 +3433,10 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.max(F.coalesce("_hit", F.lit(0))) == 1).alias("contaminated"))
     )
-    bitmap = bloom_build(train_w, key_col="wh")
+    m = bloom_num_bits(train_w.count())
+    bitmap = bloom_build(train_w, key_col="wh", num_bits=m)
     bloom_v = (
-        bloom_contains(ev, bitmap, key_col="wh")
+        bloom_contains(ev, bitmap, key_col="wh", num_bits=m)
         .groupBy("doc_id")
         .agg(F.max("bf_hit").alias("flagged"))
     )

@@ -864,7 +864,8 @@ def test_bloom_filter_no_false_negatives(spark):
 
     hits_a = bloom_contains(absent, bitmap, key_col="k")
     fp = hits_a.filter(F.col("bf_hit")).count()
-    # 200 keys * 3 hashes in 4096 bits -> theoretical fp ~ (1-e^-0.146)^3
+    # 200 keys * 17 double-hash probes in 4096 bits -> load 1-e^-0.83,
+    # theoretical fp ~ (0.56)^17 ~ 5e-5
     # ~ 0.25%; allow generous slack
     assert fp / 1000 < 0.05
 

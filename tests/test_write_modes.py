@@ -178,3 +178,53 @@ def test_operators_on_empty_input(spark):
     assert is_unique(empty_kv)
     assert simhash_table(empty_doc).count() == 0
     assert near_dup_pairs(empty_doc).count() == 0
+
+
+def test_sort_global_cross_file_total_order(spark, tmpdir_path):
+    """sort_global=True must reproduce the reference's global pre-write
+    sort (writer.py:448): every file's key range is disjoint from and
+    ordered against every other file's. The default sortWithinPartitions
+    only guarantees per-file clustering."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.dataset.writer import write_dataset
+
+    # shuffle keys across many partitions so per-partition sort alone
+    # cannot produce a total order
+    df = (
+        spark.range(0, 2000)
+        .withColumn("k", (F.col("id") * 7919) % 2000)
+        .repartition(8)
+        .select("k", F.col("id").alias("payload"))
+    )
+    dest = os.path.join(str(tmpdir_path), "sorted_global")
+    # max_records_per_file splits each (globally sorted) task's output
+    # sequentially, so multiple files exist to prove cross-file order
+    write_dataset(
+        df,
+        dest,
+        mode="overwrite",
+        sort_by="k",
+        sort_global=True,
+        max_records_per_file=300,
+    )
+
+    files = sorted(
+        os.path.join(dest, f)
+        for f in os.listdir(dest)
+        if f.endswith(".parquet")
+    )
+    assert len(files) > 1, "need multiple files to prove cross-file order"
+    ranges = []
+    for path in files:
+        rows = spark.read.parquet(path).select("k").collect()
+        ks = [r.k for r in rows]
+        assert ks == sorted(ks)  # within-file order
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    # disjoint, orderable file ranges == global total order
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
