@@ -149,6 +149,73 @@ def bloom_contains(
     )
 
 
+# largest bitmap the vectorized probe tier will collect to the driver:
+# 2^27 bits = 16 MB of words — instant to collect/broadcast. Beyond that
+# (≈ 5.6M keys at 24 bits/key) the probe should stay on the
+# broadcast-join tier, whose bitmap never leaves the cluster.
+BLOOM_VECTOR_MAX_BITS = 1 << 27
+
+
+def bloom_contains_numpy(
+    df: DataFrame,
+    bitmap: DataFrame,
+    key_col: str = "key",
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Input rows + ``bf_hit`` — vectorized Arrow tier, bit-identical to
+    ``bloom_contains`` (same ``_positions`` double-hash family; pytest-
+    pinned equal).
+
+    The bitmap is collected ONCE into a numpy word array (bounded by
+    ``BLOOM_VECTOR_MAX_BITS``: ≤16 MB) and closure-broadcast; each Arrow
+    batch then tests all ``num_hashes`` positions of every key as one
+    |batch| × k gather — NO k-fold row explode, NO join, NO keyed
+    re-aggregation, and the probe side keeps its partitioning. This is
+    the fast tier whenever the filter fits driver memory; at
+    billions-of-keys scale use ``bloom_contains`` (broadcast-join tier),
+    whose bitmap never materializes on the driver.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if num_bits > BLOOM_VECTOR_MAX_BITS:
+        raise ValueError(
+            f"bitmap of {num_bits} bits exceeds BLOOM_VECTOR_MAX_BITS; "
+            "use bloom_contains (broadcast-join tier)"
+        )
+    arr = np.zeros(num_bits // _WORD, dtype=np.int64)
+    for r in bitmap.collect():
+        arr[int(r["word_idx"])] = int(r["word"])
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("bf_hit", T.BooleanType())]
+    )
+    cols = df.columns
+    k = num_hashes
+
+    def probe(batches):
+        import hashlib
+
+        js = np.arange(k, dtype=np.int64)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            digs = pdf[key_col].map(
+                lambda s: hashlib.md5(str(s).encode()).hexdigest()
+            )
+            h1 = digs.map(lambda d: int(d[:8], 16)).to_numpy(np.int64)
+            h2 = digs.map(lambda d: int(d[8:16], 16)).to_numpy(np.int64)
+            pos = (h1[:, None] + js * h2[:, None]) % num_bits
+            bits = (arr[pos // _WORD] >> (pos % _WORD)) & 1
+            out = pdf[cols].copy()
+            out["bf_hit"] = bits.all(axis=1)
+            yield out
+
+    return df.mapInPandas(probe, out_schema)
+
+
 def bloom_words_literal(bitmap: DataFrame) -> dict[int, int]:
     """Collect a built filter into {word_idx: word} — bounded by contract
     (≤ num_bits/32 rows, ~128 longs ≈ 1 KB) for literal embedding."""

@@ -1989,13 +1989,20 @@ def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     an eval stream needs NO shuffle against train data, with a bounded
     false-positive rate at EVERY scale factor and no false negatives
     (pytest pins flagged ⊇ exact-contaminated). The sizing count is one
-    distinct-count job whose result is a bounded driver scalar. See
+    distinct-count job whose result is a bounded driver scalar. The
+    probe runs the vectorized Arrow tier while the bitmap fits driver
+    memory (BLOOM_VECTOR_MAX_BITS), falling back to the broadcast-join
+    tier beyond; the (doc, window-hash) table is cached so the tokenize
+    → shingle pipeline runs once, not once per consumer (sizing count /
+    build / probe) — LRU-evictable, see operators/minhash.py note. See
     operators/bloom.py."""
     from pydatalake_spark.functions.split import hash_bucket
     from pydatalake_spark.functions.text import shingles
     from pydatalake_spark.operators.bloom import (
+        BLOOM_VECTOR_MAX_BITS,
         bloom_build,
         bloom_contains,
+        bloom_contains_numpy,
         bloom_num_bits,
     )
 
@@ -2006,12 +2013,17 @@ def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     lab = d.select(
         "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
     )
-    exl = ex.join(lab, "doc_id")
+    exl = ex.join(lab, "doc_id").cache()
     tw = exl.filter("is_train").select("wh")
     m = bloom_num_bits(tw.distinct().count())
     bitmap = bloom_build(tw, key_col="wh", num_bits=m)
     ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
-    hits = bloom_contains(ev, bitmap, key_col="wh", num_bits=m)
+    contains = (
+        bloom_contains_numpy
+        if m <= BLOOM_VECTOR_MAX_BITS
+        else bloom_contains
+    )
+    hits = contains(ev, bitmap, key_col="wh", num_bits=m)
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum(F.col("bf_hit").cast("int")).cast("long").alias("n_bf_hits"),
@@ -3413,8 +3425,10 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.functions.split import hash_bucket
     from pydatalake_spark.functions.text import shingles
     from pydatalake_spark.operators.bloom import (
+        BLOOM_VECTOR_MAX_BITS,
         bloom_build,
         bloom_contains,
+        bloom_contains_numpy,
         bloom_num_bits,
     )
 
@@ -3425,7 +3439,10 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     lab = d.select(
         "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
     )
-    exl = ex.join(lab, "doc_id")
+    # cache: tokenize→shingle feeds FOUR consumers here (sizing count,
+    # exact screen, bloom build, bloom probe) — LRU-evictable, see
+    # operators/minhash.py note
+    exl = ex.join(lab, "doc_id").cache()
     train_w = exl.filter("is_train").select("wh").distinct()
     ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
     exact_v = (
@@ -3435,8 +3452,13 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     )
     m = bloom_num_bits(train_w.count())
     bitmap = bloom_build(train_w, key_col="wh", num_bits=m)
+    contains = (
+        bloom_contains_numpy
+        if m <= BLOOM_VECTOR_MAX_BITS
+        else bloom_contains
+    )
     bloom_v = (
-        bloom_contains(ev, bitmap, key_col="wh", num_bits=m)
+        contains(ev, bitmap, key_col="wh", num_bits=m)
         .groupBy("doc_id")
         .agg(F.max("bf_hit").alias("flagged"))
     )

@@ -865,9 +865,34 @@ def test_bloom_filter_no_false_negatives(spark):
     hits_a = bloom_contains(absent, bitmap, key_col="k")
     fp = hits_a.filter(F.col("bf_hit")).count()
     # 200 keys * 17 double-hash probes in 4096 bits -> load 1-e^-0.83,
-    # theoretical fp ~ (0.56)^17 ~ 5e-5
-    # ~ 0.25%; allow generous slack
+    # theoretical fp ~ (0.56)^17 ~ 5e-5; allow generous slack
     assert fp / 1000 < 0.05
+
+
+def test_bloom_contains_numpy_matches_join_tier(spark):
+    """The vectorized Arrow probe must agree bit-for-bit with the
+    broadcast-join probe on every key — member and absent alike."""
+    from pydatalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_contains_numpy,
+    )
+
+    keys = spark.range(500).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    members = keys.filter("substr(k, 5) % 3 = 0")
+    bitmap = bloom_build(members, key_col="k")
+    join_tier = {
+        r.k: r.bf_hit
+        for r in bloom_contains(keys, bitmap, key_col="k").collect()
+    }
+    vec_tier = {
+        r.k: r.bf_hit
+        for r in bloom_contains_numpy(keys, bitmap, key_col="k").collect()
+    }
+    assert join_tier == vec_tier
+    assert sum(vec_tier.values()) >= 167  # every member hits
 
 
 def test_bloom_decon_supersets_exact_decon(spark):
