@@ -392,3 +392,55 @@ def test_multires_rollup_scans_raw_once(spark):
     # is scanned once — at cache materialization — for the whole pyramid
     p = physical_plan(spark, "multires_rollup")
     assert p.count("InMemoryTableScan") == 2
+
+
+def test_fused_kmeans_never_shuffles_corpus(spark):
+    """kmeans_step_numpy (round 5, fused): one mapInPandas pass assigns
+    AND partial-sums each batch, so the physical plan has NO join (the
+    two-phase form joined cells back to the corpus by id) and the only
+    exchange moves per-cell partials — cells x partitions rows, not the
+    corpus."""
+    import numpy as np
+
+    from pydatalake_spark.operators.semdedup import kmeans_step_numpy
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    p = (
+        kmeans_step_numpy(emb, num_cells=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in p
+    assert p.count("Exchange") == 1  # partials -> per-cell merge only
+
+
+def test_bloom_vector_probe_is_shuffle_free(spark):
+    """bloom_contains_numpy must add NO exchange and NO join to the probe
+    plan: the bitmap rides the closure; each batch is tested in place.
+    (The join tier pays a broadcast + two keyed aggregations — correct at
+    cluster-scale bitmap sizes, wasteful below them.)"""
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains_numpy,
+    )
+
+    keys = spark.range(100).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("k")
+    )
+    bitmap = bloom_build(keys, key_col="k")
+    p = (
+        bloom_contains_numpy(keys, bitmap, key_col="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in p
+    assert "Exchange" not in p
