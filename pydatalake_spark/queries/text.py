@@ -1757,24 +1757,26 @@ def image_phash_near_dup_q(spark: SparkSession, sf: str) -> DataFrame:
 def source_mix_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled source mixture (the alpha-smoothed multinomial
     of multilingual pre-training, alpha=0.7): per-source token share,
-    smoothed sampling probability, and the implied up/down-weight. Two
-    tiny aggregations — the per-source table is O(#sources) and the
-    global sums are window functions over it."""
+    smoothed sampling probability, and the implied up/down-weight. The
+    per-source table is O(#sources); the two global sums are agg-to-
+    scalar broadcast crossJoins (as in value_histogram), NOT unpartitioned
+    windows — same O(#sources) result without the single-partition
+    WindowExec warning a global window emits."""
     d = _t(spark, sf, "documents")
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(tokenize("text"))).cast("long").alias("n_tokens"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double")
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_tot_tokens"))
+    share = F.col("n_tokens") / F.col("_tot_tokens")
     sm_raw = F.pow(share, F.lit(0.7))
-    with_share = per.select(
+    with_share = per.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "n_tokens", share.alias("share"),
         sm_raw.alias("sm_raw"),
     )
-    prob = F.col("sm_raw") / F.sum("sm_raw").over(w)
+    tot_sm = with_share.agg(F.sum("sm_raw").alias("_tot_sm"))
+    prob = F.col("sm_raw") / F.col("_tot_sm")
+    with_share = with_share.crossJoin(F.broadcast(tot_sm))
     return with_share.select(
         "source",
         "n_docs",
@@ -1886,6 +1888,34 @@ _DECON_CTE = f"""
         FROM documents
     )"""
 
+_DECON_EXL_CACHE: dict = {}
+
+
+def _decon_exl(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-corpus cached (doc_id, wh, is_train) table — the tokenize →
+    13-gram shingle → md5 → explode → distinct pass that every
+    decontamination query starts from. ONE cached DataFrame shared by
+    the exact screen, the bloom screen, and the audit (each of which has
+    3-4 internal consumers of it too), so the expensive pass runs once
+    per corpus, not once per consumer — and repeated ``.cache()`` calls
+    on structurally-equal plans (the CacheManager warning in the r5
+    bench tail) disappear, because all consumers hold the SAME object.
+    LRU-evictable under memory pressure like every cache here (see
+    operators/minhash.py note)."""
+    from pydatalake_spark.functions.split import hash_bucket
+    from pydatalake_spark.functions.text import shingles
+
+    if sf not in _DECON_EXL_CACHE:
+        d = _t(spark, sf, "documents")
+        base = d.select("doc_id", tokenize("text").alias("_toks"))
+        wh = F.transform(shingles(F.col("_toks"), k=_DECON_K), F.md5)
+        ex = base.select("doc_id", F.explode(wh).alias("wh")).distinct()
+        lab = d.select(
+            "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
+        )
+        _DECON_EXL_CACHE[sf] = ex.join(lab, "doc_id").cache()
+    return _DECON_EXL_CACHE[sf]
+
 
 @q(
     "exact_ngram_decontamination",
@@ -1913,19 +1943,7 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     is distinct-reduced before the semi-join, and the final count is one
     keyed aggregation. Complements `split_contamination` (near-dup based):
     this one is exact-match, the standard published protocol."""
-    from pydatalake_spark.functions.split import hash_bucket
-    from pydatalake_spark.functions.text import shingles
-
-    d = _t(spark, sf, "documents")
-    base = d.select("doc_id", tokenize("text").alias("_toks"))
-    wh = F.transform(shingles(F.col("_toks"), k=_DECON_K), F.md5)
-    ex = base.select(
-        "doc_id", F.explode(wh).alias("wh")
-    ).distinct()
-    lab = d.select(
-        "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
-    )
-    exl = ex.join(lab, "doc_id")
+    exl = _decon_exl(spark, sf)
     train_w = exl.filter("is_train").select("wh").distinct()
     ev = exl.filter(~F.col("is_train"))
     hits = ev.join(
@@ -1992,37 +2010,28 @@ def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     distinct-count job whose result is a bounded driver scalar. The
     probe runs the vectorized Arrow tier while the bitmap fits driver
     memory (BLOOM_VECTOR_MAX_BITS), falling back to the broadcast-join
-    tier beyond; the (doc, window-hash) table is cached so the tokenize
-    → shingle pipeline runs once, not once per consumer (sizing count /
-    build / probe) — LRU-evictable, see operators/minhash.py note. See
-    operators/bloom.py."""
-    from pydatalake_spark.functions.split import hash_bucket
-    from pydatalake_spark.functions.text import shingles
+    tier beyond; on the vector tier the BUILD is the numpy partial-bitmap
+    pass too (`bloom_build_chunks`: per-partition dense OR, no k-fold
+    explode). The (doc, window-hash) table comes from the shared
+    `_decon_exl` cache, so the tokenize → shingle pipeline runs once per
+    corpus across all decontamination queries. See operators/bloom.py."""
     from pydatalake_spark.operators.bloom import (
         BLOOM_VECTOR_MAX_BITS,
         bloom_build,
+        bloom_build_chunks,
         bloom_contains,
         bloom_contains_numpy,
         bloom_num_bits,
     )
 
-    d = _t(spark, sf, "documents")
-    base = d.select("doc_id", tokenize("text").alias("_toks"))
-    wh = F.transform(shingles(F.col("_toks"), k=_DECON_K), F.md5)
-    ex = base.select("doc_id", F.explode(wh).alias("wh")).distinct()
-    lab = d.select(
-        "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
-    )
-    exl = ex.join(lab, "doc_id").cache()
+    exl = _decon_exl(spark, sf)
     tw = exl.filter("is_train").select("wh")
     m = bloom_num_bits(tw.distinct().count())
-    bitmap = bloom_build(tw, key_col="wh", num_bits=m)
+    vector = m <= BLOOM_VECTOR_MAX_BITS
+    build = bloom_build_chunks if vector else bloom_build
+    bitmap = build(tw, key_col="wh", num_bits=m)
     ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
-    contains = (
-        bloom_contains_numpy
-        if m <= BLOOM_VECTOR_MAX_BITS
-        else bloom_contains
-    )
+    contains = bloom_contains_numpy if vector else bloom_contains
     hits = contains(ev, bitmap, key_col="wh", num_bits=m)
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_windows"),
@@ -3422,27 +3431,19 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     over-flagged ~28% of clean docs through the ANY-window flag. FN
     must read 0 at any size; a nonzero value means the filter is
     broken."""
-    from pydatalake_spark.functions.split import hash_bucket
-    from pydatalake_spark.functions.text import shingles
     from pydatalake_spark.operators.bloom import (
         BLOOM_VECTOR_MAX_BITS,
         bloom_build,
+        bloom_build_chunks,
         bloom_contains,
         bloom_contains_numpy,
         bloom_num_bits,
     )
 
-    d = _t(spark, sf, "documents")
-    base = d.select("doc_id", tokenize("text").alias("_toks"))
-    wh = F.transform(shingles(F.col("_toks"), k=_DECON_K), F.md5)
-    ex = base.select("doc_id", F.explode(wh).alias("wh")).distinct()
-    lab = d.select(
-        "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
-    )
-    # cache: tokenize→shingle feeds FOUR consumers here (sizing count,
-    # exact screen, bloom build, bloom probe) — LRU-evictable, see
-    # operators/minhash.py note
-    exl = ex.join(lab, "doc_id").cache()
+    # shared per-corpus cache: tokenize→shingle feeds FOUR consumers here
+    # (sizing count, exact screen, bloom build, bloom probe) and every
+    # other decontamination query — see _decon_exl
+    exl = _decon_exl(spark, sf)
     train_w = exl.filter("is_train").select("wh").distinct()
     ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
     exact_v = (
@@ -3451,12 +3452,13 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
         .agg((F.max(F.coalesce("_hit", F.lit(0))) == 1).alias("contaminated"))
     )
     m = bloom_num_bits(train_w.count())
-    bitmap = bloom_build(train_w, key_col="wh", num_bits=m)
-    contains = (
-        bloom_contains_numpy
-        if m <= BLOOM_VECTOR_MAX_BITS
-        else bloom_contains
-    )
+    vector = m <= BLOOM_VECTOR_MAX_BITS
+    # vector tier: numpy partial-bitmap build (bloom_build_chunks — one
+    # dense OR per partition, no k-fold row explode, merge shuffle is
+    # partitions × chunks rows) fixed the r5 8.4s regression here
+    build = bloom_build_chunks if vector else bloom_build
+    bitmap = build(train_w, key_col="wh", num_bits=m)
+    contains = bloom_contains_numpy if vector else bloom_contains
     bloom_v = (
         contains(ev, bitmap, key_col="wh", num_bits=m)
         .groupBy("doc_id")

@@ -180,6 +180,8 @@ def stream_quality_screen(
     quality_threshold: float = 0.45,
     eval_window: int = 13,
     query_name: str = "screened",
+    bloom_bits: int | None = None,
+    bloom_hashes: int | None = None,
 ) -> DataFrame:
     """Streaming ingest gate: quality score + exact-n-gram eval
     decontamination, per arriving micro-batch, with ZERO stream-side
@@ -187,10 +189,16 @@ def stream_quality_screen(
     `exact_ngram_decontamination`/`bloom_decontamination`.
 
     The eval-set filter arrives as a LITERAL bloom bitmap
-    (`operators/bloom.py:bloom_hit_expr`, built batch-side from the eval
-    corpus's 13-token window hashes via `bloom_build` +
-    `bloom_words_literal`): a doc is dropped iff any of its window hashes
-    is a possible member. Quality is the same stopword/punct/length
+    (`operators/bloom.py:bloom_hit_expr`), built batch-side from the eval
+    corpus's 13-token window hashes — use `build_literal_bloom`, which
+    AUTO-SIZES the bitmap from the eval key count and derives the probe
+    count from the realized bits/key ratio, and pass its (words, bits,
+    hashes) triple through ``bloom_words``/``bloom_bits``/
+    ``bloom_hashes``. (A fixed default-size bitmap saturates once the
+    eval set passes a few hundred keys — k=17 against 4096 bits at
+    n=1000 gives per-probe FP ≈ 0.72, so the ANY-window flag over-drops
+    nearly all clean docs.) A doc is dropped iff any of its window
+    hashes is a possible member. Quality is the same stopword/punct/length
     expression as the batch query. Everything is stateless per-row
     codegen — append mode, no watermark/state needed, so the gate runs at
     source line-rate on any number of executors; the bloom guarantees no
@@ -202,8 +210,17 @@ def stream_quality_screen(
     Returns (doc_id, quality_score, n_tokens) for kept docs.
     """
     from pydatalake_spark.functions.text import STOPWORDS, tokenize
-    from pydatalake_spark.operators.bloom import bloom_hit_expr
+    from pydatalake_spark.operators.bloom import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_hit_expr,
+    )
     from pydatalake_spark.functions.text import shingles
+
+    if bloom_bits is None:
+        bloom_bits = BLOOM_BITS
+    if bloom_hashes is None:
+        bloom_hashes = BLOOM_HASHES
 
     stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
     bound = stream.select(
@@ -223,7 +240,10 @@ def stream_quality_screen(
     )
     whs = F.transform(shingles(toks, k=eval_window), F.md5)
     contaminated = F.exists(
-        whs, lambda wh: bloom_hit_expr(wh, bloom_words)
+        whs,
+        lambda wh: bloom_hit_expr(
+            wh, bloom_words, num_bits=bloom_bits, num_hashes=bloom_hashes
+        ),
     )
     kept = (
         bound.withColumn("quality_score", quality)

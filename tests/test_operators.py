@@ -895,6 +895,161 @@ def test_bloom_contains_numpy_matches_join_tier(spark):
     assert sum(vec_tier.values()) >= 167  # every member hits
 
 
+def test_bloom_build_chunks_word_identical(spark):
+    """The numpy partial-bitmap build (mapInPandas dense OR + chunk
+    merge) must produce EXACTLY the bitmap the expression build does —
+    same words, same bits — and both probes must accept its output."""
+    from pydatalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_build_chunks,
+        bloom_chunks_to_words,
+        bloom_contains,
+        bloom_contains_numpy,
+        bloom_num_bits,
+        bloom_words_literal,
+    )
+
+    members = spark.range(700).select(
+        F.concat(F.lit("bk-"), F.col("id")).alias("k")
+    )
+    m = bloom_num_bits(700)
+    words_expr = bloom_words_literal(
+        bloom_build(members, key_col="k", num_bits=m)
+    )
+    chunked = bloom_build_chunks(members, key_col="k", num_bits=m)
+    words_np = bloom_words_literal(chunked)
+    assert words_np == words_expr
+    # chunks→words expansion agrees too
+    words_rows = {
+        int(r.word_idx): int(r.word)
+        for r in bloom_chunks_to_words(chunked).collect()
+    }
+    assert words_rows == words_expr
+    # both probe tiers accept the chunked layout: all members hit
+    probe = spark.range(700).select(
+        F.concat(F.lit("bk-"), F.col("id")).alias("k")
+    )
+    assert (
+        bloom_contains_numpy(probe, chunked, key_col="k", num_bits=m)
+        .filter(~F.col("bf_hit"))
+        .count()
+        == 0
+    )
+    assert (
+        bloom_contains(probe, chunked, key_col="k", num_bits=m)
+        .filter(~F.col("bf_hit"))
+        .count()
+        == 0
+    )
+
+
+def test_bloom_tiers_interchangeable_on_dups_and_nulls(spark):
+    """r5 ADVICE: the join and numpy probe tiers must stay output-
+    equivalent on NON-distinct and null-key probe inputs — duplicates
+    preserved one-for-one, null keys read bf_hit=false on both."""
+    from pydatalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_contains_numpy,
+    )
+
+    members = spark.range(100).select(
+        F.concat(F.lit("dk-"), F.col("id")).alias("k")
+    )
+    bitmap = bloom_build(members, key_col="k")
+    probe = spark.createDataFrame(
+        [("dk-1", 1), ("dk-1", 2), ("dk-1", 2), (None, 3), ("absent", 4)],
+        "k string, tag int",
+    )
+    nullsafe = lambda t: (t[0] is None, t[0] or "", t[1], t[2])  # noqa: E731
+    jt = sorted(
+        (
+            (r.k, r.tag, r.bf_hit)
+            for r in bloom_contains(probe, bitmap, key_col="k").collect()
+        ),
+        key=nullsafe,
+    )
+    vt = sorted(
+        (
+            (r.k, r.tag, r.bf_hit)
+            for r in bloom_contains_numpy(probe, bitmap, key_col="k").collect()
+        ),
+        key=nullsafe,
+    )
+    assert jt == vt
+    assert len(jt) == 5  # duplicates preserved
+    by_key = {}
+    for k, _tag, hit in jt:
+        by_key.setdefault(k, set()).add(hit)
+    assert by_key["dk-1"] == {True}
+    assert by_key[None] == {False}  # null key is never a member
+
+
+def test_membership_screen_three_tier_dispatch(spark):
+    """VERDICT r5 item 2: the explicit vector/join/exact dispatch. Force
+    each tier via the threshold params; every tier must keep all members
+    (no false negatives) and the exact tier must have zero false
+    positives."""
+    from pydatalake_spark.operators.bloom import (
+        bloom_num_bits,
+        bloom_tier,
+        membership_screen,
+    )
+
+    train = spark.range(300).select(
+        F.concat(F.lit("tk-"), F.col("id")).alias("k")
+    )
+    probe = spark.range(600).select(
+        F.concat(F.lit("tk-"), F.col("id")).alias("k")
+    )
+    m = bloom_num_bits(300)
+    forced = {
+        "vector": dict(vector_max_bits=m, join_max_bits=2 * m),
+        "join": dict(vector_max_bits=m // 2, join_max_bits=m),
+        "exact": dict(vector_max_bits=m // 4, join_max_bits=m // 2),
+    }
+    for tier, kw in forced.items():
+        assert bloom_tier(300, **kw) == tier
+        rows = membership_screen(probe, train, key_col="k", **kw).collect()
+        assert len(rows) == 600
+        hits = {r.k: r.bf_hit for r in rows}
+        assert all(hits[f"tk-{i}"] for i in range(300)), tier  # no FN
+        fp = sum(hits[f"tk-{i}"] for i in range(300, 600))
+        if tier == "exact":
+            assert fp == 0
+        else:
+            assert fp / 300 < 0.05, tier
+
+
+def test_build_literal_bloom_autosizes(spark):
+    """r5 ADVICE (medium): the literal streaming bloom must auto-size
+    from the key count — at n=1000 the fixed 4096-bit default with k=17
+    sat at per-probe FP ≈ 0.72; the auto-sized filter must keep absent
+    keys out at ~1e-5."""
+    from pydatalake_spark.operators.bloom import (
+        BLOOM_HASHES,
+        bloom_hit_expr,
+        bloom_num_bits,
+        build_literal_bloom,
+    )
+
+    keys = spark.range(1000).select(
+        F.concat(F.lit("lk-"), F.col("id")).alias("k")
+    )
+    words, n_bits, n_hashes = build_literal_bloom(keys, key_col="k")
+    assert n_bits == bloom_num_bits(1000)
+    assert n_hashes == BLOOM_HASHES  # auto-sized m keeps the design k
+    probes = spark.range(2000).select(
+        F.concat(F.lit("lk-"), F.col("id")).alias("k")
+    ).withColumn(
+        "hit", bloom_hit_expr(F.col("k"), words, n_bits, n_hashes)
+    )
+    got = {r.k: r.hit for r in probes.collect()}
+    assert all(got[f"lk-{i}"] for i in range(1000))  # no FN
+    fp = sum(got[f"lk-{i}"] for i in range(1000, 2000))
+    assert fp / 1000 < 0.01  # vs ~0.72 for the saturated fixed default
+
+
 def test_bloom_decon_supersets_exact_decon(spark):
     """The Bloom screen may over-flag (false positives) but must never
     miss a document the exact screen flags, and the window universe must

@@ -252,9 +252,8 @@ def test_stream_quality_screen_matches_batch(spark, tmpdir_path):
     negatives by bloom construction)."""
     from pydatalake_spark.functions.text import STOPWORDS, shingles, tokenize
     from pydatalake_spark.operators.bloom import (
-        bloom_build,
         bloom_hit_expr,
-        bloom_words_literal,
+        build_literal_bloom,
     )
     from pydatalake_spark.streaming.ingest import stream_quality_screen
 
@@ -275,12 +274,14 @@ def test_stream_quality_screen_matches_batch(spark, tmpdir_path):
             F.transform(shingles(tokenize("text"), k=13), F.md5)
         ).alias("wh")
     )
-    words = bloom_words_literal(bloom_build(ev_hashes, key_col="wh"))
+    # auto-sized literal bloom (r5 ADVICE: the fixed default saturates)
+    words, n_bits, n_hashes = build_literal_bloom(ev_hashes, key_col="wh")
 
     got = {
         r.doc_id
         for r in stream_quality_screen(
-            spark, src_dir, schema, words, query_name="screen_t"
+            spark, src_dir, schema, words, query_name="screen_t",
+            bloom_bits=n_bits, bloom_hashes=n_hashes,
         ).collect()
     }
 
@@ -301,7 +302,12 @@ def test_stream_quality_screen_matches_batch(spark, tmpdir_path):
         + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
     )
     whs = F.transform(shingles(toks, k=13), F.md5)
-    contaminated = F.exists(whs, lambda wh: bloom_hit_expr(wh, words))
+    contaminated = F.exists(
+        whs,
+        lambda wh: bloom_hit_expr(
+            wh, words, num_bits=n_bits, num_hashes=n_hashes
+        ),
+    )
     expected = {
         r.doc_id
         for r in b.filter((quality >= 0.45) & ~contaminated).collect()
