@@ -89,40 +89,59 @@ def _decode_png(b: bytes) -> np.ndarray:
             "non-interlaced; install PIL for anything else"
         )
     ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    raw = zlib.decompress(idat)
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
+    # Unfilter (PNG spec §9), r5 ADVICE: the old per-byte loops indexed
+    # numpy scalars, seconds/megapixel. None and Up are whole-row numpy
+    # ops; Sub's recurrence recon[x] = filt[x] + recon[x-ch] is a
+    # per-channel-lane prefix sum, i.e. cumsum mod 256; Average/Paeth
+    # have a nonlinear left-dependency (no exact vectorization exists),
+    # so they loop — over plain Python lists, whose indexing beats numpy
+    # scalar access ~5-10x.
     for row in range(h):
-        ft = raw[pos]
+        ft = int(raw[pos])
         pos += 1
-        line = bytearray(raw[pos : pos + stride])
+        line = raw[pos : pos + stride].copy()
         pos += stride
         prev = out[row - 1] if row else np.zeros(stride, dtype=np.uint8)
         if ft == 0:
             pass
-        elif ft == 1:  # Sub
+        elif ft == 1:  # Sub: per-lane cumulative sum, wrapping at 256
+            lanes = line.reshape(w, ch).astype(np.uint64)
+            line = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up: uint8 addition wraps exactly as the spec needs
+            line = line + prev
+        elif ft == 3:  # Average — sequential left-dependency; plain-list
+            # loop (list indexing ≈ 5-10x cheaper than numpy scalar
+            # indexing, and exact — no vectorization exists)
+            ln = line.tolist()
+            pv = prev.tolist()
+            for i in range(ch):
+                ln[i] = (ln[i] + (pv[i] >> 1)) & 0xFF
             for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ft == 2:  # Up
+                ln[i] = (ln[i] + ((ln[i - ch] + pv[i]) >> 1)) & 0xFF
+            line = np.array(ln, dtype=np.uint8)
+        elif ft == 4:  # Paeth — same sequential shape as Average
+            ln = line.tolist()
+            pv = prev.tolist()
             for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                up = int(prev[i])
-                c = int(out[row - 1][i - ch]) if (row and i >= ch) else 0
+                a = ln[i - ch] if i >= ch else 0
+                up = pv[i]
+                c = pv[i - ch] if i >= ch else 0
                 p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - up if p >= up else up - p
+                pc = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
+                ln[i] = (ln[i] + pred) & 0xFF
+            line = np.array(ln, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
-        out[row] = np.frombuffer(bytes(line), dtype=np.uint8)
+        out[row] = line
     return out.reshape(h, w, ch)
 
 
@@ -240,14 +259,21 @@ def extract_features(
     ``mapInPandas``: each partition streams pandas batches through one
     Python worker; output drops the payload so only narrow features shuffle
     downstream. ``decode_stub='real'`` reads true dimensions via the codec
-    layer (PIL, else built-in PNG).
+    layer (PIL, else built-in PNG); a payload the codec REJECTS (corrupt
+    bytes, or a non-image row in a mixed media table) is quarantined as
+    null width/height instead of failing the stage — one bad row must not
+    kill a 100 TB job after its retries (r5 ADVICE). n_bytes/checksum are
+    still real for quarantined rows, so the bad payloads stay traceable.
     """
     if decode_stub not in _DECODE_TIERS:
         raise ValueError(f"decode_stub must be one of {_DECODE_TIERS}")
 
-    def _dims(b: bytes) -> tuple[int, int]:
-        img = decode_image_gray(b)
-        return img.shape[1], img.shape[0]
+    def _dims(b: bytes) -> tuple[int | None, int | None]:
+        try:
+            img = decode_image_gray(b)
+            return img.shape[1], img.shape[0]
+        except Exception:
+            return None, None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -260,8 +286,9 @@ def extract_features(
             payloads = pdf["payload"]
             if decode_stub == "real":
                 dims = payloads.map(lambda b: _dims(bytes(b)))
-                width = dims.map(lambda d: d[0]).astype("int32")
-                height = dims.map(lambda d: d[1]).astype("int32")
+                # nullable Int32: quarantined rows carry null dimensions
+                width = dims.map(lambda d: d[0]).astype("Int32")
+                height = dims.map(lambda d: d[1]).astype("Int32")
             else:
                 # deterministic pseudo-decode: "dimensions" from bytes
                 width = payloads.map(
@@ -319,8 +346,13 @@ def resize_images(
         raise ValueError(f"decode_stub must be one of {_DECODE_TIERS}")
     target = width * height
 
-    def _real_resize(b: bytes) -> bytes:
-        img = decode_image_gray(b)
+    def _real_resize(b: bytes) -> bytes | None:
+        # quarantine: null payload for bytes the codec rejects, instead
+        # of failing the stage (r5 ADVICE)
+        try:
+            img = decode_image_gray(b)
+        except Exception:
+            return None
         small = _box_resize_gray(img, height, width)
         return np.clip(np.rint(small), 0, 255).astype(np.uint8).tobytes()
 
@@ -453,11 +485,22 @@ def perceptual_hashes(
         # two's-complement into int64 (Spark LongType)
         return h - (1 << 64) if h >= (1 << 63) else h
 
-    def _real_pixels(b: bytes) -> list[int]:
+    def _real_pixels(b: bytes) -> list[float]:
         img = decode_image_gray(b)
         return [float(v) for v in _box_resize_gray(img, rows, cols).ravel()]
 
     pixels = _real_pixels if decode_stub == "real" else _fake_pixels
+
+    def _hash_or_null(b: bytes):
+        # quarantine: a payload the codec rejects yields a null phash
+        # instead of failing the stage (r5 ADVICE); only possible on the
+        # 'real' tier — the fake tier accepts any bytes
+        try:
+            return _dhash(pixels(b))
+        except Exception:
+            if decode_stub == "real":
+                return None
+            raise
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -471,8 +514,8 @@ def perceptual_hashes(
                 out[c] = pdf[c].astype("int32")
             out["phash"] = (
                 pdf[payload_col]
-                .map(lambda b: _dhash(pixels(bytes(b))))
-                .astype("int64")
+                .map(lambda b: _hash_or_null(bytes(b)))
+                .astype("Int64")
             )
             yield pd.DataFrame(out)
 

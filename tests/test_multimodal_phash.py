@@ -197,13 +197,88 @@ def test_png_decoder_roundtrip_all_filters():
     from pydatalake_spark.operators.multimodal import _decode_png
 
     rng = np.random.default_rng(42)
-    for ch in (1, 3, 4):
+    for ch in (1, 2, 3, 4):
         px = rng.integers(0, 256, size=(10, 7, ch), dtype=np.uint8)
         for filters in ([0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10,
                         [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]):
             got = _decode_png(_encode_png(px, filters))
             assert got.shape == (10, 7, ch)
             assert (got == px).all(), (ch, filters)
+
+
+def test_png_decoder_matches_pil_when_available():
+    """Property check of the stdlib decoder against PIL (VERDICT r5 #7):
+    random sizes × every filter type × every supported color type must
+    decode pixel-identically. Skipped when PIL is absent."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from pydatalake_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(7)
+    for ch, mode in ((1, "L"), (2, "LA"), (3, "RGB"), (4, "RGBA")):
+        for trial in range(3):
+            h = int(rng.integers(1, 24))
+            w = int(rng.integers(1, 24))
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            filters = [int(f) for f in rng.integers(0, 5, size=h)]
+            blob = _encode_png(px, filters)
+            ours = _decode_png(blob)
+            theirs = np.asarray(
+                Image.open(io.BytesIO(blob)).convert(mode)
+            ).reshape(h, w, ch)
+            assert (ours == theirs).all(), (ch, h, w, filters)
+
+
+def test_real_tier_quarantines_corrupt_payloads(spark):
+    """r5 ADVICE: one corrupt payload (or a non-image row in a mixed
+    media table) must NOT fail the stage — it is quarantined as null
+    width/height (extract_features), null phash (perceptual_hashes),
+    null payload (resize_images); valid rows still decode."""
+    import numpy as np
+
+    from pydatalake_spark.operators.multimodal import (
+        extract_features,
+        perceptual_hashes,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    good = _encode_png(rng.integers(0, 256, (12, 9), dtype=np.uint8))
+    truncated = good[: len(good) // 2]  # valid magic, corrupt body
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"not an image at all")),
+            (3, bytearray(truncated)),
+        ],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r.media_id: (r.width, r.height)
+        for r in extract_features(df, decode_stub="real").collect()
+    }
+    assert feats[1] == (9, 12)
+    assert feats[2] == (None, None) and feats[3] == (None, None)
+
+    hashes = {
+        r.media_id: r.phash
+        for r in perceptual_hashes(df, decode_stub="real").collect()
+    }
+    assert hashes[1] is not None
+    assert hashes[2] is None and hashes[3] is None
+
+    resized = {
+        r.media_id: r.payload
+        for r in resize_images(df, 4, 4, decode_stub="real").collect()
+    }
+    assert resized[1] is not None and len(resized[1]) == 16
+    assert resized[2] is None and resized[3] is None
 
 
 def test_extract_features_real_reads_true_png_dimensions(spark):
