@@ -204,14 +204,57 @@ class TimeFly:
             if changed:
                 self._write_manifest(snap_id, manifest)
 
+    def repair(self) -> int:
+        """Reconcile manifests with the filesystem after an interrupted
+        copy-on-write: an entry whose file is missing at its recorded
+        location but present at the other root is repointed. Returns the
+        number of entries fixed.
+
+        Crash story (tests/test_timefly.py fault-injection): the COW
+        window is move-then-repoint, so a kill in between leaves
+        (manifest: current, file: _archive). The lake stays READABLE
+        without repair — `sources/read.py:read_manifest` and
+        `load_snapshot` resolve each entry with a per-entry location
+        fallback, and `_gc_archive` references location-blind — and
+        _cow_protect itself is idempotent (re-running it skips the done
+        move and completes the repoint). ``repair()`` is the explicit
+        fsck that restores the recorded-location invariant without
+        waiting for the next overwrite."""
+        fixed = 0
+        roots = {"current": self.current_path, "archive": self.archive_path}
+        for snap_id in self.snapshots():
+            if not os.path.isfile(self._manifest_path(snap_id)):
+                continue
+            manifest = self._read_manifest(snap_id)
+            changed = False
+            for entry in manifest["files"]:
+                loc = entry["location"]
+                other = "archive" if loc == "current" else "current"
+                here = os.path.join(roots[loc], entry["path"])
+                there = os.path.join(roots[other], entry["path"])
+                if not os.path.exists(here) and os.path.exists(there):
+                    entry["location"] = other
+                    changed = True
+                    fixed += 1
+            if changed:
+                self._write_manifest(snap_id, manifest)
+        return fixed
+
     def _gc_archive(self) -> None:
-        """Drop archive files no live manifest references any more."""
+        """Drop archive files no live manifest references any more.
+
+        The referenced set counts manifest paths at EITHER location: a
+        crash between _cow_protect's rename and its manifest repoint
+        leaves a file physically in _archive/ while its entry still says
+        "current" — filtering on the recorded location would GC (i.e.
+        destroy) exactly that stranded file. Location-blind referencing
+        makes GC safe in every half-committed state; ``repair()`` or the
+        next COW re-run then fixes the manifest."""
         referenced = {
             entry["path"]
             for snap_id in self.snapshots()
             if os.path.isfile(self._manifest_path(snap_id))
             for entry in self._read_manifest(snap_id)["files"]
-            if entry["location"] == "archive"
         }
         if not os.path.isdir(self.archive_path):
             return
@@ -292,10 +335,11 @@ class TimeFly:
         shutil.rmtree(self.current_path)
         os.makedirs(self.current_path)
         for entry in manifest["files"]:
-            src_root = (
-                self.current_path if entry["location"] == "current" else self.archive_path
-            )
-            src = os.path.join(src_root, entry["path"])
+            # every live entry is in _archive/ here: _cow_protect just
+            # ran (idempotent — it also completes the repoint for entries
+            # stranded current by an earlier crash) and current/ was
+            # removed above, so the archive is the only possible source
+            src = os.path.join(self.archive_path, entry["path"])
             dst = os.path.join(self.current_path, entry["path"])
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(src, dst)

@@ -264,7 +264,24 @@ def read_manifest(spark: SparkSession, snap_dir: str, fmt: str = "parquet") -> D
     base = os.path.dirname(os.path.dirname(snap_dir))
     groups: dict[str, list[str]] = {}
     for entry in manifest["files"]:
-        groups.setdefault(entry["location"], []).append(entry["path"])
+        loc = entry["location"]
+        # crash tolerance: a kill between COW's rename and its manifest
+        # repoint leaves the file in _archive/ while the entry still says
+        # current — resolve per entry by what actually exists, so the
+        # snapshot stays readable before TimeFly.repair() runs
+        primary = os.path.join(
+            base, "current" if loc == "current" else "_archive", entry["path"]
+        )
+        if not os.path.exists(primary):
+            other = "archive" if loc == "current" else "current"
+            alt = os.path.join(
+                base,
+                "current" if other == "current" else "_archive",
+                entry["path"],
+            )
+            if os.path.exists(alt):
+                loc = other
+        groups.setdefault(loc, []).append(entry["path"])
     if not groups:
         return spark.createDataFrame([], T.StructType())
     loc_root = {"current": "current", "archive": "_archive"}
