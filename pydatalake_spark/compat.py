@@ -113,7 +113,9 @@ class Reader(DataLakeTable):
     def load_pa_table(self, name: str | None = None) -> "Reader":
         """≙ ``reader.py:257-290`` — eager load; here: cache + register."""
         self.load_dataset(name)
-        self._df = self.df.cache()
+        from pydatalake_spark.session import cache_once
+
+        self._df = cache_once(self.df)
         return self
 
     def to_relation(self) -> DataFrame:

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from pydatalake_spark.functions.text import shingles, tokenize
 from pydatalake_spark.operators.scaling import fan_out
+from pydatalake_spark.session import cache_once
 
 
 def minhash_signatures(
@@ -174,7 +175,7 @@ def near_dup_pairs(
     spark.catalog.clearCache() between batches.
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    sig = sig.cache()
+    sig = cache_once(sig)
     sets = sig.select(F.col(id_col), F.col("shingles").alias("sset"))
     bb = band_buckets(sig, id_col, num_hashes, num_bands)
     a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -251,7 +252,8 @@ def minhash_jaccard_estimate(
     """
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size
-    ).cache()
+    )
+    sig = cache_once(sig)
     bb = band_buckets(sig, id_col, num_hashes, num_bands)
     a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from pydatalake_spark.functions.text import shingles, tokenize
 from pydatalake_spark.operators.scaling import fan_out
+from pydatalake_spark.session import cache_once
 
 
 def shingle_sets(
@@ -85,10 +86,10 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
-        inv = inv.cache()
+        inv = cache_once(inv)
         sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     else:
-        sets = sets.cache()
+        sets = cache_once(sets)
         inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
         sizes = sets.select(F.col(id_col), F.size("sset").alias("n"))
     a = inv.select(F.col(id_col).alias("id_a"), "shingle")
@@ -149,8 +150,8 @@ def ngram_jaccard_pairs_against(
         hot = df_counts.filter(F.col("__df") > max_df).select("shingle")
         inv_c = inv_c.join(F.broadcast(hot), on="shingle", how="left_anti")
         inv_b = inv_b.join(F.broadcast(hot), on="shingle", how="left_anti")
-    inv_c = inv_c.cache()
-    inv_b = inv_b.cache()
+    inv_c = cache_once(inv_c)
+    inv_b = cache_once(inv_b)
     n_c = inv_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
     n_b = inv_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
     inter = (
@@ -203,7 +204,7 @@ def ngram_containment_pairs(
             .select("shingle")
         )
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
-    inv = inv.cache()
+    inv = cache_once(inv)
     sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = inv.select(F.col(id_col).alias("id_a"), "shingle")
     b = inv.select(F.col(id_col).alias("id_b"), "shingle")

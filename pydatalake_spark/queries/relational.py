@@ -22,6 +22,7 @@ from pydatalake_spark.operators.asof import asof_join
 from pydatalake_spark.operators.dedup import distinct_table
 from pydatalake_spark.operators.diff import tables_diff
 from pydatalake_spark.queries.tables import load_table as _t
+from pydatalake_spark.session import cache_once
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -2580,8 +2581,8 @@ def multires_rollup(spark: SparkSession, sf: str) -> DataFrame:
     hr = (
         e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
-        .cache()
     )
+    hr = cache_once(hr)
     dy = hr.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
         F.sum("n").alias("n"), F.sum("tv").alias("tv")
     )

@@ -27,6 +27,7 @@ from pydatalake_spark.operators.simhash import (
     simhash_table,
 )
 from pydatalake_spark.queries.tables import load_table as _t
+from pydatalake_spark.session import cache_once
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -503,7 +504,9 @@ def _fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     and both the fingerprint query and the near-dup query reuse it — a
     dedup pipeline materializes its index, it doesn't recompute it."""
     if sf not in _SIMHASH_CACHE:
-        _SIMHASH_CACHE[sf] = simhash_table(_t(spark, sf, "documents")).cache()
+        _SIMHASH_CACHE[sf] = cache_once(
+            simhash_table(_t(spark, sf, "documents"))
+        )
     return _SIMHASH_CACHE[sf]
 
 
@@ -1175,7 +1178,7 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf: str) -> DataFrame:
     keep1 = docs0.groupBy(F.md5("text").alias("__fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    docs1 = docs0.join(keep1.select("doc_id"), "doc_id").cache()
+    docs1 = cache_once(docs0.join(keep1.select("doc_id"), "doc_id"))
     pairs = ngram_jaccard_pairs(
         docs1, shingle_size=_MH_K, threshold=0.5,
         max_df=max(20, int(docs1.count() * 0.01)),
@@ -1913,7 +1916,7 @@ def _decon_exl(spark: SparkSession, sf: str) -> DataFrame:
         lab = d.select(
             "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
         )
-        _DECON_EXL_CACHE[sf] = ex.join(lab, "doc_id").cache()
+        _DECON_EXL_CACHE[sf] = cache_once(ex.join(lab, "doc_id"))
     return _DECON_EXL_CACHE[sf]
 
 
@@ -2475,7 +2478,7 @@ def pipeline_clean_corpus_v3(spark: SparkSession, sf: str) -> DataFrame:
     keep1 = docs0.groupBy(F.md5("text").alias("__fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    docs1 = docs0.join(keep1.select("doc_id"), "doc_id").cache()
+    docs1 = cache_once(docs0.join(keep1.select("doc_id"), "doc_id"))
     docs2 = strip_dup_spans(docs1, window=_SPAN_K).select(
         "doc_id", F.col("clean_text").alias("text")
     )

@@ -70,3 +70,19 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def cache_once(df):
+    """``df.cache()`` unless an EQUAL PLAN is already cached.
+
+    ``DataFrame.storageLevel`` resolves through the CacheManager by plan
+    equality, so this also detects a cache registered via a *different*
+    DataFrame object building the same plan — exactly the case where a
+    bare ``.cache()`` logs ``CacheManager: Asked to cache already cached
+    data`` and silently double-registers. Shared helpers that several
+    queries call with identical inputs (signature tables, inverted
+    indexes, shingle tables) cache through this."""
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        return df.cache()
+    return df
