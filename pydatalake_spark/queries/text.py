@@ -1920,6 +1920,23 @@ def _decon_exl(spark: SparkSession, sf: str) -> DataFrame:
     return _DECON_EXL_CACHE[sf]
 
 
+_DECON_TRAIN_CACHE: dict = {}
+
+
+def _decon_train_w(spark: SparkSession, sf: str) -> DataFrame:
+    """Cached DISTINCT train-side window-hash set — the other hot shared
+    intermediate: the sizing count, the bloom build, and the exact
+    screen's left join each consume it, and without the cache each one
+    re-runs the distinct shuffle over the train hashes. Bounded: one
+    32-char hash per distinct train window (~26 MB at sf0.1)."""
+    if sf not in _DECON_TRAIN_CACHE:
+        exl = _decon_exl(spark, sf)
+        _DECON_TRAIN_CACHE[sf] = cache_once(
+            exl.filter("is_train").select("wh").distinct()
+        )
+    return _DECON_TRAIN_CACHE[sf]
+
+
 @q(
     "exact_ngram_decontamination",
     _DECON_CTE
@@ -1947,7 +1964,7 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     keyed aggregation. Complements `split_contamination` (near-dup based):
     this one is exact-match, the standard published protocol."""
     exl = _decon_exl(spark, sf)
-    train_w = exl.filter("is_train").select("wh").distinct()
+    train_w = _decon_train_w(spark, sf)
     ev = exl.filter(~F.col("is_train"))
     hits = ev.join(
         train_w.withColumn("_hit", F.lit(1)), "wh", "left"
@@ -2028,8 +2045,8 @@ def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     exl = _decon_exl(spark, sf)
-    tw = exl.filter("is_train").select("wh")
-    m = bloom_num_bits(tw.distinct().count())
+    tw = _decon_train_w(spark, sf)
+    m = bloom_num_bits(tw.count())
     vector = m <= BLOOM_VECTOR_MAX_BITS
     build = bloom_build_chunks if vector else bloom_build
     bitmap = build(tw, key_col="wh", num_bits=m)
@@ -3421,8 +3438,9 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     the price of the 1 KB bitmap) and false negatives (must be 0 by
     construction — a nonzero value means the filter is broken). The
     number that justifies deploying the bloom path at a given bitmap
-    size. Composes the two existing screens' plans; the verdict join is
-    id-keyed over eval docs only.
+    size. Round 6: the two screens run FUSED — the bloom probe maps over
+    the exact screen's join output, so the eval windows pay one wh-keyed
+    shuffle and one doc_id aggregation total.
 
     The bitmap is auto-sized from the distinct train-hash count
     (`bloom_num_bits`: 24 bits/key, k=17 double-hash probes → ~1e-5
@@ -3447,13 +3465,8 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     # (sizing count, exact screen, bloom build, bloom probe) and every
     # other decontamination query — see _decon_exl
     exl = _decon_exl(spark, sf)
-    train_w = exl.filter("is_train").select("wh").distinct()
+    train_w = _decon_train_w(spark, sf)
     ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
-    exact_v = (
-        ev.join(train_w.withColumn("_hit", F.lit(1)), "wh", "left")
-        .groupBy("doc_id")
-        .agg((F.max(F.coalesce("_hit", F.lit(0))) == 1).alias("contaminated"))
-    )
     m = bloom_num_bits(train_w.count())
     vector = m <= BLOOM_VECTOR_MAX_BITS
     # vector tier: numpy partial-bitmap build (bloom_build_chunks — one
@@ -3462,12 +3475,20 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     build = bloom_build_chunks if vector else bloom_build
     bitmap = build(train_w, key_col="wh", num_bits=m)
     contains = bloom_contains_numpy if vector else bloom_contains
-    bloom_v = (
-        contains(ev, bitmap, key_col="wh", num_bits=m)
-        .groupBy("doc_id")
-        .agg(F.max("bf_hit").alias("flagged"))
+    # fused single pass: the bloom probe runs on the exact screen's OWN
+    # join output, so the eval windows cross one wh-keyed shuffle and one
+    # doc_id groupBy TOTAL — no second scan, no two per-screen aggregates
+    # to re-join on doc_id
+    both = contains(
+        ev.join(train_w.withColumn("_hit", F.lit(1)), "wh", "left"),
+        bitmap,
+        key_col="wh",
+        num_bits=m,
     )
-    j = exact_v.join(bloom_v, "doc_id")
+    j = both.groupBy("doc_id").agg(
+        (F.max(F.coalesce("_hit", F.lit(0))) == 1).alias("contaminated"),
+        F.max("bf_hit").alias("flagged"),
+    )
     return j.agg(
         F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
         F.sum(F.col("contaminated").cast("long")).cast("long").alias(
