@@ -1050,6 +1050,55 @@ def test_build_literal_bloom_autosizes(spark):
     assert fp / 1000 < 0.01  # vs ~0.72 for the saturated fixed default
 
 
+def test_bloom_tiers_agree_on_hostile_keys(spark):
+    """Property check: expression build == chunked build AND join probe ==
+    numpy probe on hostile key content — unicode, empty strings, embedded
+    separators/quotes, very long keys, near-collisions. The md5-window
+    arithmetic must agree byte-for-byte between SQL (conv/substr on the
+    JVM) and Python (hashlib/int slicing)."""
+    from pydatalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_build_chunks,
+        bloom_contains,
+        bloom_contains_numpy,
+        bloom_num_bits,
+        bloom_words_literal,
+    )
+
+    hostile = (
+        ["", " ", "  ", "\t", "a", "ab"]
+        + ["é", "漢字", "emoji 🙂 key", "ß", "Ωmega"]
+        + ["line\nbreak", "quote'key", 'dquote"key', "back\\slash"]
+        + ["x" * 5000, "x" * 5001]
+        + [f"key-{i}" for i in range(50)]
+        + [f"key -{i}" for i in range(10)]  # near-collisions with above
+    )
+    members = spark.createDataFrame(
+        [(k,) for k in hostile[::2]], "k string"
+    )
+    probe = spark.createDataFrame([(k,) for k in hostile], "k string")
+    m = bloom_num_bits(len(hostile))
+    w_expr = bloom_words_literal(bloom_build(members, key_col="k", num_bits=m))
+    w_np = bloom_words_literal(
+        bloom_build_chunks(members, key_col="k", num_bits=m)
+    )
+    assert w_expr == w_np
+    bitmap = bloom_build(members, key_col="k", num_bits=m)
+    jt = {
+        r.k: r.bf_hit
+        for r in bloom_contains(probe, bitmap, key_col="k", num_bits=m).collect()
+    }
+    vt = {
+        r.k: r.bf_hit
+        for r in bloom_contains_numpy(
+            probe, bitmap, key_col="k", num_bits=m
+        ).collect()
+    }
+    assert jt == vt
+    for k in hostile[::2]:
+        assert jt[k], f"member {k!r} missed"
+
+
 def test_bloom_decon_supersets_exact_decon(spark):
     """The Bloom screen may over-flag (false positives) but must never
     miss a document the exact screen flags, and the window universe must

@@ -230,3 +230,54 @@ def test_crash_mid_restore_rerun_succeeds(tf, events):
 
     tf.load_snapshot(s1)  # rerun completes
     assert tf.read().count() == 10
+
+
+def test_cow_crash_after_partial_moves(tf, events):
+    """Kill the COW after only SOME archive renames (not at the manifest
+    boundary): a mixed state — some files moved, some still in current,
+    manifest saying current for all. Reads and repair must handle every
+    per-entry combination, not just the all-moved state."""
+    import shutil as _shutil
+
+    tf.write(events.limit(40), mode="append")
+    # multiple data files so a partial move is possible
+    tf.write(events.limit(40), mode="append")
+    s1 = tf.add_snapshot(dt.datetime(2030, 1, 1))
+    n_files = len(tf._read_manifest(s1)["files"])
+    assert n_files >= 2
+    n_before = tf.read(as_of=dt.datetime(2029, 1, 1)).count()
+
+    calls = {"n": 0}
+    orig = _shutil.move
+
+    def flaky(src, dst, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first move lands, second dies
+            raise RuntimeError("injected crash mid-move")
+        return orig(src, dst, **kw)
+
+    _shutil.move = flaky
+    try:
+        with pytest.raises(RuntimeError, match="mid-move"):
+            tf.write(events.limit(5), mode="overwrite")
+    finally:
+        _shutil.move = orig
+
+    # mixed state: exactly one file archived, the rest still in current
+    archived = [
+        e["path"]
+        for e in tf._read_manifest(s1)["files"]
+        if os.path.exists(os.path.join(tf.archive_path, e["path"]))
+    ]
+    assert len(archived) == 1
+    # snapshot readable across the split locations
+    assert tf.read(as_of=dt.datetime(2029, 1, 1)).count() == n_before
+    # repair fixes exactly the moved entry
+    assert tf.repair() == 1
+    locs = {e["path"]: e["location"] for e in tf._read_manifest(s1)["files"]}
+    assert locs[archived[0]] == "archive"
+    assert sum(1 for v in locs.values() if v == "current") == n_files - 1
+    # and the next overwrite completes normally
+    tf.write(events.limit(5), mode="overwrite")
+    assert tf.read(as_of=dt.datetime(2029, 1, 1)).count() == n_before
+    assert tf.read().count() == 5
