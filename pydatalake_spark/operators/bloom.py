@@ -48,21 +48,29 @@ BLOOM_BITS_PER_KEY = 24
 
 
 def bloom_num_bits(
-    n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY
+    n_keys: int,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    min_bits: int = BLOOM_BITS,
 ) -> int:
     """Word-aligned bitmap size for ``n_keys`` distinct keys at the
     ~1e-5-per-probe FP design point (``BLOOM_BITS_PER_KEY`` bits/key,
-    k = ``BLOOM_HASHES``).
+    k = ``BLOOM_HASHES``), floored at ``min_bits``.
 
     Integer-exact and monotone, so the same formula is stated inline in
-    SQL oracles: ``32 * ((24 * greatest(n, 1) + 31) // 32)``. The
-    fixed-size ``BLOOM_BITS`` default remains for callers that need a
-    size-stable bitmap (e.g. a literal embedded in a streaming plan);
-    auto-sizing is the right default whenever the key count is known at
-    build time — a fixed bitmap SATURATES (FP → 1) once n >> m/k.
+    SQL oracles: ``greatest(32 * ((24 * greatest(n, 1) + 31) // 32),
+    4096)``. The floor matters: Kirsch–Mitzenmacher probe positions
+    (h1 + j·h2 mod m) collapse to a short cycle when gcd(h2, m) is
+    large, and on TINY bitmaps that tail dominates — at m=448 (a
+    20-token eval set) ~1% of probe keys degenerate to ≤2 distinct
+    positions, lifting realized per-probe FP from 1e-5 to ~1e-2, which
+    the ANY-window doc flag amplifies to ~25% clean-doc over-drop
+    (measured). The tail shrinks as 1/m; the 4096-bit floor (1 KB of
+    words) pushes it below 1e-6. A fixed-size bitmap in the OTHER
+    direction SATURATES (FP → 1) once n >> m/k — auto-sizing is the
+    right default whenever the key count is known at build time.
     """
     n = max(int(n_keys), 1)
-    return _WORD * ((bits_per_key * n + _WORD - 1) // _WORD)
+    return max(_WORD * ((bits_per_key * n + _WORD - 1) // _WORD), int(min_bits))
 
 
 def bloom_optimal_hashes(num_bits: int, n_keys: int) -> int:

@@ -2000,8 +2000,9 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     + """, tw AS (
         SELECT wh FROM ex JOIN lab USING (doc_id) WHERE is_train
     ), params AS (
-        SELECT 32 * ((24 * greatest(count(DISTINCT wh), 1) + 31) // 32)
-                   AS m
+        SELECT greatest(
+                   32 * ((24 * greatest(count(DISTINCT wh), 1) + 31) // 32),
+                   4096) AS m
         FROM tw
     ), tpos AS (
         SELECT (CAST(('0x' || substr(md5(wh), 1, 8)) AS BIGINT)
@@ -3393,7 +3394,8 @@ def split_balance_report_q(spark: SparkSession, sf: str) -> DataFrame:
     + """, train_w AS (
         SELECT DISTINCT wh FROM ex JOIN lab USING (doc_id) WHERE is_train
     ), params AS (
-        SELECT 32 * ((24 * greatest(count(*), 1) + 31) // 32) AS m
+        SELECT greatest(32 * ((24 * greatest(count(*), 1) + 31) // 32),
+                        4096) AS m
         FROM train_w
     ), tpos AS (
         SELECT (CAST(('0x' || substr(md5(wh), 1, 8)) AS BIGINT)

@@ -262,3 +262,88 @@ def stream_quality_screen(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_decontaminate_foreachbatch(
+    spark: SparkSession,
+    source_dir: str,
+    dest_dir: str,
+    schema: T.StructType,
+    eval_hashes: DataFrame,
+    checkpoint_dir: str | None = None,
+    eval_window: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Streaming decontamination at the VECTOR-tier scale: drain
+    ``source_dir``, drop any doc sharing an ``eval_window``-token window
+    with the eval corpus, write survivors to ``dest_dir`` exactly-once.
+
+    This is the production-scale companion of ``stream_quality_screen``:
+    the literal-bitmap gate there is bounded by what fits in an
+    expression tree (``BLOOM_LITERAL_MAX_BITS`` = 2^18 bits ≈ 10^4 eval
+    keys); real eval suites carry millions of windows. Here the filter
+    is built ONCE batch-side at the auto-sized vector tier
+    (``bloom_build_chunks``, up to ``BLOOM_VECTOR_MAX_BITS`` = 2^27 bits
+    ≈ 5.6M keys) and each micro-batch is screened in ``foreachBatch``
+    with the Arrow probe (``bloom_contains_numpy``) — per-batch cost is
+    one mapInPandas over the batch's own windows, zero joins against
+    eval data, zero stream-side shuffles. Past the vector ceiling,
+    decontaminate the landed dataset in batch with
+    ``operators/bloom.py:membership_screen`` (the join/exact tiers need
+    plan shapes foreachBatch shouldn't hide).
+
+    No false negatives by construction: an eval-overlapping doc can
+    never reach ``dest_dir``; clean docs are over-dropped at the
+    ~1e-5-per-window bloom FP rate.
+    """
+    from pydatalake_spark.functions.text import shingles, tokenize
+    from pydatalake_spark.operators.bloom import (
+        BLOOM_VECTOR_MAX_BITS,
+        bloom_build_chunks,
+        bloom_contains_numpy,
+        bloom_num_bits,
+    )
+
+    key_df = eval_hashes.select("wh").where(F.col("wh").isNotNull()).distinct()
+    m = bloom_num_bits(key_df.count())
+    if m > BLOOM_VECTOR_MAX_BITS:
+        raise ValueError(
+            f"eval set needs a {m}-bit bloom — beyond the vector tier; "
+            "screen in batch with membership_screen instead"
+        )
+    bitmap = bloom_build_chunks(key_df, key_col="wh", num_bits=m)
+    # materialize the (tiny, chunked) bitmap once so every micro-batch
+    # probes the same frozen filter without re-running the build
+    chunks = bitmap.collect()
+    frozen = spark.createDataFrame(chunks, bitmap.schema)
+
+    checkpoint_dir = checkpoint_dir or os.path.join(dest_dir, "_checkpoint")
+
+    def screen_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        whs = F.transform(
+            shingles(tokenize(text_col), k=eval_window), F.md5
+        )
+        exploded = batch_df.select(
+            F.col(id_col), F.explode_outer(whs).alias("wh")
+        )
+        flagged = (
+            bloom_contains_numpy(exploded, frozen, key_col="wh", num_bits=m)
+            .groupBy(id_col)
+            .agg(F.max(F.coalesce("bf_hit", F.lit(False))).alias("_flag"))
+            .filter("_flag")
+            .select(id_col)
+        )
+        kept = batch_df.join(flagged, id_col, "left_anti")
+        kept.write.mode("append").parquet(dest_dir)
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(source_dir)
+        .writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -315,3 +315,69 @@ def test_stream_quality_screen_matches_batch(spark, tmpdir_path):
     assert got == expected
     assert 97 not in got and 98 not in got
     assert len(got) > 0
+
+
+def test_stream_decontaminate_foreachbatch_matches_batch(spark, tmpdir_path):
+    """The foreachBatch vector-tier decontamination gate keeps exactly
+    the docs the batch membership screen keeps, never passes an
+    eval-overlapping doc, and re-running after new files land ingests
+    only the new files (checkpointed exactly-once)."""
+    import os
+
+    from pydatalake_spark.functions.text import shingles, tokenize
+    from pydatalake_spark.operators.bloom import membership_screen
+    from pydatalake_spark.streaming.ingest import (
+        stream_decontaminate_foreachbatch,
+    )
+
+    eval_text = " ".join(f"ev{i}" for i in range(30))
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(15)]
+    rows.append((90, eval_text + " trailing tokens here"))  # contaminated
+    rows.append((91, "short doc"))                          # clean, short
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = os.path.join(str(tmpdir_path), "decon_src")
+    dst = os.path.join(str(tmpdir_path), "decon_dst")
+    ckpt = os.path.join(str(tmpdir_path), "decon_ckpt")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    ev = spark.createDataFrame([(0, eval_text)], "eid long, text string")
+    ev_hashes = ev.select(
+        F.explode(
+            F.transform(shingles(tokenize("text"), k=13), F.md5)
+        ).alias("wh")
+    )
+
+    stream_decontaminate_foreachbatch(
+        spark, src, dst, schema, ev_hashes, checkpoint_dir=ckpt
+    )
+    got = {r.doc_id for r in spark.read.parquet(dst).collect()}
+
+    # batch twin: same screen via membership_screen over exploded windows
+    whs = F.transform(shingles(tokenize("text"), k=13), F.md5)
+    exploded = docs.select("doc_id", F.explode_outer(whs).alias("wh"))
+    flagged = (
+        membership_screen(exploded, ev_hashes, key_col="wh")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce("bf_hit", F.lit(False))).alias("f"))
+        .filter("f")
+    )
+    expected = {
+        r.doc_id
+        for r in docs.join(flagged, "doc_id", "left_anti").collect()
+    }
+    assert got == expected
+    assert 90 not in got and len(got) >= 15
+
+    # exactly-once: second drain with one new file ingests ONLY the new doc
+    extra = spark.createDataFrame(
+        [(200, "a brand new clean document " + " ".join(f"z{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    stream_decontaminate_foreachbatch(
+        spark, src, dst, schema, ev_hashes, checkpoint_dir=ckpt
+    )
+    got2 = {r.doc_id for r in spark.read.parquet(dst).collect()}
+    assert got2 == got | {200}
