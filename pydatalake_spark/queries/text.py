@@ -453,15 +453,16 @@ def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     data-sized cache."""
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
-    if sf not in _JPAIRS_CACHE:
+    def build() -> DataFrame:
         d = _t(spark, sf, "documents")
-        _JPAIRS_CACHE[sf] = cache_once(
+        return cache_once(
             ngram_jaccard_pairs(
                 d, shingle_size=_MH_K, threshold=0.5,
                 max_df=_ngram_max_df(d),
             )
         )
-    return _JPAIRS_CACHE[sf]
+
+    return _session_cached(spark, _JPAIRS_CACHE, sf, build)
 
 
 @q(
@@ -518,6 +519,22 @@ def _simhash_sql() -> str:
     """
 
 
+def _session_cached(
+    spark: SparkSession, cache: dict, sf: str, build
+) -> DataFrame:
+    """(applicationId, sf)-keyed DataFrame cache with stale-app eviction —
+    the tables.py pattern (r3 ADVICE): plans bound to a stopped
+    SparkSession must not survive into a new one, or the next session
+    would hand consumers dead-JVM references."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+    key = (app_id, sf)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 _SIMHASH_CACHE: dict = {}
 
 
@@ -525,11 +542,12 @@ def _fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Per-corpus cached fingerprint table: the expensive pass runs once
     and both the fingerprint query and the near-dup query reuse it — a
     dedup pipeline materializes its index, it doesn't recompute it."""
-    if sf not in _SIMHASH_CACHE:
-        _SIMHASH_CACHE[sf] = cache_once(
-            simhash_table(_t(spark, sf, "documents"))
-        )
-    return _SIMHASH_CACHE[sf]
+    return _session_cached(
+        spark,
+        _SIMHASH_CACHE,
+        sf,
+        lambda: cache_once(simhash_table(_t(spark, sf, "documents"))),
+    )
 
 
 @q("simhash_fingerprints", _simhash_sql())
@@ -1926,7 +1944,7 @@ def _decon_exl(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.functions.split import hash_bucket
     from pydatalake_spark.functions.text import shingles
 
-    if sf not in _DECON_EXL_CACHE:
+    def build() -> DataFrame:
         d = _t(spark, sf, "documents")
         base = d.select("doc_id", tokenize("text").alias("_toks"))
         wh = F.transform(shingles(F.col("_toks"), k=_DECON_K), F.md5)
@@ -1934,8 +1952,9 @@ def _decon_exl(spark: SparkSession, sf: str) -> DataFrame:
         lab = d.select(
             "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
         )
-        _DECON_EXL_CACHE[sf] = cache_once(ex.join(lab, "doc_id"))
-    return _DECON_EXL_CACHE[sf]
+        return cache_once(ex.join(lab, "doc_id"))
+
+    return _session_cached(spark, _DECON_EXL_CACHE, sf, build)
 
 
 _DECON_TRAIN_CACHE: dict = {}
@@ -1947,12 +1966,14 @@ def _decon_train_w(spark: SparkSession, sf: str) -> DataFrame:
     screen's left join each consume it, and without the cache each one
     re-runs the distinct shuffle over the train hashes. Bounded: one
     32-char hash per distinct train window (~26 MB at sf0.1)."""
-    if sf not in _DECON_TRAIN_CACHE:
-        exl = _decon_exl(spark, sf)
-        _DECON_TRAIN_CACHE[sf] = cache_once(
-            exl.filter("is_train").select("wh").distinct()
-        )
-    return _DECON_TRAIN_CACHE[sf]
+    return _session_cached(
+        spark,
+        _DECON_TRAIN_CACHE,
+        sf,
+        lambda: cache_once(
+            _decon_exl(spark, sf).filter("is_train").select("wh").distinct()
+        ),
+    )
 
 
 @q(
