@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "curriculum_stages",
     "pipeline_full_curation",
+    "pipeline_decontaminated_corpus",
     "source_duplication_matrix",
     "embedding_outlier_screen",
     "multires_rollup",

@@ -15,7 +15,8 @@ for _mod in (relational, text, similarity):
 
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round. The union of green driver rows across r01–r05 covers the ENTIRE
-# 162-key registry, so from round 6 on the front is pure rotation:
+# registry (163 keys after the round-6 pipeline addition), so from
+# round 6 on the front is rotation: new/changed queries first.
 #   (a) queries whose implementation CHANGED this round — the numpy
 #       partial-bitmap bloom build + shared _decon_exl cache (the three
 #       decontamination queries), the window-free source_mix_weights
@@ -25,7 +26,8 @@ for _mod in (relational, text, similarity):
 #       rotated to the members whose last green driver row is OLDEST
 #       (r01/r02) so driver confirmation stays fresh across the registry.
 _GATE_FRONT = [
-    # (a) changed this round
+    # (a) changed or added this round
+    "pipeline_decontaminated_corpus",
     "decontamination_audit",
     "bloom_decontamination",
     "exact_ngram_decontamination",
@@ -50,7 +52,6 @@ _GATE_FRONT = [
     "delta_append_diff",
     "merge_upsert_orders",
     "semi_join",
-    "except_keys",
     "union_by_name",
     "partition_values",
     "uniqueness_probe",

@@ -3537,3 +3537,101 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_false_negatives"),
     )
+
+
+@q(
+    "pipeline_decontaminated_corpus",
+    _DECON_CTE
+    + f""", qual AS (
+        SELECT doc_id, text, len(string_split(trim(text), ' ')) AS n_tok
+        FROM documents
+        WHERE len(list_filter(string_split(trim(text), ' '),
+                              t -> t IN ({_STOP_SQL})))
+                / len(string_split(trim(text), ' ')) * 0.3
+              + (1 - (length(text)
+                      - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                      / nullif(length(text), 0)) * 0.2
+              + least(len(string_split(trim(text), ' ')) / 100, 1.0) * 0.5
+              >= 0.45
+    ), dedup AS (
+        SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok
+        FROM qual GROUP BY text
+    ), evw AS (
+        SELECT DISTINCT wh FROM ex JOIN lab USING (doc_id)
+        WHERE NOT is_train
+    ), bad_train AS (
+        SELECT DISTINCT ex.doc_id FROM ex JOIN lab USING (doc_id)
+        WHERE is_train AND wh IN (SELECT wh FROM evw)
+    )
+    SELECT CASE WHEN l.is_train THEN 'train' ELSE 'eval' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_tok) AS BIGINT) AS n_tokens
+    FROM dedup d JOIN lab l USING (doc_id)
+    WHERE NOT (l.is_train AND d.doc_id IN (SELECT doc_id FROM bad_train))
+    GROUP BY 1
+    """,
+)
+def pipeline_decontaminated_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Capstone train-set assembly, the composition a pre-training run
+    actually ships: quality gate → exact text dedup (keep min doc_id) →
+    drop every TRAIN doc sharing a 13-token window with any eval doc
+    (the standard decontamination direction: protect the benchmark by
+    censoring the training side) → per-split doc/token readout.
+
+    The screen here is the exact inverted-index semi-join — the tier
+    `operators/bloom.py:membership_screen` dispatches to at 100 TB key
+    counts (SCALE.md §bloom-crossover), FP-free so clean train docs are
+    never censored. The window/label table is the shared `_decon_exl`
+    cache; the eval windows distinct-reduce before the semi-join and
+    only ids cross the final joins."""
+    from pydatalake_spark.functions.split import hash_bucket
+
+    d = _t(spark, sf, "documents")
+    toks = tokenize("text")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+    ) / F.nullif(F.length("text"), F.lit(0))
+    quality = (
+        stop_ratio * 0.3
+        + (F.lit(1) - punct_ratio) * 0.2
+        + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
+    )
+    kept = (
+        d.select("doc_id", "text", n_tokens.alias("n_tok"))
+        .where(quality >= 0.45)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("n_tok").alias("n_tok"))
+    )
+    exl = _decon_exl(spark, sf)
+    ev_w = exl.filter(~F.col("is_train")).select("wh").distinct()
+    bad_train = (
+        exl.filter("is_train")
+        .join(ev_w, "wh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_bad", F.lit(1))
+    )
+    lab = d.select(
+        "doc_id", (hash_bucket("doc_id", 100) < 80).alias("is_train")
+    )
+    final = (
+        kept.join(lab, "doc_id")
+        .join(bad_train, "doc_id", "left")
+        .where(~(F.col("is_train") & F.col("_bad").isNotNull()))
+    )
+    return (
+        final.select(
+            F.when(F.col("is_train"), "train").otherwise("eval").alias(
+                "split"
+            ),
+            "n_tok",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
