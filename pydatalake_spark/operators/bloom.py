@@ -17,12 +17,23 @@ bitmap and the membership verdicts bit-for-bit: position j of key g is
 ``(h1 + j*h2) % num_bits`` with ``h1/h2 = conv(substr(md5(g), 1|9, 8),
 16, 10)`` — Kirsch–Mitzenmacher double hashing, see ``_positions``.
 
-Scale shape: the build is one groupBy over ≤ num_bits/32 word indices
-(map-side bit_or partials collapse each task to ≤128 rows); the bitmap
-broadcasts as a table of ≤128 rows; the probe is explode(k) → broadcast
-join → two keyed aggregations. The reference engine has no probabilistic
-membership structure (SURVEY.md §2 gap list) — beyond-reference
-capability for the 100 TB pipeline.
+Scale shape (round 6): auto-sized bitmaps (``bloom_num_bits``: 24
+bits/key, floored at 4096 bits) with an EXPLICIT three-tier dispatch
+(``bloom_tier`` / ``membership_screen``):
+
+- vector (≤ 2^27 bits ≈ 5.59M keys): build = per-partition dense numpy
+  OR (``bloom_build_chunks``, merge shuffle = partitions × 256 KB
+  chunks), probe = driver-collected array tested per Arrow batch
+  (``bloom_contains_numpy``) — zero probe-side exchanges;
+- join (≤ 2^31 bits ≈ 89.5M keys): expression build (groupBy bit_or
+  over word indices, map-side partials), probe = explode(k) → broadcast
+  word-table join → one keyed re-aggregation;
+- exact beyond: the bitmap would be data-sized — fall back to the
+  distinct + left-semi-join screen (FP = 0).
+
+The reference engine has no probabilistic membership structure
+(SURVEY.md §2 gap list) — beyond-reference capability for the 100 TB
+pipeline.
 """
 
 from __future__ import annotations
@@ -316,10 +327,13 @@ def bloom_contains(
     """Input rows + ``bf_hit``: true iff ALL ``num_hashes`` bits of
     ``key_col`` are set in ``bitmap`` (possible member; false = definitely
     absent — null keys read false). The bitmap side broadcasts (either
-    layout: (word_idx, word) rows or chunked binary); the probe side never
-    shuffles — the re-aggregation after the k-way explode is keyed by a
-    per-row id, so duplicate input rows are preserved one-for-one
-    (interchangeable with ``bloom_contains_numpy`` on ANY input).
+    layout: (word_idx, word) rows or chunked binary), so no shuffle ever
+    touches eval/train data together; the probe side pays exactly ONE
+    exchange — the re-aggregation of the k-way explode, keyed by a
+    per-row id so duplicate input rows are preserved one-for-one
+    (interchangeable with ``bloom_contains_numpy`` on ANY input). This is
+    the tier for bitmaps past driver memory; below that the numpy tier is
+    strictly better (zero probe-side exchanges).
     """
     if _is_chunked(bitmap):
         bitmap = bloom_chunks_to_words(bitmap)
