@@ -396,15 +396,30 @@ def bloom_contains_numpy(
     billions-of-keys scale use ``bloom_contains`` (broadcast-join tier),
     whose bitmap never materializes on the driver.
     """
-    import numpy as np
-    from pyspark.sql import types as T
-
     if num_bits > BLOOM_VECTOR_MAX_BITS:
         raise ValueError(
             f"bitmap of {num_bits} bits exceeds BLOOM_VECTOR_MAX_BITS; "
             "use bloom_contains (broadcast-join tier)"
         )
-    arr = _bitmap_array(bitmap, num_bits)
+    return bloom_contains_array(
+        df, _bitmap_array(bitmap, num_bits), key_col, num_bits, num_hashes
+    )
+
+
+def bloom_contains_array(
+    df: DataFrame,
+    arr,
+    key_col: str = "key",
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """The vector probe against an ALREADY-MATERIALIZED numpy word array —
+    the core ``bloom_contains_numpy`` wraps. Use directly when one frozen
+    filter screens many DataFrames (e.g. every micro-batch of a stream):
+    the array is decoded once by the caller instead of re-collected per
+    probe."""
+    import numpy as np
+    from pyspark.sql import types as T
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("bf_hit", T.BooleanType())]

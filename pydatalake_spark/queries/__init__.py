@@ -22,7 +22,7 @@ for _mod in (relational, text, similarity):
 #       decontamination queries), the window-free source_mix_weights
 #       rewrite, and the two queries exercising the hardened multimodal
 #       module.
-#   (b) 44 canaries: one stable representative per operator family,
+#   (b) 43 canaries: one stable representative per operator family,
 #       rotated to the members whose last green driver row is OLDEST
 #       (r01/r02) so driver confirmation stays fresh across the registry.
 _GATE_FRONT = [
@@ -87,6 +87,9 @@ _GATE_FRONT = [
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]
 assert not _missing, f"_GATE_FRONT names unknown queries: {_missing}"
+# the driver gates exactly the first 50 keys — a 51st front entry would
+# silently fall outside the gate window
+assert len(_GATE_FRONT) == 50, len(_GATE_FRONT)
 _order = _GATE_FRONT + [k for k in QUERIES if k not in _GATE_FRONT]
 QUERIES = {k: QUERIES[k] for k in _order}
 ORACLE = {k: ORACLE[k] for k in _order if k in ORACLE}

@@ -217,10 +217,21 @@ def stream_quality_screen(
     )
     from pydatalake_spark.functions.text import shingles
 
+    if isinstance(bloom_words, tuple):
+        # the (words, num_bits, num_hashes) triple from build_literal_bloom
+        bloom_words, bloom_bits, bloom_hashes = bloom_words
     if bloom_bits is None:
         bloom_bits = BLOOM_BITS
     if bloom_hashes is None:
         bloom_hashes = BLOOM_HASHES
+    if bloom_words and max(bloom_words) >= bloom_bits // 32:
+        # an auto-sized words dict probed at the wrong modulus would yield
+        # SILENT FALSE NEGATIVES — the one failure the gate must not have
+        raise ValueError(
+            f"bloom_words spans word index {max(bloom_words)} but "
+            f"bloom_bits={bloom_bits} only has {bloom_bits // 32} words; "
+            "pass build_literal_bloom's full (words, bits, hashes) triple"
+        )
 
     stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
     bound = stream.select(
@@ -296,12 +307,21 @@ def stream_decontaminate_foreachbatch(
     No false negatives by construction: an eval-overlapping doc can
     never reach ``dest_dir``; clean docs are over-dropped at the
     ~1e-5-per-window bloom FP rate.
+
+    Exactly-once: the file-source checkpoint makes each source file feed
+    exactly one batch id, and each batch writes by OVERWRITING its own
+    ``_batch_id=<id>`` partition (dynamic partition overwrite) — a
+    replayed/retried batch rewrites the same partition instead of
+    appending duplicates, which a blind append in foreachBatch would
+    (foreachBatch has no sink transaction log of its own). Readers see
+    ``_batch_id`` as an extra partition column; drop it if unwanted.
     """
     from pydatalake_spark.functions.text import shingles, tokenize
     from pydatalake_spark.operators.bloom import (
         BLOOM_VECTOR_MAX_BITS,
+        _bitmap_array,
         bloom_build_chunks,
-        bloom_contains_numpy,
+        bloom_contains_array,
         bloom_num_bits,
     )
 
@@ -312,15 +332,15 @@ def stream_decontaminate_foreachbatch(
             f"eval set needs a {m}-bit bloom — beyond the vector tier; "
             "screen in batch with membership_screen instead"
         )
-    bitmap = bloom_build_chunks(key_df, key_col="wh", num_bits=m)
-    # materialize the (tiny, chunked) bitmap once so every micro-batch
-    # probes the same frozen filter without re-running the build
-    chunks = bitmap.collect()
-    frozen = spark.createDataFrame(chunks, bitmap.schema)
+    # build + decode the filter ONCE; every micro-batch probes the same
+    # in-memory word array (no per-batch collect)
+    arr = _bitmap_array(
+        bloom_build_chunks(key_df, key_col="wh", num_bits=m), m
+    )
 
     checkpoint_dir = checkpoint_dir or os.path.join(dest_dir, "_checkpoint")
 
-    def screen_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
         whs = F.transform(
             shingles(tokenize(text_col), k=eval_window), F.md5
         )
@@ -328,14 +348,20 @@ def stream_decontaminate_foreachbatch(
             F.col(id_col), F.explode_outer(whs).alias("wh")
         )
         flagged = (
-            bloom_contains_numpy(exploded, frozen, key_col="wh", num_bits=m)
+            bloom_contains_array(exploded, arr, key_col="wh", num_bits=m)
             .groupBy(id_col)
             .agg(F.max(F.coalesce("bf_hit", F.lit(False))).alias("_flag"))
             .filter("_flag")
             .select(id_col)
         )
         kept = batch_df.join(flagged, id_col, "left_anti")
-        kept.write.mode("append").parquet(dest_dir)
+        (
+            kept.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(dest_dir)
+        )
 
     q = (
         spark.readStream.format("parquet")

@@ -379,5 +379,20 @@ def test_stream_decontaminate_foreachbatch_matches_batch(spark, tmpdir_path):
     stream_decontaminate_foreachbatch(
         spark, src, dst, schema, ev_hashes, checkpoint_dir=ckpt
     )
-    got2 = {r.doc_id for r in spark.read.parquet(dst).collect()}
-    assert got2 == got | {200}
+    got2 = [r.doc_id for r in spark.read.parquet(dst).collect()]
+    assert set(got2) == got | {200} and len(got2) == len(set(got2))
+
+    # replay idempotency: a retried micro-batch re-runs the SAME write
+    # with the SAME batch id — the dynamic partition overwrite must leave
+    # zero duplicate rows (a blind append would double the batch)
+    bids = {r._batch_id for r in spark.read.parquet(dst).select("_batch_id").collect()}
+    last_bid = max(bids)
+    (
+        extra.withColumn("_batch_id", F.lit(int(last_bid)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(dst)
+    )
+    got3 = [r.doc_id for r in spark.read.parquet(dst).collect()]
+    assert sorted(got3) == sorted(got2)
