@@ -444,3 +444,44 @@ def test_bloom_vector_probe_is_shuffle_free(spark):
     )
     assert "Join" not in p
     assert "Exchange" not in p
+
+
+def test_bloom_chunked_build_plan_has_no_explode(spark):
+    """bloom_build_chunks must stay a mapInPandas partial pass + one
+    chunk-keyed merge — NO Generate (the k-fold row explode the
+    expression build pays) and exactly one exchange (the chunk merge,
+    partitions x chunks rows). This is the plan property that fixed the
+    r5 decontamination_audit regression."""
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.operators.bloom import (
+        bloom_build_chunks,
+        bloom_num_bits,
+    )
+
+    keys = spark.range(500).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("k")
+    )
+    m = bloom_num_bits(500)
+    p = (
+        bloom_build_chunks(keys, key_col="k", num_bits=m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in p            # no explode anywhere
+    assert p.count("MapInPandas") == 1    # the dense-OR partial pass
+    assert p.count("Exchange") == 1       # only the tiny chunk merge
+
+
+def test_fused_audit_plan_single_wh_shuffle(spark):
+    """decontamination_audit's fused pass: the eval windows must cross
+    exactly one wh-keyed exchange (the exact-screen join) with the bloom
+    probe mapped over that join's output — no second scan of the eval
+    windows, no per-screen aggregate re-join."""
+    p = physical_plan(spark, "decontamination_audit")
+    assert p.count("MapInPandas") == 1            # bloom probe, fused in
+    # one doc-keyed aggregation pair (partial + final), not two screens'
+    # (keys=[doc_id] exactly; the (doc_id, wh) distincts of the shared
+    # window-table build are a different aggregate)
+    assert len(re.findall(r"HashAggregate\(keys=\[doc_id#\d+L\]", p)) == 2
