@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "curriculum_stages",
     "pipeline_full_curation",
     "pipeline_decontaminated_corpus",
+    "strip_contaminated_spans",
     "source_duplication_matrix",
     "embedding_outlier_screen",
     "multires_rollup",

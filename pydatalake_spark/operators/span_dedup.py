@@ -143,7 +143,21 @@ def strip_dup_spans(
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("dup_starts"))
     )
+    return _strip_by_starts(df, starts, id_col, text_col, window)
 
+
+def _strip_by_starts(
+    df: DataFrame,
+    starts: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+) -> DataFrame:
+    """(id, n_tokens, n_kept_tokens, clean_text): drop every token covered
+    by a window starting at any position in ``starts.dup_starts`` — the
+    shared mask of ``strip_dup_spans`` (starts = cross-doc duplicated
+    windows) and ``strip_spans_matching`` (starts = windows matching an
+    external bad-hash set)."""
     base = df.select(F.col(id_col), _safe_toks(text_col).alias("toks"))
     joined = base.join(starts, id_col, "left").withColumn(
         "dup_starts",
@@ -177,6 +191,46 @@ def strip_dup_spans(
             F.transform(kept, lambda i: F.element_at("toks", i + 1)), " "
         ).alias("clean_text"),
     )
+
+
+def strip_spans_matching(
+    df: DataFrame,
+    bad_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    hash_col: str = "wh",
+) -> DataFrame:
+    """Surgical span censoring against an EXTERNAL window-hash set:
+    remove every token covered by a window whose hash appears in
+    ``bad_hashes`` — the span-level decontamination protocol (censor the
+    overlapping passage, keep the rest of the document), vs the
+    doc-level drop of `exact_ngram_decontamination`. Same
+    (id, n_tokens, n_kept_tokens, clean_text) contract as
+    ``strip_dup_spans``.
+
+    Scale: the bad-hash set distinct-reduces once; the probe is a
+    left-semi join keyed by the 16-byte hash (positions ride with their
+    doc id); per-doc start lists are bounded by doc length. At bloom-
+    tier bad-set sizes, pre-screen with `operators/bloom.py:
+    membership_screen` and semi-join only the flagged docs.
+    """
+    base0 = df.select(F.col(id_col), _safe_toks(text_col).alias("_toks"))
+    wh = _window_hashes(F.col("_toks"))(window)
+    pos = base0.select(
+        F.col(id_col), F.posexplode(wh).alias("pos", "wh")
+    )
+    bad = (
+        bad_hashes.select(F.col(hash_col).alias("wh"))
+        .where(F.col("wh").isNotNull())
+        .distinct()
+    )
+    starts = (
+        pos.join(bad, "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("dup_starts"))
+    )
+    return _strip_by_starts(df, starts, id_col, text_col, window)
 
 
 def dup_spans_against(

@@ -15,7 +15,7 @@ for _mod in (relational, text, similarity):
 
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round. The union of green driver rows across r01–r05 covers the ENTIRE
-# registry (163 keys after the round-6 pipeline addition), so from
+# registry (164 keys after the round-6 additions), so from
 # round 6 on the front is rotation: new/changed queries first.
 #   (a) queries whose implementation CHANGED this round — the numpy
 #       partial-bitmap bloom build + shared _decon_exl cache (the three
@@ -28,6 +28,7 @@ for _mod in (relational, text, similarity):
 _GATE_FRONT = [
     # (a) changed or added this round
     "pipeline_decontaminated_corpus",
+    "strip_contaminated_spans",
     "decontamination_audit",
     "bloom_decontamination",
     "exact_ngram_decontamination",
@@ -52,7 +53,6 @@ _GATE_FRONT = [
     "delta_append_diff",
     "merge_upsert_orders",
     "semi_join",
-    "union_by_name",
     "partition_values",
     "uniqueness_probe",
     # windows / time

@@ -3635,3 +3635,74 @@ def pipeline_decontaminated_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+@q(
+    "strip_contaminated_spans",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ), lab AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 < 80 AS is_train
+        FROM documents
+    ), win AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= {_DECON_K}
+                    THEN list_transform(range(1, len(toks) - {_DECON_K} + 2),
+                         i -> md5(array_to_string(toks[i:i+{_DECON_K - 1}],
+                                                  ' ')))
+                    ELSE [md5(array_to_string(toks, ' '))] END AS whs
+        FROM tok
+    ), evw AS (
+        SELECT DISTINCT wh
+        FROM (SELECT doc_id, unnest(whs) AS wh FROM win) e
+        JOIN lab USING (doc_id) WHERE NOT is_train
+    ), posx AS (
+        SELECT doc_id, u.pos AS pos, u.wh AS wh
+        FROM (SELECT w.doc_id,
+                     unnest(list_transform(range(1, len(whs) + 1),
+                            i -> {{'pos': i - 1, 'wh': whs[i]}})) AS u
+              FROM win w JOIN lab USING (doc_id) WHERE is_train)
+    ), starts AS (
+        SELECT doc_id, list(pos) AS dup_starts
+        FROM posx JOIN evw USING (wh) GROUP BY doc_id
+    ), masked AS (
+        SELECT t.doc_id, t.toks,
+               list_filter(range(0, len(t.toks)),
+                   i -> len(list_filter(coalesce(s.dup_starts, []),
+                        p -> i >= p AND (i < p + {_DECON_K}
+                                         OR len(t.toks) < {_DECON_K}))) = 0)
+                   AS kept
+        FROM tok t
+        JOIN lab USING (doc_id)
+        LEFT JOIN starts s USING (doc_id)
+        WHERE is_train
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+           coalesce(
+               array_to_string(list_transform(kept, i -> toks[i + 1]), ' '),
+               '') AS clean_text
+    FROM masked
+    """,
+)
+def strip_contaminated_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SURGICAL decontamination: censor only the 13-token spans a train
+    doc shares with the eval set, keep the rest of the document — the
+    span-level protocol used when whole-doc dropping (the
+    `pipeline_decontaminated_corpus` direction) wastes too much clean
+    text. Composes `operators/span_dedup.py:strip_spans_matching` (the
+    shared strip mask) with the eval window set from the cached
+    `_decon_exl` table; only the train side is rewritten, and only ids,
+    hashes and bounded start lists cross the shuffles."""
+    from pydatalake_spark.functions.split import hash_bucket
+    from pydatalake_spark.operators.span_dedup import strip_spans_matching
+
+    d = _t(spark, sf, "documents")
+    exl = _decon_exl(spark, sf)
+    ev_w = exl.filter(~F.col("is_train")).select("wh").distinct()
+    train = d.where(hash_bucket("doc_id", 100) < 80).select("doc_id", "text")
+    return strip_spans_matching(train, ev_w, window=_DECON_K)

@@ -148,3 +148,41 @@ def test_null_text_yields_zero_tokens_not_garbage(spark):
     assert out[1].n_tokens == 10 and out[1].clean_text == "unique tail"
     stats = {r.doc_id: r for r in dup_span_stats(docs, window=8).collect()}
     assert all(s.n_windows >= 0 and s.n_dup_windows >= 0 for s in stats.values())
+
+
+def test_strip_spans_matching_censors_exact_overlap(spark):
+    """Surgical decontamination: only tokens covered by a window whose
+    hash is in the external bad set are removed; docs with no overlap
+    pass through untouched; null hashes in the bad set are ignored."""
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.functions.text import shingles, tokenize
+    from pydatalake_spark.operators.span_dedup import strip_spans_matching
+
+    secret = " ".join(f"s{i}" for i in range(8))  # the eval passage
+    clean = " ".join(f"c{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, clean + " " + secret + " tail0 tail1"),  # embedded overlap
+            (2, clean),                                   # no overlap
+            (3, secret),                                  # pure overlap
+        ],
+        "doc_id long, text string",
+    )
+    bad = spark.createDataFrame([(secret,), (None,)], "t string").select(
+        F.explode_outer(
+            F.transform(shingles(tokenize("t"), k=8), F.md5)
+        ).alias("wh")
+    )
+    out = {
+        r.doc_id: r
+        for r in strip_spans_matching(docs, bad, window=8).collect()
+    }
+    # doc 1: exactly the 8 secret tokens are censored, the rest survives
+    assert out[1].n_tokens == 22 and out[1].n_kept_tokens == 14
+    assert "s0" not in out[1].clean_text and "c0" in out[1].clean_text
+    assert out[1].clean_text.endswith("tail0 tail1")
+    # doc 2: untouched
+    assert out[2].n_kept_tokens == 12 and out[2].clean_text == clean
+    # doc 3: fully censored
+    assert out[3].n_kept_tokens == 0 and out[3].clean_text == ""
