@@ -215,6 +215,7 @@ def strip_spans_matching(
     tier bad-set sizes, pre-screen with `operators/bloom.py:
     membership_screen` and semi-join only the flagged docs.
     """
+    df = fan_out(df)
     base0 = df.select(F.col(id_col), _safe_toks(text_col).alias("_toks"))
     wh = _window_hashes(F.col("_toks"))(window)
     pos = base0.select(
