@@ -186,3 +186,54 @@ def test_strip_spans_matching_censors_exact_overlap(spark):
     assert out[2].n_kept_tokens == 12 and out[2].clean_text == clean
     # doc 3: fully censored
     assert out[3].n_kept_tokens == 0 and out[3].clean_text == ""
+
+
+def test_strip_mask_matches_python_reference_on_random_corpora(spark):
+    """Property check: strip_dup_spans' distributed mask == a direct
+    Python reference of the published semantics (k-token windows, hop 1,
+    short-doc whole-doc fallback, cross-doc count > min_docs, censor
+    every covered token) on randomized small-vocab corpora where window
+    collisions are dense."""
+    import numpy as np
+
+    k = 4
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(6)]
+        docs = [
+            (i, " ".join(rng.choice(vocab, size=int(rng.integers(1, 15)))))
+            for i in range(12)
+        ]
+
+        def windows(text):
+            toks = text.split()
+            if len(toks) >= k:
+                return [
+                    " ".join(toks[i : i + k])
+                    for i in range(len(toks) - k + 1)
+                ], toks
+            return [" ".join(toks)], toks
+
+        counts = {}
+        for _i, text in docs:
+            for w in set(windows(text)[0]):
+                counts[w] = counts.get(w, 0) + 1
+        expected = {}
+        for i, text in docs:
+            ws, toks = windows(text)
+            covered = set()
+            for p, w in enumerate(ws):
+                if counts[w] > 1:
+                    if len(toks) < k:
+                        covered |= set(range(len(toks)))
+                    else:
+                        covered |= set(range(p, p + k))
+            kept = [t for j, t in enumerate(toks) if j not in covered]
+            expected[i] = (len(toks), len(kept), " ".join(kept))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_kept_tokens, r.clean_text)
+            for r in strip_dup_spans(df, window=k).collect()
+        }
+        assert got == expected, f"trial {trial}"
