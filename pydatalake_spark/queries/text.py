@@ -3555,7 +3555,7 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
               >= 0.45
     ), dedup AS (
         SELECT min(doc_id) AS doc_id, min(n_tok) AS n_tok
-        FROM qual GROUP BY text
+        FROM qual GROUP BY md5(text)
     ), evw AS (
         SELECT DISTINCT wh FROM ex JOIN lab USING (doc_id)
         WHERE NOT is_train
@@ -3599,10 +3599,13 @@ def pipeline_decontaminated_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
         + (F.lit(1) - punct_ratio) * 0.2
         + F.least(n_tokens / F.lit(100), F.lit(1.0)) * 0.5
     )
+    # dedup shuffles the 16-byte content fingerprint, never the text
+    # itself (the exact_dedup_docs pattern — full documents crossing a
+    # groupBy exchange is the thing that does not survive 100 TB)
     kept = (
-        d.select("doc_id", "text", n_tokens.alias("n_tok"))
-        .where(quality >= 0.45)
-        .groupBy("text")
+        d.where(quality >= 0.45)
+        .select("doc_id", F.md5("text").alias("fp"), n_tokens.alias("n_tok"))
+        .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.min("n_tok").alias("n_tok"))
     )
     exl = _decon_exl(spark, sf)
