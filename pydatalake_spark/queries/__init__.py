@@ -22,7 +22,7 @@ for _mod in (relational, text, similarity):
 #       decontamination queries), the window-free source_mix_weights
 #       rewrite, and the two queries exercising the hardened multimodal
 #       module.
-#   (b) 43 canaries: one stable representative per operator family,
+#   (b) 42 canaries: one stable representative per operator family,
 #       rotated to the members whose last green driver row is OLDEST
 #       (r01/r02) so driver confirmation stays fresh across the registry.
 _GATE_FRONT = [

@@ -1976,6 +1976,26 @@ def _decon_train_w(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DECON_EVAL_CACHE: dict = {}
+
+
+def _decon_eval_w(spark: SparkSession, sf: str) -> DataFrame:
+    """Cached DISTINCT eval-side window-hash set — the mirror of
+    `_decon_train_w` for the screens that censor the TRAIN side
+    (`pipeline_decontaminated_corpus`, `strip_contaminated_spans`)."""
+    return _session_cached(
+        spark,
+        _DECON_EVAL_CACHE,
+        sf,
+        lambda: cache_once(
+            _decon_exl(spark, sf)
+            .filter(~F.col("is_train"))
+            .select("wh")
+            .distinct()
+        ),
+    )
+
+
 @q(
     "exact_ngram_decontamination",
     _DECON_CTE
@@ -3609,7 +3629,7 @@ def pipeline_decontaminated_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.min("n_tok").alias("n_tok"))
     )
     exl = _decon_exl(spark, sf)
-    ev_w = exl.filter(~F.col("is_train")).select("wh").distinct()
+    ev_w = _decon_eval_w(spark, sf)
     bad_train = (
         exl.filter("is_train")
         .join(ev_w, "wh", "left_semi")
@@ -3642,26 +3662,10 @@ def pipeline_decontaminated_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "strip_contaminated_spans",
-    f"""
-    WITH tok AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
-    ), lab AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    AS BIGINT) % 100 < 80 AS is_train
-        FROM documents
-    ), win AS (
-        SELECT doc_id, toks,
-               CASE WHEN len(toks) >= {_DECON_K}
-                    THEN list_transform(range(1, len(toks) - {_DECON_K} + 2),
-                         i -> md5(array_to_string(toks[i:i+{_DECON_K - 1}],
-                                                  ' ')))
-                    ELSE [md5(array_to_string(toks, ' '))] END AS whs
-        FROM tok
-    ), evw AS (
-        SELECT DISTINCT wh
-        FROM (SELECT doc_id, unnest(whs) AS wh FROM win) e
-        JOIN lab USING (doc_id) WHERE NOT is_train
+    _DECON_CTE
+    + f""", evw AS (
+        SELECT DISTINCT wh FROM ex JOIN lab USING (doc_id)
+        WHERE NOT is_train
     ), posx AS (
         SELECT doc_id, u.pos AS pos, u.wh AS wh
         FROM (SELECT w.doc_id,
@@ -3705,7 +3709,6 @@ def strip_contaminated_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.span_dedup import strip_spans_matching
 
     d = _t(spark, sf, "documents")
-    exl = _decon_exl(spark, sf)
-    ev_w = exl.filter(~F.col("is_train")).select("wh").distinct()
+    ev_w = _decon_eval_w(spark, sf)
     train = d.where(hash_bucket("doc_id", 100) < 80).select("doc_id", "text")
     return strip_spans_matching(train, ev_w, window=_DECON_K)
