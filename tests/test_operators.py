@@ -1220,3 +1220,36 @@ def test_ngram_containment_catches_embedded_doc(spark):
     # the same pair is invisible to Jaccard at any common threshold
     j = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert j == []
+
+
+def test_bloom_chunked_build_multi_chunk_layout(spark, monkeypatch):
+    """Unit-size bitmaps fit one chunk, so the chunk_idx>0 offset
+    arithmetic (build emit, OR-merge grouping, words expansion, array
+    decode, literal decode) would otherwise never run — shrink the chunk
+    width to force a multi-chunk layout and pin equality to the
+    expression build across all decode paths."""
+    import pydatalake_spark.operators.bloom as B
+
+    monkeypatch.setattr(B, "BLOOM_CHUNK_WORDS", 8)  # 8 words = 256 bits/chunk
+    members = spark.range(300).select(
+        F.concat(F.lit("mc-"), F.col("id")).alias("k")
+    )
+    m = B.bloom_num_bits(300)  # 7200 bits = 225 words -> 29 chunks
+    chunked = B.bloom_build_chunks(members, key_col="k", num_bits=m)
+    rows = chunked.collect()
+    assert len({int(r["chunk_idx"]) for r in rows}) > 1  # truly multi-chunk
+    words_expr = B.bloom_words_literal(
+        B.bloom_build(members, key_col="k", num_bits=m)
+    )
+    # literal decode
+    assert B.bloom_words_literal(
+        spark.createDataFrame(rows, chunked.schema)
+    ) == words_expr
+    # words-row expansion
+    assert {
+        int(r.word_idx): int(r.word)
+        for r in B.bloom_chunks_to_words(chunked).collect()
+    } == words_expr
+    # array decode + probe: members all hit through the numpy tier
+    hits = B.bloom_contains_numpy(members, chunked, key_col="k", num_bits=m)
+    assert hits.filter(~F.col("bf_hit")).count() == 0
