@@ -158,6 +158,8 @@ PROBE_QUERIES = [
     "hard_triplet_mining",
     "bloom_decontamination",
     "bigram_perplexity",
+    "pipeline_decontaminated_corpus",
+    "strip_contaminated_spans",
 ]
 PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]
 
