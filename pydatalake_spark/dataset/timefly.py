@@ -332,13 +332,27 @@ class TimeFly:
             self._write_config()
             return
         manifest = self._read_manifest(snap_id)
+        # every live entry is in _archive/ here: _cow_protect just ran
+        # (idempotent — it also completes the repoint for entries
+        # stranded current by an earlier crash). Validate EVERY restore
+        # source BEFORE the destructive rmtree of current/ — discovering
+        # a missing file mid-copy would otherwise fail the restore AND
+        # have destroyed the current state it was replacing.
+        missing = [
+            e["path"]
+            for e in manifest["files"]
+            if not os.path.exists(os.path.join(self.archive_path, e["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot {snap_id} references files missing from the "
+                f"archive (deleted outside TimeFly?): {missing[:5]}"
+                f"{' …' if len(missing) > 5 else ''}; current/ left "
+                "untouched"
+            )
         shutil.rmtree(self.current_path)
         os.makedirs(self.current_path)
         for entry in manifest["files"]:
-            # every live entry is in _archive/ here: _cow_protect just
-            # ran (idempotent — it also completes the repoint for entries
-            # stranded current by an earlier crash) and current/ was
-            # removed above, so the archive is the only possible source
             src = os.path.join(self.archive_path, entry["path"])
             dst = os.path.join(self.current_path, entry["path"])
             os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -281,3 +281,21 @@ def test_cow_crash_after_partial_moves(tf, events):
     tf.write(events.limit(5), mode="overwrite")
     assert tf.read(as_of=dt.datetime(2029, 1, 1)).count() == n_before
     assert tf.read().count() == 5
+
+
+def test_restore_with_missing_archive_file_leaves_current_intact(tf, events):
+    """A snapshot whose archived file was deleted outside TimeFly must
+    fail the restore BEFORE current/ is destroyed — the old order
+    discovered the loss mid-copy, after the rmtree."""
+    tf.write(events.limit(10), mode="append")
+    s1 = tf.add_snapshot(dt.datetime(2030, 1, 1))
+    tf.write(events.limit(50), mode="overwrite")  # COW archives s1's files
+
+    # simulate external data loss: delete one archived file
+    entry = tf._read_manifest(s1)["files"][0]
+    os.remove(os.path.join(tf.archive_path, entry["path"]))
+
+    with pytest.raises(FileNotFoundError, match="current/ left untouched"):
+        tf.load_snapshot(s1)
+    # current survives the failed restore
+    assert tf.read().count() == 50
