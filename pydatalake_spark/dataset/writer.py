@@ -6,10 +6,13 @@ Covers SURVEY §2.2 (W1-W8) against ``src/pydala/dataset/writer.py``:
 - W1 format dispatch + compression (``writer.py:390-427``; zstd default
   ``writer.py:33``) → ``df.write.parquet/csv`` with
   ``option("compression", ...)``;
-- W2/W4 partitioned hive layout (``writer.py:430-527, 126-147``) →
-  ``partitionBy`` (Spark always emits hive-style ``key=value/`` dirs; the
-  reference's bare "directory" flavor is a read-side feature here — SURVEY
-  §1.5 notes the write-side upgrade);
+- W2/W4 partitioned layout, BOTH flavors (``writer.py:430-527, 126-147``):
+  ``partitionBy`` emits hive-style ``key=value/`` dirs;
+  ``partition_flavor="directory"`` then strips the ``key=`` prefixes to
+  the reference's bare value dirs (``writer.py:126-147``) — a driver-side
+  O(#partition-dirs) rename pass, local filesystems only (object stores
+  have no rename; keep hive there, which every engine reads anyway).
+  ``sources/read.py:read_directory_partitioned`` is the matching reader;
 - W5 write modes (``writer.py:185-256``):
     * ``raise``      → error if the path already has data,
     * ``overwrite``  → replace,
@@ -104,6 +107,7 @@ def write_dataset(
     sort_by: str | Sequence[str] | None = None,
     distinct: bool = False,
     sort_global: bool = False,
+    partition_flavor: str = "hive",
 ) -> None:
     """Write ``df`` as a (optionally hive-partitioned) dataset at ``path``.
 
@@ -124,6 +128,31 @@ def write_dataset(
     """
     if mode not in WRITE_MODES:
         raise ValueError(f"mode must be one of {WRITE_MODES}, got {mode!r}")
+    if partition_flavor not in ("hive", "directory"):
+        raise ValueError(
+            f"partition_flavor must be 'hive' or 'directory', "
+            f"got {partition_flavor!r}"
+        )
+    if partition_flavor == "directory":
+        # reference writer.py:126-147 bare-value-dir flavor: a post-write
+        # rename pass, so it needs a local posix path (object stores have
+        # no rename — keep hive there), partition columns, and a mode
+        # whose existing-side reads don't need hive discovery (delta's
+        # anti-diff would misread a bare layout without partition_schema)
+        if "://" in path and not path.startswith("file:"):
+            raise ValueError(
+                "partition_flavor='directory' needs a local path "
+                "(object stores have no rename); use hive flavor there"
+            )
+        if not partition_by:
+            raise ValueError(
+                "partition_flavor='directory' requires partition_by"
+            )
+        if mode == "delta" or fmt == "feather":
+            raise ValueError(
+                "partition_flavor='directory' supports parquet/csv with "
+                "modes raise/overwrite/append"
+            )
     if fmt == "feather" and mode == "delta":
         # no distributed feather source exists to anti-diff against
         raise ValueError(
@@ -171,6 +200,8 @@ def write_dataset(
             df, path, spark_mode, parts, compression, fmt,
             max_records_per_file, batch_size, datetime_column,
         )
+        if partition_flavor == "directory":
+            _strip_hive_prefixes(path, parts)
         return
 
     writer = df.write.mode(spark_mode)
@@ -182,8 +213,12 @@ def write_dataset(
         writer = writer.option("maxRecordsPerFile", str(batch_size))
     if fmt == "parquet":
         writer.option("compression", compression).parquet(path)
+        if partition_flavor == "directory":
+            _strip_hive_prefixes(path, parts)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
+        if partition_flavor == "directory":
+            _strip_hive_prefixes(path, parts)
     elif fmt == "feather":
         if parts:
             _write_feather_partitioned(df, path, parts, mode=spark_mode)
@@ -191,6 +226,44 @@ def write_dataset(
             write_feather(df, path, mode=spark_mode)
     else:
         raise ValueError(f"unsupported write format {fmt!r}")
+
+
+def _strip_hive_prefixes(path: str, parts: Sequence[str]) -> None:
+    """Rename ``key=value/`` partition dirs to bare ``value/`` — the
+    reference's "directory" flavor (``writer.py:126-147``), applied as a
+    driver-side O(#partition-dirs) post-pass over the hive layout Spark
+    just wrote. Appending to an existing directory-flavor dataset merges
+    each new ``key=value`` dir into its bare twin (Spark writes fresh
+    hive dirs beside the bare ones; file names are unique per write, so
+    moves never collide). Read back with
+    ``sources/read.py:read_directory_partitioned``.
+    """
+    local = path[len("file:"):] if path.startswith("file:") else path
+    level_dirs = [local]
+    for col in parts:
+        next_dirs = []
+        for d in level_dirs:
+            if not os.path.isdir(d):
+                continue
+            for name in sorted(os.listdir(d)):
+                full = os.path.join(d, name)
+                if not os.path.isdir(full) or name.startswith(("_", ".")):
+                    continue
+                if name.startswith(f"{col}="):
+                    bare = os.path.join(d, name.split("=", 1)[1])
+                    if os.path.exists(bare):
+                        for f in os.listdir(full):
+                            shutil.move(
+                                os.path.join(full, f), os.path.join(bare, f)
+                            )
+                        os.rmdir(full)
+                    else:
+                        os.rename(full, bare)
+                    next_dirs.append(bare)
+                else:
+                    # bare dir from a previous directory-flavor write
+                    next_dirs.append(full)
+        level_dirs = next_dirs
 
 
 def write_feather(df: DataFrame, path: str, mode: str = "overwrite") -> None:

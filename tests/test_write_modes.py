@@ -228,3 +228,63 @@ def test_sort_global_cross_file_total_order(spark, tmpdir_path):
     ranges.sort()
     for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
         assert hi_a <= lo_b
+
+
+def test_directory_flavor_partition_write(spark, events, tmpdir_path):
+    """W2/W4 directory flavor (reference writer.py:126-147): bare value
+    dirs instead of key=value, two partition levels, appendable, and
+    readable back through the directory-partition reader."""
+    from pydatalake_spark.sources.read import read_directory_partitioned
+
+    path = os.path.join(tmpdir_path, "dirds")
+    d = events.withColumn("half", (F.col("event_id") % 2).cast("int"))
+    write_dataset(
+        d, path, mode="append", partition_by=["event_type", "half"],
+        partition_flavor="directory",
+    )
+    top = {n for n in os.listdir(path) if not n.startswith(("_", "."))}
+    assert top and all("=" not in n for n in top)  # bare values
+    sub = {
+        n
+        for t in top
+        for n in os.listdir(os.path.join(path, t))
+        if not n.startswith(("_", "."))
+    }
+    assert sub and all("=" not in n for n in sub)
+
+    back = read_directory_partitioned(
+        spark, path, [("event_type", "string"), ("half", "int")]
+    )
+    assert back.count() == d.count()
+    want = {
+        (r.event_type, r.half): r.n
+        for r in d.groupBy("event_type", "half").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        (r.event_type, r.half): r.n
+        for r in back.groupBy("event_type", "half").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+    # append merges new hive dirs into the existing bare layout
+    write_dataset(
+        d.limit(50), path, mode="append",
+        partition_by=["event_type", "half"], partition_flavor="directory",
+    )
+    top2 = {n for n in os.listdir(path) if not n.startswith(("_", "."))}
+    assert all("=" not in n for n in top2)
+    back2 = read_directory_partitioned(
+        spark, path, [("event_type", "string"), ("half", "int")]
+    )
+    assert back2.count() == d.count() + 50
+
+    # unsupported combinations refuse clearly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="directory"):
+        write_dataset(
+            d, path + "2", mode="delta", partition_by="event_type",
+            partition_flavor="directory", datetime_column="ts",
+        )
+    with _pytest.raises(ValueError, match="partition_by"):
+        write_dataset(d, path + "3", partition_flavor="directory")
