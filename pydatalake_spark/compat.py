@@ -144,7 +144,15 @@ class Reader(DataLakeTable):
 
 
 class Writer:
-    """≙ ``pydala.dataset.Writer`` (``writer.py:430-527``)."""
+    """≙ ``pydala.dataset.Writer`` (``writer.py:430-527``).
+
+    ``partitioning_flavor`` (``writer.py:30``): ``"hive"`` and
+    ``"directory"`` map through; the reference's pyarrow default (None =
+    directory flavor) maps to HIVE here — a documented divergence, kept
+    because object-store paths cannot take the directory flavor's rename
+    pass and every engine reads hive. Pass ``"directory"`` explicitly
+    for the bare-value-dir layout on local paths.
+    """
 
     def __init__(
         self,
@@ -159,6 +167,7 @@ class Writer:
         profile: str | None = None,
         endpoint_url: str | None = None,
         storage_options: dict | None = None,
+        partitioning_flavor: str | None = None,
     ) -> None:
         spark = spark or get_spark()
         if protocol not in (None, "file", "local") or storage_options:
@@ -171,6 +180,9 @@ class Writer:
             )
         self.path = remote_uri(path, bucket, protocol)
         self.partitioning = partitioning
+        self.partition_flavor = (
+            "directory" if partitioning_flavor == "directory" else "hive"
+        )
         self.format = format
         self.compression = compression
         self.mode = mode
@@ -205,6 +217,7 @@ class Writer:
             delta_subset=delta_subset,
             transform_func=transform_func,
             transform_func_kwargs=transform_func_kwargs,
+            partition_flavor=self.partition_flavor,
         )
 
 
