@@ -42,8 +42,12 @@ def repartition_dataset(
     transform_func: Callable[[DataFrame], DataFrame] | None = None,
     delete_source: bool = False,
     source_fmt: str = "parquet",
+    partition_flavor: str = "hive",
 ) -> str:
     """Rewrite ``source`` with a new layout; returns the output path.
+    ``partition_flavor="directory"`` re-lays the partition dirs in the
+    reference's bare-value flavor (ref repartition.py:110-172 — flavor
+    change as part of the compaction job).
 
     In-place (``dest is None``) uses a temp dir + swap.
     """
@@ -82,6 +86,7 @@ def repartition_dataset(
         out,
         mode="overwrite",
         partition_by=partition_by,
+        partition_flavor=partition_flavor,
         sort_by=sort_by,
         distinct=distinct,
         fmt=fmt,

@@ -88,3 +88,25 @@ def test_small_files_report_flags_fragmented_dataset(spark, tmpdir_path):
     repartition_dataset(spark, src, dst)
     rep2 = small_files_report(spark, dst).collect()
     assert sum(x.n_files for x in rep2) < 40
+
+
+def test_repartition_to_directory_flavor(spark, events, tmpdir_path):
+    """Flavor change as part of the compaction job (ref
+    repartition.py:110-172): hive source -> bare-value-dir output."""
+    import os
+
+    from pydatalake_spark.dataset.repartition import repartition_dataset
+    from pydatalake_spark.dataset.writer import write_dataset
+    from pydatalake_spark.sources.read import read_directory_partitioned
+
+    src = os.path.join(tmpdir_path, "hive_src")
+    write_dataset(events, src, mode="append", partition_by="event_type")
+    dst = os.path.join(tmpdir_path, "dir_dst")
+    repartition_dataset(
+        spark, src, dst, partition_by="event_type",
+        partition_flavor="directory",
+    )
+    names = {n for n in os.listdir(dst) if not n.startswith(("_", "."))}
+    assert names and all("=" not in n for n in names)
+    back = read_directory_partitioned(spark, dst, [("event_type", "string")])
+    assert back.count() == events.count()
