@@ -154,7 +154,9 @@ def write_dataset(
                 "modes raise/overwrite/append"
             )
     if fmt == "feather" and mode == "delta":
-        # no distributed feather source exists to anti-diff against
+        # the feather WRITER is driver-edge (reads are distributed since
+        # r6, but incremental writes imply a scale the edge writer is
+        # explicitly not for)
         raise ValueError(
             "delta mode is not supported for the feather edge writer; "
             "use parquet for incremental datasets"

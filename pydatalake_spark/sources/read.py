@@ -92,37 +92,102 @@ def read_csv(
 
 
 def read_feather(spark: SparkSession, path: str) -> DataFrame:
-    """Driver-edge feather read (small data only — documented, SURVEY §1.3).
+    """Feather/Arrow-IPC dataset read (``reference reader.py:118-135``).
 
-    The reference reads feather eagerly into Arrow (``reader.py:118-135``);
-    Spark has no distributed IPC source, so files are read on the driver via
-    pyarrow and parallelized. Fine for config/dimension tables; not a 100 TB
-    path and not pretending to be.
+    A DIRECTORY dispatches to the DISTRIBUTED source
+    (`read_feather_distributed`: whole files ship to executors via
+    Spark's binaryFile source and decode there through Arrow — a feather
+    dataset scales like any other now); a single FILE keeps the cheap
+    driver-edge read (one pyarrow open, no job).
     """
+    if os.path.isdir(path):
+        return read_feather_distributed(spark, path)
     import pyarrow.feather as feather
 
     files = _list_files(path, FEATHER_EXTS)
     if not files:
         raise FileNotFoundError(f"no feather files under {path}")
-    import pyarrow as pa
+    table = feather.read_table(files[0])
+    return spark.createDataFrame(table.to_pandas())
 
-    tables = []
+
+def read_feather_distributed(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed feather/IPC source: files ship WHOLE to executor tasks
+    (Spark ``binaryFile`` source — IPC files are not splittable, but one
+    task per file is exactly how the format parallelizes) and decode
+    there via Arrow inside ``mapInPandas``; hive ``key=value`` path
+    segments become typed partition columns like the parquet reader's
+    discovery. This closes the last documented driver-edge read gap: the
+    decode is Arrow-batched on executors, the driver only reads ONE
+    schema. Delta-mode feather writes stay refused — the feather WRITER
+    is still driver-edge by design (SURVEY §1.3).
+    """
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = _list_files(path, FEATHER_EXTS)
+    if not files:
+        raise FileNotFoundError(f"no feather files under {path}")
+    # ONE driver-side schema read (footer only — no data pass)
+    with pa.memory_map(files[0], "r") as src:
+        arrow_schema = ipc.open_file(src).schema
+    base_schema = from_arrow_schema(arrow_schema)
+
+    # partition keys + python-typed sample values from the hive layout
+    part_cols: dict[str, object] = {}
     for f in files:
-        t = feather.read_table(f)
-        # hive-layout partition discovery: key=value path segments under the
-        # base become columns (values type-inferred int → float → string,
-        # mirroring Spark's own partition inference)
         rel = os.path.relpath(os.path.dirname(f), path)
         for seg in () if rel == "." else rel.split(os.sep):
-            if "=" not in seg:
-                continue
-            k, _, v = seg.partition("=")
-            if k in t.column_names:
-                continue
-            t = t.append_column(k, pa.array([_infer_part_value(v)] * len(t)))
-        tables.append(t)
-    table = pa.concat_tables(tables, promote_options="permissive")
-    return spark.createDataFrame(table.to_pandas())
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                part_cols.setdefault(k, _infer_part_value(v))
+    part_fields = [
+        T.StructField(
+            k,
+            T.LongType()
+            if isinstance(v, int)
+            else T.DoubleType()
+            if isinstance(v, float)
+            else T.StringType(),
+        )
+        for k, v in part_cols.items()
+        if k not in base_schema.fieldNames()
+    ]
+    full_schema = T.StructType(list(base_schema.fields) + part_fields)
+    data_cols = base_schema.fieldNames()
+    part_types = {f.name: f.dataType for f in part_fields}
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                t = ipc.open_file(pa.BufferReader(bytes(content))).read_all()
+                out = t.to_pandas()[data_cols]
+                segs = [s for s in str(fpath).split("/") if "=" in s]
+                kv = dict(s.partition("=")[::2] for s in segs)
+                for name, dtype in part_types.items():
+                    raw = kv.get(name)
+                    if raw is None:
+                        out[name] = None
+                    elif isinstance(dtype, T.LongType):
+                        out[name] = int(raw)
+                    elif isinstance(dtype, T.DoubleType):
+                        out[name] = float(raw)
+                    else:
+                        out[name] = raw
+                yield out
+
+    exts = "{" + ",".join(e.lstrip(".") for e in FEATHER_EXTS) + "}"
+    binfiles = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*.{exts}")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    return binfiles.mapInPandas(decode, full_schema)
 
 
 def _infer_part_value(v: str):

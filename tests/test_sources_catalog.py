@@ -179,3 +179,39 @@ def test_fluent_sample_and_cap(spark, tmpdir_path):
 
     c = Counter(r.source for r in capped.collect())
     assert all(v == 5 for v in c.values()) and len(c) == 4
+
+
+def test_feather_distributed_source(spark, events, tmpdir_path):
+    """Directory feather datasets now read DISTRIBUTED: whole files ship
+    to executors via binaryFile and decode there (MapInPandas in the
+    plan, no driver-side parallelize), hive partition dirs become typed
+    columns, and values equal the parquet twin."""
+    import os
+
+    from pydatalake_spark.dataset.writer import write_dataset
+    from pydatalake_spark.sources.read import read_feather
+
+    path = os.path.join(tmpdir_path, "fds")
+    d = events.limit(300).withColumn(
+        "half", (F.col("event_id") % 2).cast("int")
+    )
+    write_dataset(
+        d, path, mode="append", partition_by=["event_type", "half"],
+        fmt="feather",
+    )
+    back = read_feather(spark, path)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # executor-side decode
+    assert "Scan binaryFile" in plan or "binaryFile" in plan
+    assert back.count() == 300
+    # typed partition columns, values intact
+    assert dict(back.dtypes)["half"] == "bigint"
+    want = {
+        (r.event_id): (r.event_type, r.half)
+        for r in d.select("event_id", "event_type", "half").collect()
+    }
+    got = {
+        (r.event_id): (r.event_type, r.half)
+        for r in back.select("event_id", "event_type", "half").collect()
+    }
+    assert got == want
