@@ -232,6 +232,16 @@ def read_directory_partitioned(
     stays fully distributed (the parse is a Catalyst expression per row, and
     partition values are dictionary-encoded by parquet so the cost is tiny).
     """
+    if fmt == "feather":
+        # no Spark datasource named "feather" exists to glob-load; the
+        # feather paths here are hive-layout (read_feather_distributed)
+        # or single-file — a bare-value-dir feather dataset is the one
+        # layout×format combination unsupported end to end (the writer
+        # refuses producing it for the same reason)
+        raise ValueError(
+            "directory-flavor feather datasets are unsupported; use the "
+            "hive layout (read_feather) or parquet for directory flavor"
+        )
     depth = len(partition_schema)
     pattern = os.path.join(base, *(["*"] * depth))
     df = spark.read.format(fmt).load(pattern)
