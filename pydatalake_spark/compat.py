@@ -180,6 +180,13 @@ class Writer:
             )
         self.path = remote_uri(path, bucket, protocol)
         self.partitioning = partitioning
+        if partitioning_flavor not in (None, "hive", "directory"):
+            # a typo ('dir') or a pyarrow-only value silently becoming hive
+            # would hand the user the wrong on-disk layout with no signal
+            raise ValueError(
+                "partitioning_flavor must be None, 'hive' or 'directory', "
+                f"got {partitioning_flavor!r}"
+            )
         self.partition_flavor = (
             "directory" if partitioning_flavor == "directory" else "hive"
         )

@@ -201,6 +201,7 @@ def write_dataset(
         _write_time_batched(
             df, path, spark_mode, parts, compression, fmt,
             max_records_per_file, batch_size, datetime_column,
+            partition_flavor=partition_flavor,
         )
         if partition_flavor == "directory":
             _strip_hive_prefixes(path, parts)
@@ -209,6 +210,12 @@ def write_dataset(
     writer = df.write.mode(spark_mode)
     if parts:
         writer = writer.partitionBy(*parts)
+    if partition_flavor == "directory":
+        # the strip pass assumes overwrite cleared the WHOLE path; under a
+        # session-level partitionOverwriteMode=dynamic only fresh key=value
+        # dirs would be replaced and stale bare-value dirs would survive
+        # the merge — pin static per-write
+        writer = writer.option("partitionOverwriteMode", "static")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     elif isinstance(batch_size, int):
@@ -239,8 +246,13 @@ def _strip_hive_prefixes(path: str, parts: Sequence[str]) -> None:
     hive dirs beside the bare ones; file names are unique per write, so
     moves never collide). Read back with
     ``sources/read.py:read_directory_partitioned``.
+
+    Null partition values are REFUSED before any rename: stripping
+    ``key=__HIVE_DEFAULT_PARTITION__`` would leave a ``_``-prefixed bare
+    dir every reader treats as hidden, silently dropping those rows.
     """
     local = path[len("file:"):] if path.startswith("file:") else path
+    _refuse_null_partitions(local, list(parts))
     level_dirs = [local]
     for col in parts:
         next_dirs = []
@@ -266,6 +278,31 @@ def _strip_hive_prefixes(path: str, parts: Sequence[str]) -> None:
                     # bare dir from a previous directory-flavor write
                     next_dirs.append(full)
         level_dirs = next_dirs
+
+
+def _refuse_null_partitions(local: str, parts: list[str]) -> None:
+    """Pre-pass of the strip walk (no mutation): raise on any
+    ``key=__HIVE_DEFAULT_PARTITION__`` dir so the layout stays a readable
+    hive dataset instead of a half-stripped one."""
+    if not parts:
+        return
+    col, rest = parts[0], parts[1:]
+    if not os.path.isdir(local):
+        return
+    for name in sorted(os.listdir(local)):
+        full = os.path.join(local, name)
+        if not os.path.isdir(full) or name.startswith(("_", ".")):
+            continue
+        if name == f"{col}=__HIVE_DEFAULT_PARTITION__":
+            raise ValueError(
+                f"null value in partition column {col!r}: the directory "
+                "flavor cannot represent null partitions (the stripped "
+                "dir name would start with '_' and be hidden from "
+                f"readers). The data was written in HIVE layout at "
+                f"{local} — filter out null partition keys or use "
+                "partition_flavor='hive'."
+            )
+        _refuse_null_partitions(full, rest)
 
 
 def write_feather(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -360,6 +397,7 @@ def _write_time_batched(
     max_records_per_file: int | None,
     batch_spec: str,
     datetime_column: str,
+    partition_flavor: str = "hive",
 ) -> None:
     """Time-interval micro-batched write (W7, ``writer.py:292-385``).
 
@@ -395,6 +433,9 @@ def _write_time_batched(
         writer = slice_df.write.mode(spark_mode if first else "append")
         if parts:
             writer = writer.partitionBy(*parts)
+        if partition_flavor == "directory":
+            # same static-overwrite pin as the non-batched path
+            writer = writer.option("partitionOverwriteMode", "static")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
         if fmt == "parquet":

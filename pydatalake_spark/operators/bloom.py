@@ -38,10 +38,13 @@ pipeline.
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 BLOOM_BITS = 4096
 BLOOM_HASHES = 17
@@ -572,6 +575,10 @@ def membership_screen(
             .count()
         )
     tier = bloom_tier(n_train_keys, vector_max_bits, join_max_bits)
+    _log.info(
+        "membership_screen tier=%s n_train_keys=%d num_bits=%d",
+        tier, n_train_keys, bloom_num_bits(n_train_keys),
+    )
     if tier == "exact":
         t = (
             train_keys.select(key_col)

@@ -122,51 +122,77 @@ def read_feather_distributed(spark: SparkSession, path: str) -> DataFrame:
     schema. Delta-mode feather writes stay refused — the feather WRITER
     is still driver-edge by design (SURVEY §1.3).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow as pa
     import pyarrow.ipc as ipc
-    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.pandas.types import from_arrow_schema, to_arrow_schema
+
+    from pydatalake_spark.dataset.schema import unify_schemas
 
     files = _list_files(path, FEATHER_EXTS)
     if not files:
         raise FileNotFoundError(f"no feather files under {path}")
-    # ONE driver-side schema read (footer only — no data pass)
-    with pa.memory_map(files[0], "r") as src:
-        arrow_schema = ipc.open_file(src).schema
-    base_schema = from_arrow_schema(arrow_schema)
 
-    # partition keys + python-typed sample values from the hive layout
-    part_cols: dict[str, object] = {}
+    # driver-side schema scan of ALL footers (metadata-only, thread-pooled
+    # like the parquet path's list_fragment_schemas) -> promotion-lattice
+    # unify, so heterogeneous file schemas (missing column, int-vs-string
+    # conflict) read like the parquet unify-retry instead of failing the
+    # stage inside mapInPandas
+    def _footer_schema(f: str):
+        with pa.memory_map(f, "r") as src:
+            return ipc.open_file(src).schema
+
+    with ThreadPoolExecutor(max_workers=32) as pool:
+        arrow_schemas = list(pool.map(_footer_schema, files))
+    data_schema = unify_schemas(
+        [from_arrow_schema(s) for s in arrow_schemas], sort_fields=False
+    )
+    arrow_unified = to_arrow_schema(data_schema)
+
+    # partition keys from the hive layout: observe EVERY value per key,
+    # URL-unescape, treat __HIVE_DEFAULT_PARTITION__ as null, and choose
+    # the column type only when ALL observed values parse (else string) —
+    # first-value typing turned an `a=1`/`a=x` directory into an executor
+    # ValueError
+    part_values: dict[str, list] = {}
     for f in files:
         rel = os.path.relpath(os.path.dirname(f), path)
         for seg in () if rel == "." else rel.split(os.sep):
             if "=" in seg:
                 k, _, v = seg.partition("=")
-                part_cols.setdefault(k, _infer_part_value(v))
+                part_values.setdefault(k, []).append(_parse_part_value(v))
     part_fields = [
-        T.StructField(
-            k,
-            T.LongType()
-            if isinstance(v, int)
-            else T.DoubleType()
-            if isinstance(v, float)
-            else T.StringType(),
-        )
-        for k, v in part_cols.items()
-        if k not in base_schema.fieldNames()
+        T.StructField(k, _promote_part_type(vals), True)
+        for k, vals in part_values.items()
+        if k not in data_schema.fieldNames()
     ]
-    full_schema = T.StructType(list(base_schema.fields) + part_fields)
-    data_cols = base_schema.fieldNames()
+    full_schema = T.StructType(list(data_schema.fields) + part_fields)
     part_types = {f.name: f.dataType for f in part_fields}
 
     def decode(batches):
-        import pandas as pd
+        import pyarrow.compute as pc
 
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 t = ipc.open_file(pa.BufferReader(bytes(content))).read_all()
-                out = t.to_pandas()[data_cols]
+                cols, have = [], set(t.column_names)
+                for field in arrow_unified:
+                    if field.name in have:
+                        col = t.column(field.name)
+                        if col.type != field.type:
+                            col = pc.cast(col, field.type)
+                        cols.append(col)
+                    else:
+                        cols.append(pa.nulls(t.num_rows, field.type))
+                out = pa.table(
+                    cols, names=[f.name for f in arrow_unified]
+                ).to_pandas()
                 segs = [s for s in str(fpath).split("/") if "=" in s]
-                kv = dict(s.partition("=")[::2] for s in segs)
+                kv = {
+                    s.partition("=")[0]: _parse_part_value(s.partition("=")[2])
+                    for s in segs
+                }
                 for name, dtype in part_types.items():
                     raw = kv.get(name)
                     if raw is None:
@@ -190,13 +216,30 @@ def read_feather_distributed(spark: SparkSession, path: str) -> DataFrame:
     return binfiles.mapInPandas(decode, full_schema)
 
 
-def _infer_part_value(v: str):
-    for cast in (int, float):
+def _parse_part_value(v: str):
+    """Hive dir-name value -> python value: URL-unescape (Spark %-escapes
+    specials like space and '=' in partition dir names) and map the
+    __HIVE_DEFAULT_PARTITION__ sentinel to null."""
+    from urllib.parse import unquote
+
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return unquote(v)
+
+
+def _promote_part_type(vals: list) -> T.DataType:
+    """Long if ALL non-null observed values parse int, else Double if all
+    parse float, else String (the permissive promotion the driver-edge
+    pa.concat_tables path had)."""
+    nonnull = [v for v in vals if v is not None]
+    for cast, dtype in ((int, T.LongType()), (float, T.DoubleType())):
         try:
-            return cast(v)
+            for v in nonnull:
+                cast(v)
+            return dtype
         except ValueError:
             continue
-    return v
+    return T.StringType()
 
 
 def read_json(

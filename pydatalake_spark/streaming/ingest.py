@@ -220,9 +220,17 @@ def stream_quality_screen(
     if isinstance(bloom_words, tuple):
         # the (words, num_bits, num_hashes) triple from build_literal_bloom
         bloom_words, bloom_bits, bloom_hashes = bloom_words
+    if (bloom_bits is None) != (bloom_hashes is None):
+        # bits and hashes are sized TOGETHER by build_literal_bloom; a
+        # custom-sized bitmap probed with the default k (or vice versa)
+        # tests positions the build never set — silent false negatives,
+        # the one failure the gate must not have
+        raise ValueError(
+            "bloom_bits and bloom_hashes must be passed together (use "
+            "build_literal_bloom's full (words, bits, hashes) triple)"
+        )
     if bloom_bits is None:
         bloom_bits = BLOOM_BITS
-    if bloom_hashes is None:
         bloom_hashes = BLOOM_HASHES
     if bloom_words and max(bloom_words) >= bloom_bits // 32:
         # an auto-sized words dict probed at the wrong modulus would yield

@@ -86,3 +86,17 @@ def test_manager_catalog(spark, tmpdir_path):
     assert t.to_df().count() == 10
     m.remove("sales", delete_data=True)
     assert "sales" not in m.tables()
+
+
+def test_writer_rejects_unknown_partitioning_flavor(spark, tmpdir_path):
+    """ADVICE r6: a typo ('dir') or pyarrow-only flavor silently becoming
+    hive hands the user the wrong layout — it must raise."""
+    import pytest as _pytest
+
+    from pydatalake_spark.compat import Writer
+
+    with _pytest.raises(ValueError, match="partitioning_flavor"):
+        Writer(tmpdir_path, spark=spark, partitioning_flavor="dir")
+    # the documented values still construct
+    for ok in (None, "hive", "directory"):
+        Writer(tmpdir_path, spark=spark, partitioning_flavor=ok)

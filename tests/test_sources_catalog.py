@@ -215,3 +215,65 @@ def test_feather_distributed_source(spark, events, tmpdir_path):
         for r in back.select("event_id", "event_type", "half").collect()
     }
     assert got == want
+
+
+def test_feather_mixed_schema_dir(spark, tmpdir_path):
+    """Heterogeneous feather file schemas read green through the
+    promotion-lattice unify (the parquet retry posture): a column missing
+    from one file null-fills, an int-vs-string conflict promotes to
+    string — previously a KeyError/cast failure inside the executor."""
+    from pydatalake_spark.sources.read import read_feather
+
+    base = os.path.join(tmpdir_path, "mixed")
+    os.makedirs(base)
+    feather.write_feather(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": ["x", "y"]}),
+        os.path.join(base, "f1.feather"),
+    )
+    feather.write_feather(
+        pa.table({"a": pa.array(["seven"], pa.string()),
+                  "c": pa.array([1.5], pa.float64())}),
+        os.path.join(base, "f2.feather"),
+    )
+    back = read_feather(spark, base)
+    assert dict(back.dtypes) == {"a": "string", "b": "string", "c": "double"}
+    rows = {tuple(r) for r in back.collect()}
+    assert rows == {("1", "x", None), ("2", "y", None), ("seven", None, 1.5)}
+
+
+def test_feather_hive_mixed_value_types_promote_to_string(spark, tmpdir_path):
+    """A partition key observed as both '1' and 'x' types as STRING (the
+    permissive promotion); first-value typing used to raise int('x') in
+    the executor task."""
+    from pydatalake_spark.sources.read import read_feather
+
+    base = os.path.join(tmpdir_path, "mixedpart")
+    t = pa.table({"v": pa.array([10], pa.int64())})
+    for d in ("k=1", "k=x"):
+        os.makedirs(os.path.join(base, d))
+        feather.write_feather(t, os.path.join(base, d, "f.feather"))
+    back = read_feather(spark, base)
+    assert dict(back.dtypes)["k"] == "string"
+    assert {r.k for r in back.collect()} == {"1", "x"}
+
+
+def test_feather_hive_null_sentinel_and_escapes(spark, tmpdir_path):
+    """__HIVE_DEFAULT_PARTITION__ reads as NULL (not the literal string),
+    and %-escaped partition values unescape; the key stays typed from the
+    non-null values."""
+    from pydatalake_spark.sources.read import read_feather
+
+    base = os.path.join(tmpdir_path, "nullpart")
+    t = pa.table({"v": pa.array([10], pa.int64())})
+    for d in ("k=__HIVE_DEFAULT_PARTITION__", "k=5"):
+        os.makedirs(os.path.join(base, d))
+        feather.write_feather(t, os.path.join(base, d, "f.feather"))
+    back = read_feather(spark, base)
+    assert dict(back.dtypes)["k"] == "bigint"
+    assert {r.k for r in back.collect()} == {None, 5}
+
+    base2 = os.path.join(tmpdir_path, "escpart")
+    os.makedirs(os.path.join(base2, "k=a%20b"))
+    feather.write_feather(t, os.path.join(base2, "k=a%20b", "f.feather"))
+    back2 = read_feather(spark, base2)
+    assert [r.k for r in back2.collect()] == ["a b"]

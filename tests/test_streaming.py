@@ -396,3 +396,25 @@ def test_stream_decontaminate_foreachbatch_matches_batch(spark, tmpdir_path):
     )
     got3 = [r.doc_id for r in spark.read.parquet(dst).collect()]
     assert sorted(got3) == sorted(got2)
+
+
+def test_stream_quality_screen_rejects_half_triple(spark, tmpdir_path):
+    """ADVICE r6: bloom_bits without bloom_hashes (or vice versa) would
+    probe positions the build never set — silent false negatives — so the
+    gate refuses the half-specified sizing up front."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from pydatalake_spark.streaming.ingest import stream_quality_screen
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    with _pytest.raises(ValueError, match="together"):
+        stream_quality_screen(
+            spark, tmpdir_path, schema, {0: 1}, bloom_bits=1 << 18
+        )
+    with _pytest.raises(ValueError, match="together"):
+        stream_quality_screen(
+            spark, tmpdir_path, schema, {0: 1}, bloom_hashes=5
+        )

@@ -288,3 +288,54 @@ def test_directory_flavor_partition_write(spark, events, tmpdir_path):
         )
     with _pytest.raises(ValueError, match="partition_by"):
         write_dataset(d, path + "3", partition_flavor="directory")
+
+
+def test_directory_flavor_overwrite_under_dynamic_conf(spark, events, tmpdir_path):
+    """A session-level partitionOverwriteMode=dynamic must not break the
+    strip pass's whole-path-replaced assumption: the write pins static
+    per-writer, so overwrite fully replaces stale bare-value dirs instead
+    of silently merging new files into them."""
+    from pydatalake_spark.sources.read import read_directory_partitioned
+
+    base = os.path.join(tmpdir_path, "dyn_ow")
+    d = events.limit(100).withColumn("half", (F.col("event_id") % 2).cast("int"))
+    write_dataset(
+        d, base, mode="overwrite", partition_by="half",
+        partition_flavor="directory",
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        only_zero = d.filter(F.col("half") == 0)
+        write_dataset(
+            only_zero, base, mode="overwrite", partition_by="half",
+            partition_flavor="directory",
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # the half=1 bare dir must be GONE, not retained with stale rows
+    assert sorted(
+        n for n in os.listdir(base)
+        if os.path.isdir(os.path.join(base, n)) and not n.startswith(("_", "."))
+    ) == ["0"]
+    back = read_directory_partitioned(spark, base, [("half", "int")])
+    assert back.count() == only_zero.count()
+
+
+def test_directory_flavor_null_partition_refused(spark, events, tmpdir_path):
+    """Null partition values cannot be represented in the bare-value
+    layout (the stripped dir would be '_'-prefixed and hidden): the write
+    raises with guidance and leaves a readable HIVE layout."""
+    base = os.path.join(tmpdir_path, "null_part")
+    d = events.limit(20).withColumn(
+        "half",
+        F.when(F.col("event_id") % 2 == 0, F.lit(None)).otherwise(F.lit(1)).cast("int"),
+    )
+    with pytest.raises(ValueError, match="null"):
+        write_dataset(
+            d, base, mode="overwrite", partition_by="half",
+            partition_flavor="directory",
+        )
+    # nothing half-stripped: the hive layout is intact and readable
+    back = spark.read.parquet(base)
+    assert back.count() == 20
