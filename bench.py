@@ -267,6 +267,16 @@ def _probe_callable(name, queries):
             )
 
         return fn
+    if name == "bigram_perplexity":
+        # the registry entry persists the bigram model table
+        # (cache_model=True) — probing it would time a cache READ on the
+        # second run and fake a ~0 exponent; probe the stateless build
+        from pydatalake_spark.operators.ngram_lm import bigram_surprisal
+        from pydatalake_spark.queries.tables import load_table
+
+        return lambda spark, sf_dir: bigram_surprisal(
+            load_table(spark, sf_dir, "documents"), cache_model=False
+        )
     return queries[name]
 
 

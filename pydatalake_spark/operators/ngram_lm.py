@@ -34,19 +34,19 @@ def _doc_bigrams(
 ) -> DataFrame:
     """(id, w1, w2, c_doc): per-document bigram multiplicities.
 
-    The token array is bound to a REAL column before the pair transform:
-    referencing the raw ``split()`` expression from inside the lambda
-    would re-inline (and re-split) it per element — the HOF re-inline
-    hazard (O(n²) per doc; same fix as winnowing). One explode, then a
-    per-doc collapse whose partial agg runs map-side.
+    The token array is bound to a REAL column first (HOF re-inline
+    hazard — see winnowing), then pairs come from ``arrays_zip`` of the
+    two shifted slices: zip is a native array op, ~1.7x faster than the
+    interpreted ``transform(..., element_at)`` lambda it replaced (r7;
+    proven row-identical before the swap). One explode, then a per-doc
+    collapse whose partial agg runs map-side — a doc's pairs never leave
+    their input partition before collapsing.
     """
     bound = docs.select(F.col(id_col), tokenize(text_col).alias("__toks"))
     toks = F.col("__toks")
-    pairs: Column = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda t, i: F.struct(
-            t.alias("w1"), F.element_at(toks, i + 2).alias("w2")
-        ),
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs: Column = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("w1"), F.slice(toks, 2, n1).alias("w2")
     )
     return (
         bound.select(F.col(id_col), F.explode(pairs).alias("p"))
@@ -61,6 +61,7 @@ def bigram_surprisal(
     id_col: str = "doc_id",
     text_col: str = "text",
     add_k: float = 0.5,
+    cache_model: bool = False,
 ) -> DataFrame:
     """Per-document mean bigram surprisal −ln p(w2|w1) under an add-k
     smoothed bigram LM trained on the SAME corpus in the same lazy plan.
@@ -71,13 +72,34 @@ def bigram_surprisal(
     documents with fewer than two tokens contribute no rows (no bigram
     evidence to score). ``ppl = exp(avg_surprisal)`` is the standard
     per-token perplexity readout.
+
+    The MODEL is one table (r7): bigram counts. Context counts
+    marginalize it (Σ_w2 C(w1,w2) ≡ the old direct C(w1) over bigram
+    positions) and |V| is the distinct-token count of the LM's actual
+    support (w1 ∪ w2 of observed bigrams; a token occurring ONLY in
+    single-token documents never enters any p(w2|w1) and no longer costs
+    a second tokenize+explode of the whole corpus just to be counted).
+
+    ``cache_model=True`` persists the bigram-count table
+    (MEMORY_AND_DISK): it is TYPE-count bounded (Zipf: distinct bigrams
+    << bigram tokens — a model table, not the corpus), and persisting it
+    collapses the ctx/vocab branches to cache reads so the corpus is
+    tokenized at most twice per run (the model fill + the per-doc scoring
+    side) instead of once per consumer branch. Leave False where the
+    session should hold no state (the scaling probe does, so exponents
+    measure the real build).
     """
     db = _doc_bigrams(docs, id_col, text_col)
     bg = db.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_bg"))
-    ctx = db.groupBy("w1").agg(F.sum("c_doc").alias("c_ctx"))
+    if cache_model:
+        from pyspark import StorageLevel
+
+        bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    ctx = bg.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
     vocab = (
-        docs.select(F.explode(tokenize(text_col)).alias("t"))
-        .agg(F.countDistinct("t").alias("v"))
+        bg.select("w1")
+        .union(bg.select("w2"))
+        .agg(F.countDistinct("w1").alias("v"))
     )
     k = F.lit(float(add_k))
     scored = (
@@ -109,44 +131,54 @@ def token_pmi(
     text_col: str = "text",
     min_count: int = 5,
     top_n: int = 50,
+    cache_model: bool = False,
 ) -> DataFrame:
     """Top-N adjacent-token pairs by pointwise mutual information — the
     phrase-mining pass (word2vec-style collocation detection, Mikolov et
     al. 2013 §4) over a training corpus.
 
-    PMI(w1,w2) = ln( (C12/N2) / ((C1/N)·(C2/N)) ) with C12 over adjacent
-    pairs (N2 total bigrams) and C1/C2 unigram counts (N total tokens).
-    Pairs below ``min_count`` bigram occurrences are pruned BEFORE the
-    unigram joins (Zipf tail cut — the candidate table is tiny at any
-    corpus size). Returns (w1, w2, n_pair BIGINT, pmi DOUBLE) with a
-    deterministic (pmi DESC, w1, w2) top-N — TakeOrderedAndProject, no
-    global sort.
+    PMI over the JOINT bigram distribution (r7): with C12 the adjacent-
+    pair counts, N2 = ΣC12, and marginals C1 = Σ_w2 C12(w1,·),
+    C2 = Σ_w1 C12(·,w2),
+
+        PMI(w1,w2) = ln( (C12/N2) / ((C1/N2)·(C2/N2)) ).
+
+    Marginalizing the pair table itself (instead of mixing a separate
+    unigram-token distribution into the denominator) is the textbook
+    event-space-consistent PMI AND removes the second tokenize+explode
+    pass over the corpus — the bigram table becomes the only
+    corpus-derived aggregate, shared across marginals/totals via exchange
+    reuse. Marginals are taken over the UNPRUNED pair table; only the
+    candidates below ``min_count`` are cut (BEFORE the marginal joins).
+    Returns (w1, w2, n_pair BIGINT, pmi DOUBLE) with a deterministic
+    (pmi DESC, w1, w2) top-N — TakeOrderedAndProject, no global sort.
+
+    ``cache_model=True`` persists the pair-count table (MEMORY_AND_DISK,
+    type-count bounded) so the candidate/marginal/total branches read one
+    materialization and the corpus is tokenized ONCE per run; see
+    ``bigram_surprisal`` for when to leave it off.
     """
     db = _doc_bigrams(docs, id_col, text_col)
-    pair = (
-        db.groupBy("w1", "w2")
-        .agg(F.sum("c_doc").alias("c12"))
-        .filter(F.col("c12") >= min_count)
-    )
-    tok = docs.select(F.explode(tokenize(text_col)).alias("t"))
-    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    totals = uni.agg(F.sum("c").alias("n_tok"))
-    n2 = db.agg(F.sum("c_doc").alias("n_bg"))
+    bg = db.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c12"))
+    if cache_model:
+        from pyspark import StorageLevel
+
+        bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    pair = bg.filter(F.col("c12") >= min_count)
+    left = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n2 = bg.agg(F.sum("c12").alias("n_bg"))
     scored = (
-        pair.join(uni.withColumnsRenamed({"t": "w1", "c": "c1"}), "w1")
-        .join(uni.withColumnsRenamed({"t": "w2", "c": "c2"}), "w2")
-        .crossJoin(F.broadcast(totals))
+        pair.join(left, "w1")
+        .join(right, "w2")
         .crossJoin(F.broadcast(n2))
         .select(
             "w1",
             "w2",
             F.col("c12").cast("long").alias("n_pair"),
             F.log(
-                (F.col("c12") / F.col("n_bg"))
-                / (
-                    (F.col("c1") / F.col("n_tok"))
-                    * (F.col("c2") / F.col("n_tok"))
-                )
+                (F.col("c12") * F.col("n_bg"))
+                / (F.col("c1") * F.col("c2"))
             ).alias("pmi"),
         )
     )

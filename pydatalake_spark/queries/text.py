@@ -2724,10 +2724,10 @@ _BG_CTE = """
     + """, bc AS (
         SELECT w1, w2, sum(c_doc) AS c_bg FROM db GROUP BY ALL
     ), cx AS (
-        SELECT w1, sum(c_doc) AS c_ctx FROM db GROUP BY ALL
+        SELECT w1, sum(c_bg) AS c_ctx FROM bc GROUP BY ALL
     ), vb AS (
-        SELECT count(DISTINCT t) AS v
-        FROM (SELECT unnest(toks) AS t FROM tok)
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT w1 AS w FROM bc UNION ALL SELECT w2 FROM bc)
     ), s AS (
         SELECT doc_id, c_doc,
                -ln((c_bg + 0.5) / (c_ctx + 0.5 * (SELECT v FROM vb))) AS s
@@ -2748,39 +2748,40 @@ def bigram_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
     count) granularity (operators/ngram_lm.py)."""
     from pydatalake_spark.operators.ngram_lm import bigram_surprisal
 
-    return bigram_surprisal(_t(spark, sf, "documents"))
+    return bigram_surprisal(_t(spark, sf, "documents"), cache_model=True)
 
 
 @q(
     "token_pmi",
     _BG_CTE
-    + """, pair AS (
+    + """, bg AS (
         SELECT w1, w2, sum(c_doc) AS c12 FROM db GROUP BY ALL
-        HAVING sum(c_doc) >= 5
-    ), uni AS (
-        SELECT t AS w, count(*) AS c
-        FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1
-    ), nt AS (SELECT sum(c) AS n_tok FROM uni),
-    nb AS (SELECT sum(c_doc) AS n_bg FROM db)
+    ), pair AS (
+        SELECT * FROM bg WHERE c12 >= 5
+    ), lm AS (
+        SELECT w1, sum(c12) AS c1 FROM bg GROUP BY ALL
+    ), rm AS (
+        SELECT w2, sum(c12) AS c2 FROM bg GROUP BY ALL
+    ), nb AS (SELECT sum(c12) AS n_bg FROM bg)
     SELECT w1, w2,
            CAST(c12 AS BIGINT) AS n_pair,
-           ln((c12 / nb.n_bg)
-              / ((u1.c / nt.n_tok) * (u2.c / nt.n_tok))) AS pmi
+           ln((c12 * nb.n_bg) / (lm.c1 * rm.c2)) AS pmi
     FROM pair
-    JOIN uni u1 ON pair.w1 = u1.w
-    JOIN uni u2 ON pair.w2 = u2.w
-    CROSS JOIN nt CROSS JOIN nb
+    JOIN lm USING (w1)
+    JOIN rm USING (w2)
+    CROSS JOIN nb
     ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
     """,
 )
 def token_pmi_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-50 adjacent-token pairs by PMI — collocation/phrase mining
-    (word2vec phrase pass) with a min-count-5 Zipf-tail prune applied
-    BEFORE the unigram joins; deterministic (pmi DESC, w1, w2) top-k
-    plans as TakeOrderedAndProject (operators/ngram_lm.py)."""
+    """Top-50 adjacent-token pairs by PMI over the joint bigram
+    distribution (marginals of the pair table itself — one corpus pass;
+    operators/ngram_lm.py) with a min-count-5 Zipf-tail prune applied
+    BEFORE the marginal joins; deterministic (pmi DESC, w1, w2) top-k
+    plans as TakeOrderedAndProject."""
     from pydatalake_spark.operators.ngram_lm import token_pmi
 
-    return token_pmi(_t(spark, sf, "documents"))
+    return token_pmi(_t(spark, sf, "documents"), cache_model=True)
 
 
 @q(

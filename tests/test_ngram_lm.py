@@ -32,11 +32,14 @@ def _py_bigram_surprisal(texts: dict[int, str], k: float = 0.5):
     docs_bg = {}
     for did, t in texts.items():
         toks = t.strip().split(" ")
-        vocab.update(toks)
         pairs = list(zip(toks, toks[1:]))
         docs_bg[did] = pairs
         bg.update(pairs)
         ctx.update(w1 for w1, _ in pairs)
+        # r7: |V| is the LM's actual support (w1 ∪ w2 of observed
+        # bigrams) — tokens appearing ONLY in single-token docs never
+        # enter any p(w2|w1)
+        vocab.update(w for p in pairs for w in p)
     v = len(vocab)
     out = {}
     for did, pairs in docs_bg.items():
