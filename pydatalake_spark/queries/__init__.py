@@ -14,75 +14,70 @@ for _mod in (relational, text, similarity):
     ORACLE.update(_mod.ORACLE)
 
 # The driver's correctness gate checks the FIRST 50 registry entries per
-# round. The union of green driver rows across r01–r05 covers the ENTIRE
-# registry (164 keys after the round-6 additions), so from
-# round 6 on the front is rotation: new/changed queries first.
-#   (a) queries whose implementation CHANGED this round — the numpy
-#       partial-bitmap bloom build + shared _decon_exl cache (the three
-#       decontamination queries), the window-free source_mix_weights
-#       rewrite, and the two queries exercising the hardened multimodal
-#       module.
-#   (b) 42 canaries: one stable representative per operator family,
-#       rotated to the members whose last green driver row is OLDEST
-#       (r01/r02) so driver confirmation stays fresh across the registry.
+# round. The green driver-row union covers the ENTIRE registry since r05,
+# so the front is pure rotation (VERDICT r6 item 5: no row older than 3
+# rounds):
+#   (a) queries whose implementation CHANGED this round — the bigram LM /
+#       PMI rework (one-corpus-pass model tables, arrays_zip pair build,
+#       new |V| / joint-marginal definitions in BOTH engine and oracle).
+#   (b) 48 canaries: every query whose last green driver row is r01–r03,
+#       plus the 7 stalest r04 rows.
 _GATE_FRONT = [
-    # (a) changed or added this round
-    "pipeline_decontaminated_corpus",
-    "strip_contaminated_spans",
-    "decontamination_audit",
-    "bloom_decontamination",
-    "exact_ngram_decontamination",
-    "source_mix_weights",
-    "multimodal_features",
-    "image_phash_near_dup",
-    # (b) canaries — TPC-H family
-    "q2_min_price_part",
-    "q4_order_priority",
-    "q6_revenue_delta",
-    "q8_market_share",
-    "q11_supplier_concentration",
-    "q13_customer_distribution",
-    "q18_large_volume_customer",
-    "q21_sole_returned_supplier",
-    # core relational ops
-    "filter_project",
-    "cast_projection",
-    "distinct_full",
-    "dedup_keep_last",
-    "tables_diff_subset",
-    "delta_append_diff",
-    "merge_upsert_orders",
-    "semi_join",
-    "partition_values",
-    "uniqueness_probe",
-    # windows / time
-    "window_rank",
-    "window_lag_lead",
-    "window_time_range_avg",
-    "range_join_events",
-    "resample_ffill",
-    "hopping_window_agg",
-    "cohort_retention",
-    "funnel_view_click_purchase",
-    "exact_percentiles",
-    # aggregates / scalars
-    "grouping_sets_agg",
-    "pivot_linestatus",
-    "string_agg_per_group",
-    "scalar_functions",
-    "json_extract",
-    "array_functions",
-    # text / dedup pipeline
-    "text_quality_score",
-    "text_langid",
-    "winnow_fingerprints",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "near_dup_clusters",
-    "gopher_quality_flags",
-    # embedding
-    "embedding_near_dup",
+    # (a) changed this round
+    "bigram_perplexity",
+    "token_pmi",
+    # (b) last green r01
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    # last green r02
+    "agg_min_max",
+    "conditional_agg",
+    "cube_agg",
+    "date_series",
+    "distinct_counts",
+    "drop_columns",
+    "except_keys",
+    "intersect_keys",
+    "interval_arith",
+    "null_semantics",
+    "q5_local_supplier_volume",
+    "rollup_agg",
+    "session_stats",
+    "sort_multi",
+    "sql_predicate_filter",
+    "table_profile",
+    "tables_diff_cast",
+    "time_bucket",
+    "time_range_filter",
+    "union_by_name",
+    "zscore_outliers",
+    # last green r03
+    "ann_lsh_buckets",
+    "ann_multiprobe_candidates",
+    "bpe_token_stats",
+    "embedding_stats",
+    "incremental_near_dup",
+    "pipeline_clean_corpus_v3",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q22_dormant_customers",
+    "q7_nation_volume",
+    "quality_classifier",
+    "split_contamination",
+    "stratified_sample_docs",
+    "tfidf_keywords",
+    "token_frequencies",
+    "train_test_split",
+    # stalest r04 rows
+    "ann_bucket_candidates",
+    "bpe_pair_counts",
+    "char_entropy",
+    "cms_heavy_hitters",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_repetition_stats",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]
