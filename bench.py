@@ -337,9 +337,47 @@ def _time_oracles() -> dict[str, float]:
     return timings
 
 
+_TASK_BINARY_RE = re.compile(
+    r"Broadcasting large task binary with size ([\d.]+) (KiB|MiB|GiB)"
+)
+# Spark fails jobs outright as serialized task closures approach the RPC
+# message ceiling (~8 MiB default); warn-level today is ~1 MiB. A fused
+# plan silently growing past 4 MiB is halfway to a cluster failure — the
+# bench must catch it before a user does (VERDICT r6 item 7).
+TASK_BINARY_MAX_KIB = 4096.0
+
+
+def _task_binary_max_kib(stderr_path: str) -> float:
+    """Largest 'Broadcasting large task binary' warning in the captured
+    JVM stderr, in KiB (0.0 = every task closure stayed under Spark's
+    ~1 MiB warn threshold)."""
+    unit = {"KiB": 1.0, "MiB": 1024.0, "GiB": 1024.0 * 1024.0}
+    worst = 0.0
+    try:
+        with open(stderr_path, errors="replace") as f:
+            for line in f:
+                m = _TASK_BINARY_RE.search(line)
+                if m:
+                    worst = max(worst, float(m.group(1)) * unit[m.group(2)])
+    except OSError:
+        pass
+    return round(worst, 1)
+
+
 def main() -> None:
     from pydatalake_spark.queries import QUERIES
     from pydatalake_spark.session import get_spark
+
+    # capture the JVM's stderr (log4j console = System.err, inherited
+    # from this process's fd 2 when the gateway launches) so the
+    # task-binary guard can read the broadcast-size warnings afterwards
+    stderr_capture = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "pydatalake_bench_stderr.log"
+    )
+    _saved_stderr = os.dup(2)
+    _cap = os.open(stderr_capture, os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
+    os.dup2(_cap, 2)
+    os.close(_cap)
 
     # no console progress bar: its \r frames would land in the driver's
     # 2000-char stdout tail after the JSON line and break the parse
@@ -389,6 +427,19 @@ def main() -> None:
     if SCALING_PROBE:
         detail["scaling_probe"] = _scaling_probe(spark, QUERIES)
 
+    # task-binary guard: restore stderr, then read the capture
+    os.dup2(_saved_stderr, 2)
+    os.close(_saved_stderr)
+    binary_kib = _task_binary_max_kib(stderr_capture)
+    detail["task_binary_max_kib"] = binary_kib
+    if binary_kib > TASK_BINARY_MAX_KIB:
+        raise RuntimeError(
+            f"a query broadcast a {binary_kib} KiB task binary "
+            f"(guard: {TASK_BINARY_MAX_KIB} KiB) — a fused plan is "
+            "approaching Spark's RPC ceiling; unfuse or broadcast the "
+            "payload as data, not closure"
+        )
+
     # Full numbers go to a side file; stdout gets ONE COMPACT line. The
     # driver records only the last 2000 chars of stdout and parses the JSON
     # line out of that tail — round 2's full-detail line was ~4k chars and
@@ -404,6 +455,7 @@ def main() -> None:
         "queries": {n: round(v, 2) for n, v in timings.items()},
         "oracle_total_sec": oracle_total,
         "vs_oracle_ratio": detail["vs_oracle_ratio"],
+        "task_binary_max_kib": binary_kib,
         # the 5 worst spark/duckdb ratios among queries where the oracle
         # does >= 50 ms of real work — below that the ratio only measures
         # Spark's fixed per-query overhead, not the plan
