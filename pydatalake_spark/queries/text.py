@@ -2149,10 +2149,10 @@ def _cms_bucket_col(tok, i: int):
     ), top AS (
         SELECT tok, n FROM exact ORDER BY n DESC, tok ASC LIMIT 20
     ), rows AS (
-        SELECT i, {_cms_bucket_sql('tok', 'i')} AS b
-        FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        SELECT i, {_cms_bucket_sql('tok', 'i')} AS b, n
+        FROM exact CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
     ), cms AS (
-        SELECT i, b, count(*) AS c FROM rows GROUP BY i, b
+        SELECT i, b, sum(n) AS c FROM rows GROUP BY i, b
     ), probe AS (
         SELECT tok, n, i, {_cms_bucket_sql('tok', 'i')} AS b
         FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
@@ -2168,15 +2168,22 @@ def cms_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
     token stream: a 4x256 mergeable counter grid estimates any token's
     frequency within epsilon*N with cms_n >= exact_n always (pytest pins
     the one-sided bound). The query reports the sketch estimate next to
-    the exact count for the top-20 tokens. Scale shape: the sketch
-    build's map-side partial agg collapses every task to <= 1024 rows
-    before the (tiny) exchange — streamable and unionable across corpus
-    shards, unlike the exact counter whose state is vocabulary-sized."""
+    the exact count for the top-20 tokens.
+
+    Scale shape (r7): this DIAGNOSTIC must compute the exact token
+    histogram anyway (the comparison side), and every grid cell is a
+    linear function of that histogram — so the sketch derives from the
+    vocabulary-sized ``exact`` table (4x|V| rows, weight-summed) instead
+    of re-exploding the corpus-sized token stream 4x; the histogram agg
+    is the query's only corpus pass and exchange-reuses into the top-20.
+    A standalone/streaming sketch build (no exact side) still collapses
+    map-side to <= 1024 rows per task before the tiny exchange."""
     d = _t(spark, sf, "documents")
     tok = d.select(F.explode(tokenize("text")).alias("tok"))
     exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     top = exact.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
-    rows = tok.select(
+    rows = exact.select(
+        "n",
         F.explode(
             F.array(
                 *[
@@ -2187,9 +2194,9 @@ def cms_heavy_hitters_q(spark: SparkSession, sf: str) -> DataFrame:
                     for i in range(_CMS_D)
                 ]
             )
-        ).alias("s")
-    ).select("s.i", "s.b")
-    cms = rows.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+        ).alias("s"),
+    ).select("s.i", "s.b", "n")
+    cms = rows.groupBy("i", "b").agg(F.sum("n").alias("c"))
     probe = top.select(
         "tok",
         "n",
