@@ -827,10 +827,17 @@ def rp_project(
     Scale: the matrix is literal (folded into codegen); each output dim
     is one dot product against a constant array — no shuffle, no Python,
     map-only."""
+    proj = _rp_proj_expr(to_double_array(vec_col), out_dim, dim)
+    return emb.select(F.col(id_col), proj.alias("proj"))
+
+
+def _rp_proj_expr(dv, out_dim: int, dim: int):
+    """The projection as a column expression over a double-array input —
+    shared by rp_project and rp_distortion so the distortion readout can
+    stay map-only (both ||Pv|| and ||v|| come from the same row)."""
     scale = 1.0 / float(out_dim) ** 0.5
     signs = _jl_signs(out_dim, dim)
-    dv = to_double_array(vec_col)
-    proj = F.array(
+    return F.array(
         *[
             (
                 F.aggregate(
@@ -847,7 +854,6 @@ def rp_project(
             for j in range(out_dim)
         ]
     )
-    return emb.select(F.col(id_col), proj.alias("proj"))
 
 
 def rp_distortion(
@@ -861,10 +867,17 @@ def rp_distortion(
     ratio ||Pv|| / ||v|| aggregated to (n_vectors, avg_ratio, min_ratio,
     max_ratio) — the acceptance check before swapping the projected
     vectors into the ANN tier (ratios concentrated near 1 = distances
-    survive the 4x shrink)."""
-    pr = rp_project(emb, out_dim, id_col, vec_col, dim)
-    src = emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
-    j = pr.join(src, id_col).select(
+    survive the 4x shrink).
+
+    Map-only (r7): ||Pv|| and ||v|| come from the SAME row, so no
+    id-keyed join — the old plan shuffled the corpus once just to pair a
+    vector with its own projection. Both arrays are bound to REAL
+    columns before the norm HOFs (re-inline hazard)."""
+    bound = emb.select(to_double_array(vec_col).alias("dv"))
+    pr = bound.withColumn(
+        "proj", _rp_proj_expr(F.col("dv"), out_dim, dim)
+    )
+    j = pr.select(
         (l2_norm(F.col("proj")) / l2_norm(F.col("dv"))).alias("r")
     )
     return j.agg(
