@@ -485,3 +485,24 @@ def test_fused_audit_plan_single_wh_shuffle(spark):
     # (keys=[doc_id] exactly; the (doc_id, wh) distincts of the shared
     # window-table build are a different aggregate)
     assert len(re.findall(r"HashAggregate\(keys=\[doc_id#\d+L\]", p)) == 2
+
+
+def test_rp_distortion_is_join_free(spark):
+    # r7: ||Pv|| and ||v|| come from the same row — the readout must be
+    # map-only + one scalar aggregate, never an id-keyed self-join
+    p = physical_plan(spark, "rp_distortion")
+    assert "Join" not in p
+    assert "MapInPandas" not in p  # stays whole-stage codegen
+
+
+def test_cms_grid_builds_from_histogram_not_token_stream(spark):
+    # r7: the sketch derives from the vocabulary-sized exact histogram
+    # (weight-summed). Both consumers (grid + top-20) share the SAME
+    # histogram aggregate, so the executed adaptive plan must reuse that
+    # exchange — the old shape's grid branch exploded the raw token
+    # stream 4x and had nothing to share
+    df = QUERIES["cms_heavy_hitters"](spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p or "ReusedQueryStage" in p
+    assert "SortMergeJoin" not in p
