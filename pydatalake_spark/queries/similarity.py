@@ -577,9 +577,24 @@ def hard_triplet_mining_q(spark: SparkSession, sf: str) -> DataFrame:
     per-batch local top-k prune; pytest-pinned equal to the expression
     form ``hard_triplets``, which stays the oracle-exact baseline)."""
     from pydatalake_spark.operators.similarity import hard_triplets_numpy
+    from pydatalake_spark.queries.text import _session_cached
 
     e = _t(spark, sf, "embeddings")
-    return hard_triplets_numpy(e, e.filter(F.col("vec_id") < 10), k_neg=5)
+    # per-corpus cached anchor rows (≤10 by the filter): the anchor-scan
+    # job runs once per session, every later call fuses the collected
+    # matrix straight into the batch closure
+    rows = _session_cached(
+        spark,
+        _TRIPLET_ANCHORS,
+        sf,
+        lambda: e.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding", "label")
+        .collect(),
+    )
+    return hard_triplets_numpy(e, None, k_neg=5, anchor_rows=rows)
+
+
+_TRIPLET_ANCHORS: dict = {}
 
 
 # ---------------------------------------------------------------------------
