@@ -267,6 +267,21 @@ def _probe_callable(name, queries):
             )
 
         return fn
+    if name == "embedding_near_dup":
+        # the registry entry pins num_planes=8 so the static oracle SQL
+        # can replay the bucket hash — fine at gate SF, QUADRATIC at
+        # probe scale (fixed 256 buckets ⇒ pair volume ~n²/256; the r7
+        # 100× probe caught one task interpreting cosine for 19 min).
+        # The operator's scale path auto-sizes the plane count; probe
+        # that, like the other registry-vs-scale bypasses here.
+        from pydatalake_spark.operators.similarity import embedding_near_dup
+        from pydatalake_spark.queries.tables import load_table
+
+        return lambda spark, sf_dir: embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"),
+            threshold=0.3,
+            num_planes=None,
+        )
     if name == "bigram_perplexity":
         # the registry entry persists the bigram model table
         # (cache_model=True) — probing it would time a cache READ on the

@@ -72,6 +72,35 @@ def cosine_topk(
     )
 
 
+LSH_TARGET_BUCKET_OCCUPANCY = 16
+
+
+def suggest_num_planes(
+    n_vectors: int,
+    min_planes: int = 8,
+    max_planes: int = 24,
+    target_occupancy: int = LSH_TARGET_BUCKET_OCCUPANCY,
+) -> int:
+    """Plane count that keeps expected bucket occupancy ~constant:
+    ``2^p ≈ n / target`` ⇒ same-bucket candidate pairs ``Σ_b n_b² ≈
+    n·target`` stay LINEAR in the corpus. A FIXED plane count is
+    quadratic — at 100× the sf0.1 embeddings (500k vectors / 256
+    buckets ≈ 2k per bucket ≈ 490M candidate pairs) the 8-plane default
+    pinned one executor task in the interpreted cosine verify for 19+
+    minutes; the r7 100× scaling probe caught it (SCALE.md §100×).
+    ``max_planes`` caps the bucket string at 24 bits — past that,
+    occupancy ~1 and more planes only cost recall.
+    """
+    import math
+
+    if n_vectors <= target_occupancy:
+        return min_planes
+    return max(
+        min_planes,
+        min(max_planes, math.ceil(math.log2(n_vectors / target_occupancy))),
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -462,7 +491,7 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     dim: int = 64,
     multiprobe: bool = False,
 ) -> DataFrame:
@@ -478,7 +507,14 @@ def embedding_near_dup(
     (`lsh_multiprobe_candidates`): higher recall near the threshold at a
     constant (num_planes+1)× candidate fan-out — the exact-cosine verify
     keeps precision unchanged either way.
+
+    ``num_planes=None`` auto-sizes the plane count from the corpus
+    (``suggest_num_planes`` — one count job) so bucket occupancy, and
+    with it the candidate-pair volume, stays linear at ANY corpus size;
+    a pinned plane count is only for oracle-matched fixtures.
     """
+    if num_planes is None:
+        num_planes = suggest_num_planes(df.count())
     gen = lsh_multiprobe_candidates if multiprobe else lsh_bucket_candidates
     cand = gen(df, id_col, vec_col, num_planes, dim).select("id_a", "id_b")
     vecs = df.select(F.col(id_col), to_double_array(vec_col).alias("__v"))

@@ -1283,3 +1283,37 @@ def test_membership_screen_join_tier_without_broadcast(spark):
     hits = {r.k: r.bf_hit for r in rows}
     assert all(hits[f"jt-{i}"] for i in range(400))  # no false negatives
     assert sum(hits[f"jt-{i}"] for i in range(400, 800)) / 400 < 0.05
+
+
+def test_suggest_num_planes_keeps_occupancy_linear(spark):
+    """r7 100x-probe finding: a FIXED LSH plane count makes same-bucket
+    candidate pairs quadratic (n²/2^p). The auto-sizer must grow the
+    bucket space with the corpus so expected occupancy (and with it the
+    per-vector candidate count) stays ~constant."""
+    from pydatalake_spark.operators.similarity import (
+        embedding_near_dup,
+        suggest_num_planes,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    assert suggest_num_planes(100) == 8          # floor
+    assert suggest_num_planes(5_000) == 9
+    assert suggest_num_planes(500_000) == 15
+    assert suggest_num_planes(10**9) == 24       # cap
+    # occupancy n/2^p bounded by ~2x the target across the range
+    for n in (10_000, 10**6, 10**7):
+        p = suggest_num_planes(n)
+        assert n / 2**p <= 2 * 16
+
+    # auto path == explicit path at the suggested count
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p = suggest_num_planes(e.count())
+    auto = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(e, num_planes=None).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(e, num_planes=p).collect()
+    }
+    assert auto == explicit
