@@ -345,9 +345,12 @@ def _time_oracles() -> dict[str, float]:
         if sql is None:  # rows-only queries (ivf_topk, ...) have no oracle
             continue
         con.execute(sql).fetchall()  # warm the buffer pool / plan cache
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # min-of-2, mirroring the Spark loop
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     con.close()
     return timings
 
@@ -412,11 +415,18 @@ def main() -> None:
     # asymmetric: each Spark timed run landed ~95 queries after its warm
     # run, paying code-cache/GC/OS-page decay the oracle never pays, and
     # per-query numbers showed ±10x adjacency noise on queries whose
-    # isolated warm runs sit at oracle parity.)
+    # isolated warm runs sit at oracle parity.) Each side then takes the
+    # MIN of two timed runs: a single run still catches stray GC pauses /
+    # AQE replans worth ~1s on sub-second queries, which read as fake
+    # ≥10x ratios; min-of-2 is the standard steady-state estimator and
+    # is applied to the oracle loop identically.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = _run_timed(QUERIES[name], spark, SF_DIR)
+        timings[name] = min(
+            _run_timed(QUERIES[name], spark, SF_DIR),
+            _run_timed(QUERIES[name], spark, SF_DIR),
+        )
     total = round(sum(timings.values()), 4)
 
     oracle_timings = _time_oracles()

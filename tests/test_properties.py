@@ -262,11 +262,16 @@ def test_bigram_surprisal_matches_model(spark, corpus):
     for did, t in texts.items():
         # match engine tokenization exactly: split(trim(t), ' ')
         toks = t.strip().split(" ")
-        vocab.update(toks)
         pairs = list(zip(toks, toks[1:]))
         per_doc[did] = pairs
         bg.update(pairs)
         ctx.update(w for w, _ in pairs)
+        # r7 semantics: |V| is the LM's actual support — w1 ∪ w2 of
+        # observed bigrams, NOT the corpus unigram vocabulary (a token
+        # occurring only in single-token docs never enters any p(w2|w1))
+        for w1, w2 in pairs:
+            vocab.add(w1)
+            vocab.add(w2)
     v = len(vocab)
     for did, pairs in per_doc.items():
         if not pairs:
