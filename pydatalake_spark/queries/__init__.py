@@ -19,13 +19,17 @@ for _mod in (relational, text, similarity):
 # rounds):
 #   (a) queries whose implementation CHANGED this round — the bigram LM /
 #       PMI rework (one-corpus-pass model tables, arrays_zip pair build,
-#       new |V| / joint-marginal definitions in BOTH engine and oracle).
-#   (b) 48 canaries: every query whose last green driver row is r01–r03,
-#       plus the 7 stalest r04 rows.
+#       new |V| / joint-marginal definitions in BOTH engine and oracle),
+#       the map-only rp_distortion readout, and hard_triplet_mining's
+#       cached-anchor rework (also r04-stale).
+#   (b) 46 canaries: every query whose last green driver row is r01–r03,
+#       plus the stalest r04 rows (the remaining r04 rows rotate in r08).
 _GATE_FRONT = [
     # (a) changed this round
     "bigram_perplexity",
     "token_pmi",
+    "rp_distortion",
+    "hard_triplet_mining",
     # (b) last green r01
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -75,9 +79,7 @@ _GATE_FRONT = [
     "bpe_pair_counts",
     "char_entropy",
     "cms_heavy_hitters",
-    "doc_chunks",
     "doc_fingerprint",
-    "doc_repetition_stats",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]
