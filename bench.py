@@ -158,6 +158,8 @@ PROBE_QUERIES = [
     "hard_triplet_mining",
     "bloom_decontamination",
     "bigram_perplexity",
+    "token_pmi",
+    "near_dup_clusters",
     "pipeline_decontaminated_corpus",
     "strip_contaminated_spans",
 ]
@@ -292,6 +294,36 @@ def _probe_callable(name, queries):
         return lambda spark, sf_dir: bigram_surprisal(
             load_table(spark, sf_dir, "documents"), cache_model=False
         )
+    if name == "token_pmi":
+        # same cache_model bypass as bigram_perplexity
+        from pydatalake_spark.operators.ngram_lm import token_pmi
+        from pydatalake_spark.queries.tables import load_table
+
+        return lambda spark, sf_dir: token_pmi(
+            load_table(spark, sf_dir, "documents"), cache_model=False
+        )
+    if name == "near_dup_clusters":
+        # the registry entry reads the materialized _jaccard_pairs cache;
+        # probe the full pairs -> iterative-CC chain instead (threshold
+        # 0.55 keeps the plan distinct from the cached one, same as the
+        # ngram_jaccard_pairs bypass) — CC is the probe set's only
+        # ITERATIVE operator, the classic superlinear risk
+        from pydatalake_spark.operators.cluster import connected_components
+        from pydatalake_spark.operators.ngram_jaccard import (
+            ngram_jaccard_pairs,
+        )
+        from pydatalake_spark.queries.tables import load_table
+        from pydatalake_spark.queries.text import _MH_K, _ngram_max_df
+
+        def cc_fn(spark, sf_dir):
+            d = load_table(spark, sf_dir, "documents")
+            pairs = ngram_jaccard_pairs(
+                d, shingle_size=_MH_K, threshold=0.55,
+                max_df=_ngram_max_df(d),
+            )
+            return connected_components(pairs)
+
+        return cc_fn
     return queries[name]
 
 
