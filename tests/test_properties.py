@@ -324,3 +324,93 @@ def test_label_propagation_matches_model(spark, edges):
             new[n] = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
         lab = new
     assert got == lab
+
+
+# ---------------------------------------------------------------------------
+# Distributed feather reader vs the schema-unify model (r7 hardening):
+# randomized heterogeneous file schemas — a column missing from some files,
+# an int64-vs-string conflict on another — must read back exactly as the
+# promotion-lattice model predicts (missing -> null fill, long+string ->
+# string with decimal-repr casts), never as an executor-side KeyError/cast
+# failure. Fuzzes the surface the r6 VERDICT marked weak.
+# ---------------------------------------------------------------------------
+
+_FEATHER_FILE = st.tuples(
+    st.sampled_from(["int", "str", "none"]),  # flavor of column "a"
+    st.booleans(),  # include "b" (string)
+    st.booleans(),  # include "c" (double)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.text(alphabet="xy", max_size=2),
+            st.floats(min_value=-8, max_value=8, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(files=st.lists(_FEATHER_FILE, min_size=1, max_size=3))
+def test_feather_dir_mixed_schema_matches_unify_model(spark, files):
+    import os
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    import pyarrow as pa
+    from hypothesis import assume
+    from pyarrow import feather as paf
+
+    from pydatalake_spark.sources.read import read_feather
+
+    # a feather file needs at least one column to exist on disk
+    assume(all(fl != "none" or b or c for fl, b, c, _ in files))
+
+    a_flavors = [fl for fl, *_ in files if fl != "none"]
+    has_a = bool(a_flavors)
+    a_is_str = "str" in a_flavors  # long + string promotes to string
+    has_b = any(b for _, b, _, _ in files)
+    has_c = any(c for _, _, c, _ in files)
+
+    base = tempfile.mkdtemp(prefix="feather_prop_")
+    try:
+        expected: Counter = Counter()
+        for i, (fl, b, c, rows) in enumerate(files):
+            cols = {}
+            if fl == "int":
+                cols["a"] = pa.array([r[0] for r in rows], pa.int64())
+            elif fl == "str":
+                cols["a"] = pa.array([str(r[0]) for r in rows], pa.string())
+            if b:
+                cols["b"] = pa.array([r[1] for r in rows], pa.string())
+            if c:
+                cols["c"] = pa.array([r[2] for r in rows], pa.float64())
+            paf.write_feather(
+                pa.table(cols), os.path.join(base, f"f{i}.feather")
+            )
+            for r in rows:
+                t = ()
+                if has_a:
+                    if fl == "none":
+                        t += (None,)
+                    elif a_is_str:
+                        t += (str(r[0]),)  # int64->string casts decimal
+                    else:
+                        t += (r[0],)
+                if has_b:
+                    t += (r[1] if b else None,)
+                if has_c:
+                    t += (r[2] if c else None,)
+                expected[t] += 1
+        back = read_feather(spark, base)
+        names = [
+            n
+            for n, present in (("a", has_a), ("b", has_b), ("c", has_c))
+            if present
+        ]
+        got = Counter(tuple(row[n] for n in names) for row in back.collect())
+        assert got == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
