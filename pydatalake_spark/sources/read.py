@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -227,18 +228,30 @@ def _parse_part_value(v: str):
     return unquote(v)
 
 
+_PART_INT_RE = re.compile(r"[+-]?[0-9]+")
+_PART_FLOAT_RE = re.compile(
+    r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
+)
+
+
 def _promote_part_type(vals: list) -> T.DataType:
-    """Long if ALL non-null observed values parse int, else Double if all
-    parse float, else String (the permissive promotion the driver-edge
-    pa.concat_tables path had)."""
+    """Long if ALL non-null observed values are strict decimal integers in
+    int64 range, else Double if all are strict decimal/scientific floats,
+    else String (all-null keys stay String).
+
+    STRICT regex parsing, NOT python int()/float(): those accept
+    underscore separators (``int("1_0") == 10``), surrounding whitespace,
+    unicode digits, and ``nan``/``inf`` spellings — any of which would
+    silently corrupt a string partition value into a number. Spark's own
+    hive partition type inference is strict the same way."""
     nonnull = [v for v in vals if v is not None]
-    for cast, dtype in ((int, T.LongType()), (float, T.DoubleType())):
-        try:
-            for v in nonnull:
-                cast(v)
-            return dtype
-        except ValueError:
-            continue
+    if nonnull and all(
+        _PART_INT_RE.fullmatch(v) and -(1 << 63) <= int(v) < (1 << 63)
+        for v in nonnull
+    ):
+        return T.LongType()
+    if nonnull and all(_PART_FLOAT_RE.fullmatch(v) for v in nonnull):
+        return T.DoubleType()
     return T.StringType()
 
 

@@ -277,3 +277,28 @@ def test_feather_hive_null_sentinel_and_escapes(spark, tmpdir_path):
     feather.write_feather(t, os.path.join(base2, "k=a%20b", "f.feather"))
     back2 = read_feather(spark, base2)
     assert [r.k for r in back2.collect()] == ["a b"]
+
+
+def test_feather_hive_adversarial_numeric_spellings_stay_string(
+    spark, tmpdir_path
+):
+    """Values python's int()/float() would happily parse but hive never
+    writes as numbers — underscore separators, padded whitespace (URL-
+    escaped), nan — must type STRING, not silently corrupt into numerics
+    (int('1_0') == 10). The strict-regex promotion pins this."""
+    from pydatalake_spark.sources.read import read_feather
+
+    t = pa.table({"v": pa.array([1], pa.int64())})
+    cases = {
+        "underscore": (["k=1_0", "k=2"], {"1_0", "2"}),
+        "whitespace": (["k=%205", "k=7"], {" 5", "7"}),
+        "nan": (["k=nan", "k=1.5"], {"nan", "1.5"}),
+    }
+    for name, (dirs, want) in cases.items():
+        base = os.path.join(tmpdir_path, f"adv_{name}")
+        for d in dirs:
+            os.makedirs(os.path.join(base, d))
+            feather.write_feather(t, os.path.join(base, d, "f.feather"))
+        back = read_feather(spark, base)
+        assert dict(back.dtypes)["k"] == "string", name
+        assert {r.k for r in back.collect()} == want, name
