@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "dsir_importance",
     "exact_ngram_decontamination",
     "quality_classifier",
+    "quality_classifier_train",
     "bpe_pair_counts",
     "hard_triplet_mining",
     "image_phash_near_dup",

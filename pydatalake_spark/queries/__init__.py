@@ -17,69 +17,65 @@ for _mod in (relational, text, similarity):
 # round. The green driver-row union covers the ENTIRE registry since r05,
 # so the front is pure rotation (VERDICT r6 item 5: no row older than 3
 # rounds):
-#   (a) queries whose implementation CHANGED this round — the bigram LM /
-#       PMI rework (one-corpus-pass model tables, arrays_zip pair build,
-#       new |V| / joint-marginal definitions in BOTH engine and oracle),
-#       the map-only rp_distortion readout, and hard_triplet_mining's
-#       cached-anchor rework (also r04-stale).
-#   (b) 46 canaries: every query whose last green driver row is r01–r03,
-#       plus the stalest r04 rows (the remaining r04 rows rotate in r08).
+#   (a) queries NEW or changed this round — the round-8 distributed
+#       logistic-regression trainer (`quality_classifier_train`).
+#   (b) 49 canaries: all 22 queries whose last green driver row is r04,
+#       then the 27 stalest r05 rows (the rest rotate in r09). r07's
+#       front refreshed every r01-r03 row plus the stalest r04 tail.
 _GATE_FRONT = [
-    # (a) changed this round
-    "bigram_perplexity",
-    "token_pmi",
-    "rp_distortion",
-    "hard_triplet_mining",
-    # (b) last green r01
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    # last green r02
-    "agg_min_max",
-    "conditional_agg",
-    "cube_agg",
-    "date_series",
-    "distinct_counts",
-    "drop_columns",
-    "except_keys",
-    "intersect_keys",
-    "interval_arith",
-    "null_semantics",
-    "q5_local_supplier_volume",
-    "rollup_agg",
-    "session_stats",
-    "sort_multi",
-    "sql_predicate_filter",
-    "table_profile",
-    "tables_diff_cast",
-    "time_bucket",
-    "time_range_filter",
-    "union_by_name",
-    "zscore_outliers",
-    # last green r03
-    "ann_lsh_buckets",
-    "ann_multiprobe_candidates",
-    "bpe_token_stats",
-    "embedding_stats",
-    "incremental_near_dup",
-    "pipeline_clean_corpus_v3",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_excess_stock_suppliers",
-    "q22_dormant_customers",
-    "q7_nation_volume",
-    "quality_classifier",
-    "split_contamination",
-    "stratified_sample_docs",
-    "tfidf_keywords",
-    "token_frequencies",
-    "train_test_split",
-    # stalest r04 rows
-    "ann_bucket_candidates",
-    "bpe_pair_counts",
-    "char_entropy",
-    "cms_heavy_hitters",
-    "doc_fingerprint",
+    # (a) new this round
+    "quality_classifier_train",
+    # (b) last green r04
+    "q9_product_type_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "session_sequences",
+    "k_anonymity_screen",
+    "key_skew_profile",
+    "event_transition_matrix",
+    "text_token_stats",
+    "simhash_fingerprints",
+    "unigram_surprisal",
+    "token_budget_sample",
+    "pipeline_clean_corpus",
+    "pipeline_clean_corpus_v2",
+    "pii_redact",
+    "doc_repetition_stats",
+    "sequence_pack",
+    "doc_chunks",
+    "lsh_recall_eval",
+    "embedding_normalize",
+    "embedding_quantize",
+    "edit_distance_near_dup",
+    "dup_cluster_histogram",
+    # stalest r05 rows
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "dedup_keep_first",
+    "tables_diff_full",
+    "topk_orders",
+    "window_running_sum",
+    "sessionize",
+    "asof_join_events",
+    "exact_dedup_docs",
+    "near_dup_pairs",
+    "simhash_near_dup",
+    "cosine_topk",
+    "dup_span_stats",
+    "strip_dup_spans",
+    "semantic_dedup",
+    "dsir_importance",
+    "ann_recall_eval",
+    "ivf_topk",
+    "zipf_fit",
+    "approx_profile",
+    "multires_rollup",
+    "rolling_median_value",
+    "value_histogram",
+    "prefix_dup_docs",
+    "minhash_jaccard_estimate",
+    "cap_per_source",
+    "near_dup_communities",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

@@ -1903,6 +1903,147 @@ def quality_classifier_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----- quality_classifier_train: distill the Gopher rule gate into a
+# trained logistic model (operators/classifier.py). Hyperparameters are
+# shared module constants so the Spark trainer and the unrolled-SQL
+# oracle cannot drift.
+_QCT_ITERS = 5
+_QCT_LR = 2.0
+_QCT_FEATS = ["len", "stop", "alpha", "punct"]
+
+
+def _qct_oracle() -> str:
+    """Unrolled full-batch GD in ANSI SQL: one weight CTE per iteration,
+    each a single aggregation over the standardized feature CTE cross-
+    joined with the previous (1-row) weight CTE — the SQL mirror of
+    `operators/classifier.py:logreg_step`."""
+    fs = _QCT_FEATS
+    zexpr = lambda w: " + ".join(f"{w}.w_{f} * x_{f}" for f in fs) + f" + {w}.bias"
+    cte = [
+        f"""
+    WITH tok AS (
+        SELECT text, string_split(trim(text), ' ') AS toks FROM documents
+    ), raw AS (
+        SELECT
+            coalesce(least(len(toks) / 100.0, 1.0), 0.0) AS f_len,
+            coalesce(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                / CAST(len(toks) AS DOUBLE), 0.0) AS f_stop,
+            coalesce(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                / CAST(len(toks) AS DOUBLE), 0.0) AS f_alpha,
+            coalesce((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                / CAST(nullif(length(text), 0) AS DOUBLE), 0.0) AS f_punct,
+            CAST(len(toks) BETWEEN 10 AND 100000
+                 AND len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                     / CAST(len(toks) AS DOUBLE) >= 0.8
+                 AND len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                     / CAST(len(toks) AS DOUBLE) >= 0.02
+                 AS DOUBLE) AS y
+        FROM tok
+    ), st AS (
+        SELECT {", ".join(f"avg(f_{f}) AS m_{f}, stddev_pop(f_{f}) AS s_{f}" for f in fs)}
+        FROM raw
+    ), feats AS (
+        SELECT y,
+            {", ".join(f"CASE WHEN s_{f} > 0 THEN (f_{f} - m_{f}) / s_{f} ELSE 0.0 END AS x_{f}" for f in fs)}
+        FROM raw, st
+    ), w0 AS (
+        SELECT {", ".join(f"0.0 AS w_{f}" for f in fs)}, 0.0 AS bias
+    )"""
+    ]
+    for i in range(1, _QCT_ITERS + 1):
+        p = f"w{i - 1}"
+        resid = f"(1.0 / (1.0 + exp(-({zexpr(p)}))) - y)"
+        terms = ", ".join(
+            f"any_value({p}.w_{f}) - {_QCT_LR} * avg({resid} * x_{f}) AS w_{f}"
+            for f in fs
+        )
+        cte.append(
+            f""", w{i} AS (
+        SELECT {terms},
+               any_value({p}.bias) - {_QCT_LR} * avg({resid}) AS bias
+        FROM feats, {p}
+    )"""
+        )
+    wn = f"w{_QCT_ITERS}"
+    cte.append(
+        f""", acc AS (
+        SELECT avg(CAST((({zexpr(wn)}) >= 0) = (y = 1.0) AS DOUBLE)) AS accuracy
+        FROM feats, {wn}
+    )
+    SELECT {", ".join(f"w_{f}" for f in fs)}, bias, accuracy FROM {wn}, acc"""
+    )
+    return "".join(cte)
+
+
+@q("quality_classifier_train", _qct_oracle())
+def quality_classifier_train_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN the quality classifier `quality_classifier_q` scores with:
+    full-batch logistic-regression GD (`operators/classifier.py`) that
+    distills the rule-based Gopher gate (`gopher_quality_flags`) into a
+    soft model — the FineWeb-Edu/DCLM pattern of turning an expensive or
+    rule-based labeler into a cheap linear scorer.
+
+    Scale shape: ONE tokenize pass materializes a narrow (4 doubles +
+    label) feature projection (persisted MEMORY_AND_DISK); then one
+    2d-scalar standardization pass and `_QCT_ITERS` gradient passes, each
+    a map-side-combinable aggregation returning d+1 scalars to the
+    driver. The corpus never shuffles; the model folds back as codegen
+    literals. Returns the trained weights + training accuracy (majority
+    class is ~0.88 on this corpus; the trained model reaches ~0.97)."""
+    from pydatalake_spark.operators.classifier import (
+        logreg_accuracy,
+        logreg_train,
+        standardize,
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    d = _t(spark, sf, "documents")
+    base = d.select("text", tokenize("text").alias("toks"))
+    nt = F.size("toks").cast("double")
+    f_len = F.coalesce(F.least(nt / 100.0, F.lit(1.0)), F.lit(0.0))
+    f_stop = F.coalesce(
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(*list(STOPWORDS))))
+        / nt,
+        F.lit(0.0),
+    )
+    f_alpha = F.coalesce(
+        F.size(F.filter(F.col("toks"), lambda t: t.rlike("^[a-z]+$"))) / nt,
+        F.lit(0.0),
+    )
+    plen = F.length("text").cast("double")
+    f_punct = F.coalesce(
+        (plen - F.length(F.regexp_replace("text", "[.,!?;:]", "")))
+        / F.nullif(plen, F.lit(0.0)),
+        F.lit(0.0),
+    )
+    label = (
+        F.size("toks").between(10, 100000)
+        & (f_alpha >= 0.8)
+        & (f_stop >= 0.02)
+    ).cast("double")
+    cols = [f"f_{f}" for f in _QCT_FEATS]
+    raw = base.select(
+        f_len.alias("f_len"),
+        f_stop.alias("f_stop"),
+        f_alpha.alias("f_alpha"),
+        f_punct.alias("f_punct"),
+        label.alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        std, _stats = standardize(raw, cols)
+        w = logreg_train(
+            std, cols, "y", iters=_QCT_ITERS, lr=_QCT_LR, persist=False
+        )
+        acc = logreg_accuracy(std, cols, "y", w)
+    finally:
+        raw.unpersist()
+    return spark.createDataFrame(
+        [(*[float(v) for v in w], float(acc))],
+        schema="w_len double, w_stop double, w_alpha double, "
+        "w_punct double, bias double, accuracy double",
+    )
+
+
 _DECON_K = 13  # the standard exact-overlap width (GPT-3 appendix C)
 
 # shared decon CTE prefix: tokenized 13-gram window hashes per doc (`ex`)
