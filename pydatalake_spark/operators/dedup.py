@@ -14,15 +14,32 @@ Semantics from the reference's ``distinct_table``
 
 The reference's ``FIRST()``/``LAST()`` are only deterministic because DuckDB
 scans in a stable order after ``rel.order(presort)``. Spark's
-``F.first/last`` in groupBy carry NO ordering guarantee, so the engine uses
-the classic deterministic form: ``row_number() OVER (PARTITION BY subset
-ORDER BY presort [, tiebreak])`` and keeps rn=1 (SURVEY §7.3.2). When
-``presort_by`` is absent, all non-key columns are the documented
-deterministic tiebreak.
+``F.first/last`` in groupBy carry NO ordering guarantee, so the engine
+keeps one row per key by a TOTAL order over ``(presort [, tiebreak])``
+(SURVEY §7.3.2); when ``presort_by`` is absent, all non-key columns are
+the documented deterministic tiebreak. Two physical forms, selected by
+``method`` — both give byte-identical results (equal ordering tuples
+imply identical rows, since the tuple covers every non-key column;
+struct comparison orders a null field BEFORE non-null, matching
+``asc_nulls_first``/``desc_nulls_last``):
 
-Scale: one hash-partition shuffle on ``subset`` — the minimum any keyed
-dedup needs. No driver materialization; skewed keys are handled by AQE
-skew-join/partition splitting since the window is a plain shuffle exchange.
+- ``method='window'`` (default): ``row_number() OVER (PARTITION BY subset
+  ORDER BY ...)`` keep rn=1 — one shuffle of all rows, one sort per
+  reduce partition. Fastest when key duplication is low (the common
+  dedup case): round-8 measurement at 18M rows (``tools/probe_skew.py``
+  data) put it 2.3x ahead of the agg form on uniform keys (2.5s vs
+  5.9s) because the agg form's map-side SortAggregate double-sorts for
+  a partial aggregation that can't reduce volume when keys are ~unique.
+- ``method='agg'``: ``min_by``/``max_by`` of the full-row struct against
+  the ordering struct — partial-combines BEFORE the exchange, so a hot
+  key forwards one row per map task instead of landing millions of rows
+  on one reducer. This is the skew escape hatch: a window partition is
+  the one shape AQE cannot split (measured 2.4x degradation at a
+  50%-hot key, vs ~1.0 for aggregation). Use when one key holds a
+  double-digit share of rows.
+
+Scale: both forms cost exactly one hash-partition shuffle on ``subset`` —
+the minimum any keyed dedup needs. No driver materialization.
 """
 
 from __future__ import annotations
@@ -41,35 +58,59 @@ def distinct_table(
     keep: str = "first",
     presort_by: str | Sequence[str] | None = None,
     postsort_by: str | Sequence[str] | None = None,
+    method: str = "window",
 ) -> DataFrame:
-    """Drop duplicate rows; with ``subset``, keep first/last per key group."""
+    """Drop duplicate rows; with ``subset``, keep first/last per key group.
+
+    ``method='window'`` (default) vs ``method='agg'``: identical results,
+    different physical plans — see the module docstring for the measured
+    trade-off (window wins at low key duplication; agg is skew-immune).
+    """
     if subset is None:
         out = df.distinct()
     else:
         keys = [subset] if isinstance(subset, str) else list(subset)
         if keep not in ("first", "last"):
             raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+        if method not in ("window", "agg"):
+            raise ValueError(f"method must be 'window' or 'agg', got {method!r}")
         presort = (
             [presort_by]
             if isinstance(presort_by, str)
             else list(presort_by or [])
         )
-        # presort first, then ALL remaining columns as tiebreak: row_number
+        # presort first, then ALL remaining columns as tiebreak: a pick
         # over a non-total order is shuffle-dependent, and a dedup that
         # returns different rows per run is wrong at any scale
         # (SURVEY §7.3.2 — the documented deterministic-tiebreak rule)
         rest = [c for c in df.columns if c not in keys and c not in presort]
         order_cols = presort + rest
-        ordering = [
-            F.col(c).asc_nulls_first() if keep == "first" else F.col(c).desc_nulls_last()
-            for c in order_cols
-        ]
-        w = Window.partitionBy(*keys).orderBy(*ordering)
-        out = (
-            df.withColumn(_RN, F.row_number().over(w))
-            .filter(F.col(_RN) == 1)
-            .drop(_RN)
-        )
+        if not order_cols:
+            # subset covers every column — keyed keep-first/last degenerates
+            # to full-row distinct (there is nothing to order within a key)
+            out = df.distinct()
+        elif method == "agg":
+            ordering = F.struct(*order_cols)
+            payload = F.struct(*df.columns)
+            pick = (
+                F.min_by(payload, ordering)
+                if keep == "first"
+                else F.max_by(payload, ordering)
+            )
+            out = df.groupBy(*keys).agg(pick.alias("_row")).select("_row.*")
+        else:
+            ordering_cols = [
+                F.col(c).asc_nulls_first()
+                if keep == "first"
+                else F.col(c).desc_nulls_last()
+                for c in order_cols
+            ]
+            w = Window.partitionBy(*keys).orderBy(*ordering_cols)
+            out = (
+                df.withColumn(_RN, F.row_number().over(w))
+                .filter(F.col(_RN) == 1)
+                .drop(_RN)
+            )
     if postsort_by:
         post = [postsort_by] if isinstance(postsort_by, str) else list(postsort_by)
         out = out.orderBy(*post)

@@ -63,6 +63,32 @@ def test_keep_first_last_deterministic(spark, dupes):
     assert got == want
 
 
+def test_dedup_agg_method_equals_window(spark):
+    """The skew-immune method='agg' tier must return byte-identical rows
+    to the default window form — including null ordering (struct
+    comparison puts a null field first, matching asc_nulls_first /
+    desc_nulls_last) and full-tiebreak determinism."""
+    rows = [
+        (1, None, "a", 1.0), (1, 5, "b", 2.0), (1, 3, "c", None),
+        (2, 7, None, 0.5), (2, 7, "x", 0.5),
+        (3, None, None, None), (3, None, "z", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, v int, s string, x double")
+    for keep in ("first", "last"):
+        for presort in (None, ["v"], ["v", "s"]):
+            a = distinct_table(
+                df, subset="k", keep=keep, presort_by=presort, method="window"
+            )
+            b = distinct_table(
+                df, subset="k", keep=keep, presort_by=presort, method="agg"
+            )
+            assert sorted(map(tuple, a.collect())) == sorted(
+                map(tuple, b.collect())
+            ), (keep, presort)
+    with pytest.raises(ValueError):
+        distinct_table(df, subset="k", method="sort")
+
+
 def test_tables_diff_set_semantics(spark, events):
     """EXCEPT dedups its result (SURVEY §7.3.1): diffing a table-with-dupes
     against empty returns DISTINCT rows."""

@@ -46,6 +46,29 @@ def test_dedup_single_shuffle(spark):
     assert "Window" in p
 
 
+def test_dedup_agg_method_partial_combines(spark):
+    """The skew-immune dedup tier (method='agg') must place a partial
+    min_by/max_by BEFORE its single exchange — that map-side combine is
+    the entire point (a hot key forwards one row per task instead of
+    landing every row on one reducer; see tools/probe_skew.py)."""
+    from pydatalake_spark.operators.dedup import distinct_table
+    from pydatalake_spark.queries.tables import load_table
+
+    df = distinct_table(
+        load_table(spark, SF, "events"),
+        subset=["user_id", "event_type"],
+        keep="last",
+        presort_by="ts",
+        method="agg",
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+    assert "Window" not in p
+    assert "partial_max_by" in p
+    exch = p.index("Exchange")
+    assert "partial_max_by" in p[exch:]  # partial agg below the exchange
+
+
 def test_asof_single_shuffle(spark):
     p = physical_plan(spark, "asof_join_events")
     assert p.count("Exchange") == 1
