@@ -150,6 +150,25 @@ def logreg_accuracy(
     return features.agg(F.avg(hit)).collect()[0][0]
 
 
+def apply_standardization(
+    features: DataFrame,
+    stats: dict[str, tuple[float, float]],
+) -> DataFrame:
+    """Re-apply `standardize`'s collected (mean, stddev_pop) stats to a
+    FRESH plan over the same source. Lets a caller train on a persisted
+    projection, unpersist it, and still return a fully lazy scoring plan
+    that standardizes identically (stats are literals, not lineage)."""
+    out = features
+    for c, (m, s) in stats.items():
+        col = (
+            (F.col(c) - F.lit(float(m))) / F.lit(float(s))
+            if s and s > 0.0
+            else F.lit(0.0)
+        )
+        out = out.withColumn(c, col)
+    return out
+
+
 def sigmoid(x: float) -> float:
     """Driver-side scalar sigmoid (test/readout convenience)."""
     return 1.0 / (1.0 + math.exp(-x))

@@ -186,9 +186,27 @@ def near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # the sets side is CORPUS-SIZED (every doc's shingle array): hint it
+    # to a sort-merge join so Catalyst can never choose to broadcast it.
+    # Static size estimates for aggregated array columns undershoot badly
+    # (the 30x low-memory probe caught the planner broadcasting the whole
+    # set table — "Not enough memory to build and broadcast"), and AQE
+    # cannot demote a planning-time broadcast. A corpus-sized join side
+    # must be shuffle-joined at any estimate; tools/probe_lowmem.py
+    # re-verifies this under a 4g heap.
     j = (
-        cand.join(sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a")), "id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b")), "id_b")
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col("sset").alias("set_a")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("sset").alias("set_b")
+            ).hint("merge"),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter

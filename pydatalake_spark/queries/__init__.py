@@ -20,11 +20,12 @@ for _mod in (relational, text, similarity):
 #   (a) queries NEW or changed this round — the round-8 distributed
 #       logistic-regression trainer (`quality_classifier_train`).
 #   (b) 49 canaries: all 22 queries whose last green driver row is r04,
-#       then the 27 stalest r05 rows (the rest rotate in r09). r07's
+#       then the 26 stalest r05 rows (the rest rotate in r09). r07's
 #       front refreshed every r01-r03 row plus the stalest r04 tail.
 _GATE_FRONT = [
     # (a) new this round
     "quality_classifier_train",
+    "quality_classifier_distilled",
     # (b) last green r04
     "q9_product_type_revenue",
     "q10_returned_items",
@@ -75,7 +76,6 @@ _GATE_FRONT = [
     "prefix_dup_docs",
     "minhash_jaccard_estimate",
     "cap_per_source",
-    "near_dup_communities",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

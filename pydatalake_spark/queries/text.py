@@ -1912,19 +1912,26 @@ _QCT_LR = 2.0
 _QCT_FEATS = ["len", "stop", "alpha", "punct"]
 
 
-def _qct_oracle() -> str:
-    """Unrolled full-batch GD in ANSI SQL: one weight CTE per iteration,
-    each a single aggregation over the standardized feature CTE cross-
-    joined with the previous (1-row) weight CTE — the SQL mirror of
+def _qct_zexpr(w: str) -> str:
+    return (
+        " + ".join(f"{w}.w_{f} * x_{f}" for f in _QCT_FEATS) + f" + {w}.bias"
+    )
+
+
+def _qct_cte() -> str:
+    """Shared WITH prefix: features → standardization → unrolled
+    full-batch GD in ANSI SQL, one weight CTE per iteration, each a
+    single aggregation over the standardized feature CTE cross-joined
+    with the previous (1-row) weight CTE — the SQL mirror of
     `operators/classifier.py:logreg_step`."""
     fs = _QCT_FEATS
-    zexpr = lambda w: " + ".join(f"{w}.w_{f} * x_{f}" for f in fs) + f" + {w}.bias"
+    zexpr = _qct_zexpr
     cte = [
         f"""
     WITH tok AS (
-        SELECT text, string_split(trim(text), ' ') AS toks FROM documents
+        SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents
     ), raw AS (
-        SELECT
+        SELECT doc_id,
             coalesce(least(len(toks) / 100.0, 1.0), 0.0) AS f_len,
             coalesce(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
                 / CAST(len(toks) AS DOUBLE), 0.0) AS f_stop,
@@ -1943,7 +1950,7 @@ def _qct_oracle() -> str:
         SELECT {", ".join(f"avg(f_{f}) AS m_{f}, stddev_pop(f_{f}) AS s_{f}" for f in fs)}
         FROM raw
     ), feats AS (
-        SELECT y,
+        SELECT doc_id, y,
             {", ".join(f"CASE WHEN s_{f} > 0 THEN (f_{f} - m_{f}) / s_{f} ELSE 0.0 END AS x_{f}" for f in fs)}
         FROM raw, st
     ), w0 AS (
@@ -1964,41 +1971,43 @@ def _qct_oracle() -> str:
         FROM feats, {p}
     )"""
         )
-    wn = f"w{_QCT_ITERS}"
-    cte.append(
-        f""", acc AS (
-        SELECT avg(CAST((({zexpr(wn)}) >= 0) = (y = 1.0) AS DOUBLE)) AS accuracy
+    return "".join(cte)
+
+
+def _qct_oracle() -> str:
+    fs, wn = _QCT_FEATS, f"w{_QCT_ITERS}"
+    return (
+        _qct_cte()
+        + f""", acc AS (
+        SELECT avg(CAST((({_qct_zexpr(wn)}) >= 0) = (y = 1.0) AS DOUBLE)) AS accuracy
         FROM feats, {wn}
     )
     SELECT {", ".join(f"w_{f}" for f in fs)}, bias, accuracy FROM {wn}, acc"""
     )
-    return "".join(cte)
 
 
-@q("quality_classifier_train", _qct_oracle())
-def quality_classifier_train_q(spark: SparkSession, sf: str) -> DataFrame:
-    """TRAIN the quality classifier `quality_classifier_q` scores with:
-    full-batch logistic-regression GD (`operators/classifier.py`) that
-    distills the rule-based Gopher gate (`gopher_quality_flags`) into a
-    soft model — the FineWeb-Edu/DCLM pattern of turning an expensive or
-    rule-based labeler into a cheap linear scorer.
-
-    Scale shape: ONE tokenize pass materializes a narrow (4 doubles +
-    label) feature projection (persisted MEMORY_AND_DISK); then one
-    2d-scalar standardization pass and `_QCT_ITERS` gradient passes, each
-    a map-side-combinable aggregation returning d+1 scalars to the
-    driver. The corpus never shuffles; the model folds back as codegen
-    literals. Returns the trained weights + training accuracy (majority
-    class is ~0.88 on this corpus; the trained model reaches ~0.97)."""
-    from pydatalake_spark.operators.classifier import (
-        logreg_accuracy,
-        logreg_train,
-        standardize,
+def _qct_distilled_oracle() -> str:
+    wn = f"w{_QCT_ITERS}"
+    z = _qct_zexpr(wn)
+    return (
+        _qct_cte()
+        + f"""
+    SELECT doc_id,
+           1.0 / (1.0 + exp(-({z}))) AS score,
+           ({z}) >= 0 AS passes,
+           y = 1.0 AS gopher_pass,
+           (({z}) >= 0) = (y = 1.0) AS agree
+    FROM feats, {wn}"""
     )
-    from pyspark.storagelevel import StorageLevel
 
+
+def _qct_features(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, f_len, f_stop, f_alpha, f_punct, y) — the classifier's
+    raw feature projection plus the Gopher-gate label, one tokenize pass,
+    all codegen. Shared by the trainer and the distilled-scoring query
+    (and by the SQL oracles via the generated `raw` CTE)."""
     d = _t(spark, sf, "documents")
-    base = d.select("text", tokenize("text").alias("toks"))
+    base = d.select("doc_id", "text", tokenize("text").alias("toks"))
     nt = F.size("toks").cast("double")
     f_len = F.coalesce(F.least(nt / 100.0, F.lit(1.0)), F.lit(0.0))
     f_stop = F.coalesce(
@@ -2021,26 +2030,98 @@ def quality_classifier_train_q(spark: SparkSession, sf: str) -> DataFrame:
         & (f_alpha >= 0.8)
         & (f_stop >= 0.02)
     ).cast("double")
-    cols = [f"f_{f}" for f in _QCT_FEATS]
-    raw = base.select(
+    return base.select(
+        "doc_id",
         f_len.alias("f_len"),
         f_stop.alias("f_stop"),
         f_alpha.alias("f_alpha"),
         f_punct.alias("f_punct"),
         label.alias("y"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+_QCT_COLS = [f"f_{f}" for f in _QCT_FEATS]
+
+
+def _qct_fit(spark: SparkSession, sf: str):
+    """Persist the narrow feature projection, standardize (one 2d-scalar
+    pass), train (`_QCT_ITERS` scalar-agg passes), unpersist. Returns
+    (weights, stats, accuracy) — plain floats, no lineage."""
+    from pydatalake_spark.operators.classifier import (
+        logreg_accuracy,
+        logreg_train,
+        standardize,
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    raw = (
+        _qct_features(spark, sf)
+        .select("y", *_QCT_COLS)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     try:
-        std, _stats = standardize(raw, cols)
+        std, stats = standardize(raw, _QCT_COLS)
         w = logreg_train(
-            std, cols, "y", iters=_QCT_ITERS, lr=_QCT_LR, persist=False
+            std, _QCT_COLS, "y", iters=_QCT_ITERS, lr=_QCT_LR, persist=False
         )
-        acc = logreg_accuracy(std, cols, "y", w)
+        acc = logreg_accuracy(std, _QCT_COLS, "y", w)
     finally:
         raw.unpersist()
+    return w, stats, acc
+
+
+@q("quality_classifier_train", _qct_oracle())
+def quality_classifier_train_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN the quality classifier `quality_classifier_q` scores with:
+    full-batch logistic-regression GD (`operators/classifier.py`) that
+    distills the rule-based Gopher gate (`gopher_quality_flags`) into a
+    soft model — the FineWeb-Edu/DCLM pattern of turning an expensive or
+    rule-based labeler into a cheap linear scorer.
+
+    Scale shape: ONE tokenize pass materializes a narrow (4 doubles +
+    label) feature projection (persisted MEMORY_AND_DISK); then one
+    2d-scalar standardization pass and `_QCT_ITERS` gradient passes, each
+    a map-side-combinable aggregation returning d+1 scalars to the
+    driver. The corpus never shuffles; the model folds back as codegen
+    literals. Returns the trained weights + training accuracy (majority
+    class is ~0.88 on this corpus; the trained model reaches ~0.97)."""
+    w, _stats, acc = _qct_fit(spark, sf)
     return spark.createDataFrame(
         [(*[float(v) for v in w], float(acc))],
         schema="w_len double, w_stop double, w_alpha double, "
         "w_punct double, bias double, accuracy double",
+    )
+
+
+@q("quality_classifier_distilled", _qct_distilled_oracle())
+def quality_classifier_distilled_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The full distillation loop: train the logistic gate, then SCORE
+    every document with the trained model and audit agreement against
+    the rule-based Gopher label — train → deploy → audit as one query.
+
+    The returned plan is fully LAZY and lineage-free: training collects
+    only scalars (weights + standardization stats), which re-enter a
+    FRESH feature plan as codegen literals
+    (`operators/classifier.py:apply_standardization`), so the scoring
+    pass is a single map-only scan — the shape that runs at 100 TB
+    behind any trained-weight swap-in."""
+    from pydatalake_spark.operators.classifier import (
+        apply_standardization,
+        logreg_z,
+    )
+
+    w, stats, _acc = _qct_fit(spark, sf)
+    fresh = apply_standardization(_qct_features(spark, sf), stats)
+    z = logreg_z(_QCT_COLS, w)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    passes = z >= 0
+    gopher = F.col("y") == 1.0
+    return fresh.select(
+        "doc_id",
+        score.alias("score"),
+        passes.alias("passes"),
+        gopher.alias("gopher_pass"),
+        (passes == gopher).alias("agree"),
     )
 
 

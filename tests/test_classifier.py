@@ -97,6 +97,30 @@ def test_logreg_z_arity_guard(spark):
         logreg_z(["a", "b"], [1.0, 2.0])  # missing bias
 
 
+def test_distilled_scoring_is_lazy_and_consistent(spark):
+    """The distilled query's scoring plan must (a) agree with the
+    trainer's reported accuracy (same weights, same rows), and (b) be a
+    map-only scan — no exchange: training collects scalars, scoring
+    folds them back as literals."""
+    from pydatalake_spark.queries.text import (
+        quality_classifier_distilled_q,
+        quality_classifier_train_q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scored = quality_classifier_distilled_q(spark, sf)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only deploy path
+    rows = scored.collect()
+    acc_from_scores = sum(r["agree"] for r in rows) / len(rows)
+    trained = quality_classifier_train_q(spark, sf).collect()[0]
+    assert acc_from_scores == pytest.approx(trained["accuracy"], abs=1e-12)
+    # scores are probabilities; passes == (score >= 0.5)
+    for r in rows[:50]:
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["passes"] == (r["score"] >= 0.5)
+
+
 def test_trained_gate_beats_majority_on_documents(spark):
     """End-to-end on the real corpus: the registry query's trained model
     must beat predicting the majority class (the fixed-weight scorer's
