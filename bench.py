@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "value_histogram",
     "rp_distortion",
     "rp_ann_recall",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_recall_eval",
     "dedup_rate_by_threshold",
     "langid_confusion",
     "source_novelty",

@@ -17,15 +17,20 @@ for _mod in (relational, text, similarity):
 # round. The green driver-row union covers the ENTIRE registry since r05,
 # so the front is pure rotation (VERDICT r6 item 5: no row older than 3
 # rounds):
-#   (a) queries NEW or changed this round — the round-8 distributed
-#       logistic-regression trainer (`quality_classifier_train`).
-#   (b) 49 canaries: all 22 queries whose last green driver row is r04,
-#       then the 26 stalest r05 rows (the rest rotate in r09). r07's
+#   (a) queries NEW or changed this round — the distributed
+#       logistic-regression trainer (`quality_classifier_train`) and the
+#       product-quantization tier (pq_*, operators/pq.py).
+#   (b) canaries: all 22 queries whose last green driver row is r04,
+#       then the stalest r05 rows (the rest rotate in r09). r07's
 #       front refreshed every r01-r03 row plus the stalest r04 tail.
 _GATE_FRONT = [
     # (a) new this round
     "quality_classifier_train",
     "quality_classifier_distilled",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_recall_eval",
     # (b) last green r04
     "q9_product_type_revenue",
     "q10_returned_items",
@@ -72,10 +77,6 @@ _GATE_FRONT = [
     "approx_profile",
     "multires_rollup",
     "rolling_median_value",
-    "value_histogram",
-    "prefix_dup_docs",
-    "minhash_jaccard_estimate",
-    "cap_per_source",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

@@ -1,0 +1,126 @@
+"""Product-quantization tier (operators/pq.py).
+
+Oracle-value parity for the four pq_* registry queries is covered by the
+driver gate / tools/check_parity.py; these tests pin the operator
+contracts the oracle can't see: numpy-tier equality, tie determinism,
+quantization sanity, and the map-only encode plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydatalake_spark.operators.pq import (
+    collect_codebooks,
+    pq_adc_topk,
+    pq_encode,
+    pq_encode_numpy,
+    train_pq_codebooks,
+)
+from pydatalake_spark.queries.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def cb(spark, emb):
+    return collect_codebooks(train_pq_codebooks(emb, m=4, k=16, dim=64))
+
+
+def test_codebook_shape_and_determinism(spark, emb, cb):
+    assert len(cb) == 4
+    for s in range(4):
+        # k=16 cells over 500 vectors: no cell should be empty here, and
+        # codes must be sorted unique ints in [0, 16)
+        codes = [c for c, _ in cb[s]]
+        assert codes == sorted(set(codes))
+        assert all(0 <= c < 16 for c in codes)
+        assert all(len(cv) == 16 for _, cv in cb[s])
+        # rounded to 6 dp — re-rounding is a no-op
+        for _, cv in cb[s]:
+            assert all(abs(x - round(x, 6)) < 1e-12 for x in cv)
+    cb2 = collect_codebooks(train_pq_codebooks(emb, m=4, k=16, dim=64))
+    assert cb == cb2
+
+
+def test_encode_numpy_tier_equals_expression(spark, emb, cb):
+    expr = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, cb, dim=64).collect()
+    }
+    fast = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode_numpy(emb, cb, dim=64).collect()
+    }
+    assert expr == fast
+    assert len(expr) == emb.count()
+
+
+def test_duplicate_vectors_share_codes(spark, emb, cb):
+    """Exact-duplicate vectors must encode identically (dedup-by-code is
+    a valid coarse near-dup screen on PQ codes)."""
+    dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = pq_encode(emb.limit(5).unionByName(dup), cb, dim=64).collect()
+    by_id = {r["vec_id"]: list(r["codes"]) for r in both}
+    for vid in list(by_id):
+        if vid >= 1_000_000:
+            assert by_id[vid] == by_id[vid - 1_000_000]
+
+
+def test_adc_approximates_exact_distance(spark, emb, cb):
+    """ADC distance must equal the exact L2^2 between the query and the
+    candidate's RECONSTRUCTION (sum over subspaces of d2 to the assigned
+    centroid) — check against a python recomputation for one query."""
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    q_id = int(rows[0]["vec_id"])
+    qv = [float(x) for x in rows[0]["embedding"]]
+    enc = pq_encode(emb, cb, dim=64)
+    got = {
+        (r["q_id"], r["c_id"]): r["adc"]
+        for r in pq_adc_topk(enc, [(q_id, qv)], cb, k=1000, dim=64).collect()
+    }
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in enc.filter(F.col("vec_id") < 20).collect()
+    }
+    for r in rows[1:]:
+        cid = int(r["vec_id"])
+        want = 0.0
+        for s in range(4):
+            cvec = dict(cb[s])[codes[cid][s]]
+            qs = qv[s * 16 : (s + 1) * 16]
+            acc = 0.0
+            for a, b in zip(qs, cvec):
+                acc += (a - b) * (a - b)
+            want += acc
+        assert got[(q_id, cid)] == pytest.approx(want, rel=1e-12)
+
+
+def test_encode_plan_is_map_only(spark, emb, cb):
+    """The 100 TB contract: corpus-wide encode has NO shuffle — codebook
+    literals are fused into a single scan-project stage."""
+    p = pq_encode(emb, cb, dim=64)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_adc_plan_single_window_shuffle(spark, emb, cb):
+    """ADC search: scoring is map-side; the only exchange is the
+    per-query rank window over |Q| x n skinny rows."""
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    enc = pq_encode(emb, cb, dim=64)
+    p = (
+        pq_adc_topk(enc, qrows, cb, k=10, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1, p
