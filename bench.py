@@ -189,62 +189,93 @@ def _run_timed(fn, spark, sf_dir) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _replica_transform(df, t: str, i: int):
+    """Deterministic per-replica decorrelation: key shift (join fan-in
+    scales linearly), text token-prefixing (token/shingle counts match the
+    base), embedding isometries (rotation x sign-flip — every replica pair
+    near-orthogonal, within-replica geometry exact).  For i < 64 the
+    sign-flip group is identity, so 10x/100x dirs are unchanged."""
+    from pyspark.sql import functions as F
+
+    shift = 1_000_000_000
+    if t == "lineitem":
+        df = df.withColumn("l_orderkey", F.col("l_orderkey") + i * shift)
+    elif t == "orders":
+        df = df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + i * shift
+        ).withColumn("o_custkey", F.col("o_custkey") + i * shift)
+    elif t == "customer":
+        df = df.withColumn("c_custkey", F.col("c_custkey") + i * shift)
+    elif t == "documents":
+        df = df.withColumn("doc_id", F.col("doc_id") + i * shift)
+        if i > 0:
+            # decorrelate by PREFIXING every token with a replica
+            # marker: token count (and so shingle/window counts)
+            # stays identical to the base table — the old
+            # insert-a-marker-token form doubled per-doc work and
+            # inflated measured exponents by ~log10(2) ≈ 0.3
+            df = df.withColumn(
+                "text",
+                F.regexp_replace("text", r"(^|\s)", f"$1r{i}"),
+            )
+    elif t == "embeddings":
+        df = df.withColumn("vec_id", F.col("vec_id") + i * shift)
+        if i > 0:
+            # rotate the vector: near-orthogonal to the original,
+            # same norm, fully deterministic
+            k = (i * 7) % 64
+            df = df.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", k + 1, 64 - k),
+                    F.slice("embedding", 1, k),
+                ),
+            )
+            # rotations alone give only 64 distinct transforms; past 64
+            # replicas compose a +/-1 diagonal isometry chosen by the
+            # replica's 64-block so every (rotation, sign) pair is
+            # distinct up to 1024 replicas — without this, 1000x would
+            # mint ~REPLICAS/64 exact twins per vector and the near-dup
+            # probes would measure the builder, not the operator
+            g = i // 64
+            if g:
+                signs = [
+                    float(1 - 2 * ((g >> (d % 4)) & 1)) for d in range(64)
+                ]
+                df = df.withColumn(
+                    "embedding",
+                    F.zip_with(
+                        "embedding",
+                        F.array(*[F.lit(s) for s in signs]),
+                        lambda x, s: (x * s).cast("float"),
+                    ),
+                )
+    return df
+
+
 def _build_scaled_dir(spark, out_dir: str) -> None:
     """Materialize a REPLICAS x blow-up of the probe tables.
 
-    Replicas are key-shifted so join fan-in scales linearly, and content is
-    decorrelated per replica (text re-tokenized with a replica marker,
-    embeddings rotated) so near-dup pair counts stay ~linear instead of
-    every row gaining REPLICAS-1 exact twins.
+    Replicas are written in chunks of 25 appended to the same parquet dir:
+    a single REPLICAS-way unionByName plan is fine at 10x but analysis
+    cost grows superlinearly with branch count and chokes at 1000x.
     """
-    from pyspark.sql import functions as F
-
     from pydatalake_spark.queries.tables import load_table
 
-    shift = 1_000_000_000
+    chunk = 25
     for t in PROBE_TABLES:
         base = load_table(spark, SF_DIR, t)
-        reps = []
-        for i in range(REPLICAS):
-            df = base
-            if t == "lineitem":
-                df = df.withColumn("l_orderkey", F.col("l_orderkey") + i * shift)
-            elif t == "orders":
-                df = df.withColumn(
-                    "o_orderkey", F.col("o_orderkey") + i * shift
-                ).withColumn("o_custkey", F.col("o_custkey") + i * shift)
-            elif t == "customer":
-                df = df.withColumn("c_custkey", F.col("c_custkey") + i * shift)
-            elif t == "documents":
-                df = df.withColumn("doc_id", F.col("doc_id") + i * shift)
-                if i > 0:
-                    # decorrelate by PREFIXING every token with a replica
-                    # marker: token count (and so shingle/window counts)
-                    # stays identical to the base table — the old
-                    # insert-a-marker-token form doubled per-doc work and
-                    # inflated measured exponents by ~log10(2) ≈ 0.3
-                    df = df.withColumn(
-                        "text",
-                        F.regexp_replace("text", r"(^|\s)", f"$1r{i}"),
-                    )
-            elif t == "embeddings":
-                df = df.withColumn("vec_id", F.col("vec_id") + i * shift)
-                if i > 0:
-                    # rotate the vector: near-orthogonal to the original,
-                    # same norm, fully deterministic
-                    k = (i * 7) % 64
-                    df = df.withColumn(
-                        "embedding",
-                        F.concat(
-                            F.slice("embedding", k + 1, 64 - k),
-                            F.slice("embedding", 1, k),
-                        ),
-                    )
-            reps.append(df)
-        out = reps[0]
-        for df in reps[1:]:
-            out = out.unionByName(df)
-        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+        path = os.path.join(out_dir, f"{t}.parquet")
+        for start in range(0, REPLICAS, chunk):
+            reps = [
+                _replica_transform(base, t, i)
+                for i in range(start, min(start + chunk, REPLICAS))
+            ]
+            out = reps[0]
+            for df in reps[1:]:
+                out = out.unionByName(df)
+            mode = "overwrite" if start == 0 else "append"
+            out.write.mode(mode).parquet(path)
 
 
 def _probe_callable(name, queries):

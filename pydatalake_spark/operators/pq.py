@@ -151,6 +151,94 @@ def train_pq_codebooks(
     )
 
 
+def train_pq_long_numpy(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused Arrow tier of the PQ trainer, long form (s, code, i, v).
+
+    Why it exists: the expression-form trainer is oracle-exact but its
+    argmin tree (m*k zip_with/aggregate blocks) costs SECONDS of
+    driver-side Catalyst analysis — a fixed cost that is noise against
+    hours of execution at real scale but dominates a small-SF benchmark.
+    This tier assigns each Arrow batch with one |batch| x k matmul per
+    subspace and collapses it to (s, code, i, partial_sum, n) partials,
+    so the corpus is scanned once and the shuffle carries only
+    tasks x m x k x sub_dim skinny rows (the kmeans_step_numpy posture).
+    Per-dim means are rounded to PQ_ROUND dp, which absorbs the
+    partial-sum reorder vs the sequential oracle; rounded-value equality
+    with the expression form is pytest-pinned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sub_dim = dim // m
+    seeds = _seed_rows(df, k, id_col, vec_col)
+    cents = [
+        np.array([sv[s * sub_dim : (s + 1) * sub_dim] for sv in seeds])
+        for s in range(m)
+    ]
+    src = df.select(to_double_array(vec_col).alias("v"))
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            out_s, out_code, out_i, out_sum, out_n = [], [], [], [], []
+            for s in range(m):
+                sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
+                d2 = (cents[s] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cents[s].T)
+                codes = np.argmin(d2, axis=1)  # ties -> lowest code
+                for code in np.unique(codes):
+                    members = sub[codes == code]
+                    sums = members.sum(axis=0)
+                    for i in range(sub_dim):
+                        out_s.append(s)
+                        out_code.append(int(code))
+                        out_i.append(i + 1)
+                        out_sum.append(float(sums[i]))
+                        out_n.append(len(members))
+            yield pd.DataFrame(
+                {
+                    "s": np.array(out_s, dtype=np.int64),
+                    "code": np.array(out_code, dtype=np.int64),
+                    "i": np.array(out_i, dtype=np.int64),
+                    "sum_v": np.array(out_sum, dtype=np.float64),
+                    "n": np.array(out_n, dtype=np.int64),
+                }
+            )
+
+    part = src.mapInPandas(
+        partials, schema="s long, code long, i long, sum_v double, n long"
+    )
+    return part.groupBy("s", "code", "i").agg(
+        F.round(F.sum("sum_v") / F.sum("n"), PQ_ROUND).alias("v")
+    )
+
+
+def train_pq_codebooks_numpy(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`train_pq_codebooks` output contract from the fused Arrow tier:
+    (s, code, cvec) assembled from the long-form partial aggregation."""
+    long = train_pq_long_numpy(df, m=m, k=k, dim=dim, id_col=id_col, vec_col=vec_col)
+    return long.groupBy("s", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v"))), lambda x: x["v"]
+        ).alias("cvec")
+    )
+
+
 def collect_codebooks(codebooks: DataFrame) -> list[list[tuple[int, list[float]]]]:
     """Collect a trained codebook DataFrame into the literal form the
     encode/search paths fuse into their plans: per subspace, a

@@ -17,6 +17,8 @@ from pydatalake_spark.operators.pq import (
     pq_encode,
     pq_encode_numpy,
     train_pq_codebooks,
+    train_pq_codebooks_numpy,
+    train_pq_long_numpy,
 )
 from pydatalake_spark.queries.tables import load_table
 
@@ -47,6 +49,22 @@ def test_codebook_shape_and_determinism(spark, emb, cb):
             assert all(abs(x - round(x, 6)) < 1e-12 for x in cv)
     cb2 = collect_codebooks(train_pq_codebooks(emb, m=4, k=16, dim=64))
     assert cb == cb2
+
+
+def test_trainer_numpy_tier_equals_expression(spark, emb, cb):
+    """The fused Arrow trainer (the gate/scale tier) must produce the
+    SAME rounded codebook as the oracle-exact expression form — the
+    6 dp rounding absorbs partial-sum reordering."""
+    fast = collect_codebooks(train_pq_codebooks_numpy(emb, m=4, k=16, dim=64))
+    assert fast == cb
+    long = {
+        (r["s"], r["code"], r["i"]): r["v"]
+        for r in train_pq_long_numpy(emb, m=4, k=16, dim=64).collect()
+    }
+    for s in range(4):
+        for code, cvec in cb[s]:
+            for i, v in enumerate(cvec):
+                assert long[(s, code, i + 1)] == v
 
 
 def test_encode_numpy_tier_equals_expression(spark, emb, cb):

@@ -1,0 +1,126 @@
+"""1000x scaling-probe runner — the escalation past tools/probe100.py.
+
+The 100x probe (~1.7 GB, BENCH_probe100.json) left a few exponents in
+the 0.6-0.85 band (semantic_dedup 0.847, bloom_decontamination 0.812,
+embedding_near_dup 0.636) — sublinear, but close enough to linear that
+another decade of data is the only way to tell "healthy linear-bounded
+scan" from "slow quadratic onset".  This runner re-probes exactly that
+risk set at REPLICAS=1000 (~17 GB of probe tables — still comfortably
+in-memory at local[32]/128 GiB, big enough that a superlinear pair or
+shuffle blow-up is unmistakable) and writes ``BENCH_probe1000.json``.
+
+Exponents are measured against the 100x point (log10(t_1000/t_100)),
+not the 1x point: at 17 GB the fixed JVM overhead that flattens small
+probes is gone from BOTH sides of the ratio, so this is the cleanest
+decade the sandbox can measure.
+
+Usage:  python tools/probe1000.py     (~1h; run ALONE — any concurrent
+                                       Spark work skews the timings)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("SPARK_GRAFT_SCALING_REPLICAS", "1000")
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402  (reads SPARK_GRAFT_SCALING_REPLICAS at import)
+
+# the 100x worst-exponent set — the only queries where "sublinear so far"
+# still has room to hide a slow superlinearity
+PROBE_1000 = [
+    "semantic_dedup",
+    "bloom_decontamination",
+    "embedding_near_dup",
+    "token_pmi",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "strip_contaminated_spans",
+    "dup_span_stats",
+]
+
+
+def _scaled_dir(spark, replicas: int) -> str:
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"pydatalake_bench_x{replicas}"
+    )
+    marker = os.path.join(out, "_built_from")
+    stamp = bench.SF_DIR + "|gen-v2"
+    if not (os.path.isfile(marker) and open(marker).read() == stamp):
+        shutil.rmtree(out, ignore_errors=True)
+        saved = bench.REPLICAS
+        bench.REPLICAS = replicas
+        try:
+            t0 = time.perf_counter()
+            bench._build_scaled_dir(spark, out)
+            print(
+                f"built x{replicas} in {time.perf_counter() - t0:.0f}s",
+                file=sys.stderr,
+            )
+        finally:
+            bench.REPLICAS = saved
+        with open(marker, "w") as f:
+            f.write(stamp)
+    return out
+
+
+def main() -> None:
+    from pydatalake_spark.queries import QUERIES
+    from pydatalake_spark.session import get_spark
+
+    spark = get_spark(
+        "probe1000", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    dir100 = _scaled_dir(spark, 100)
+    dir1000 = _scaled_dir(spark, 1000)
+
+    result = {"replicas": 1000, "vs_replicas": 100, "queries": {}}
+    for name in PROBE_1000:
+        fn = bench._probe_callable(name, QUERIES)
+        bench._run_timed(fn, spark, dir100)  # warm
+        t_100 = bench._run_timed(fn, spark, dir100)
+        bench._run_timed(fn, spark, dir1000)  # warm
+        t_1000 = bench._run_timed(fn, spark, dir1000)
+        exponent = (
+            math.log10(t_1000 / t_100) if t_100 > 0 and t_1000 > 0 else None
+        )
+        result["queries"][name] = {
+            "sec_100x": t_100,
+            "sec_1000x": t_1000,
+            "exponent_100_to_1000": (
+                round(exponent, 3) if exponent is not None else None
+            ),
+        }
+        print(json.dumps({name: result["queries"][name]}), file=sys.stderr)
+
+    out = Path(__file__).resolve().parent.parent / "BENCH_probe1000.json"
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    worst = max(
+        (q["exponent_100_to_1000"] or 0.0) for q in result["queries"].values()
+    )
+    print(
+        json.dumps(
+            {
+                "replicas": 1000,
+                "worst_exponent_100_to_1000": worst,
+                "exponents": {
+                    n: q["exponent_100_to_1000"]
+                    for n, q in result["queries"].items()
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
