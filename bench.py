@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "pq_encode",
     "pq_adc_topk",
     "pq_recall_eval",
+    "ivfadc_topk",
     "dedup_rate_by_threshold",
     "langid_confusion",
     "source_novelty",

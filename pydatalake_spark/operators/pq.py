@@ -312,6 +312,123 @@ def pq_encode_numpy(
     return src.mapInPandas(encode, schema=out_schema)
 
 
+def ivfadc_encode_numpy(
+    df: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment fused with PQ encode in ONE Arrow pass:
+    (id, cell, codes).  This is the standing index layout of the
+    IVFADC architecture (Jégou et al. 2011; FAISS ``IVFPQ`` with
+    ``by_residual=false``): the coarse cell prunes candidates, the PQ
+    codes price the survivors — both assigned with one |batch| x C and
+    m x (|batch| x k) matmuls per batch, zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub_dim = dim // m
+    cmat = np.asarray(coarse, dtype=np.float64)
+    cents = [np.array([cv for _, cv in codebooks[s]], dtype=np.float64) for s in range(m)]
+    code_ids = [np.array([c for c, _ in codebooks[s]], dtype=np.int32) for s in range(m)]
+    src = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            cd2 = (cmat**2).sum(axis=1)[None, :] - 2.0 * (mat @ cmat.T)
+            cells = np.argmin(cd2, axis=1).astype(np.int32)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sub = mat[:, s * sub_dim : (s + 1) * sub_dim]
+                d2 = (cents[s] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cents[s].T)
+                codes[:, s] = code_ids[s][np.argmin(d2, axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "cell": cells, "codes": list(codes)}
+            )
+
+    return src.mapInPandas(encode, schema=f"{id_col} long, cell int, codes array<int>")
+
+
+def ivfadc_topk(
+    encoded: DataFrame,
+    query_rows: list[tuple[int, list[float]]],
+    coarse: list[list[float]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k restricted to each query's ``nprobe`` nearest coarse
+    cells — the IVFADC search path: candidate volume drops by
+    ~nprobe/C before any distance is priced, and the pricing itself is
+    the same fused literal-lookup ADC as `pq_adc_topk`.  The per-query
+    probe set is computed driver-side (|Q| bounded by contract) and
+    fused as an ``isin`` predicate, so cell pruning is a map-side
+    filter — no join, no index broadcast.  ``nprobe = len(coarse)``
+    degrades to exact ADC over the whole corpus (pytest-pinned equal to
+    `pq_adc_topk`), which is what the SQL-oracled gate runs; recall at
+    reduced nprobe is pytest-covered."""
+    m = len(codebooks)
+    sub_dim = dim // m
+    per_q = []
+    for q_id, vec in query_rows:
+        # nprobe nearest coarse cells, ties to the lowest cell id
+        cd = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(vec, c)), i)
+            for i, c in enumerate(coarse)
+        )
+        probed = [i for _, i in cd[: max(1, nprobe)]]
+        terms = []
+        for s in range(m):
+            qs = [float(x) for x in vec[s * sub_dim : (s + 1) * sub_dim]]
+            d2s = []
+            for _, cv in codebooks[s]:
+                acc = 0.0
+                for a, b in zip(qs, cv):
+                    acc += (a - b) * (a - b)
+                d2s.append(acc)
+            codes = [c for c, _ in codebooks[s]]
+            pos = F.array_position(
+                F.array(*[F.lit(int(c)) for c in codes]), F.col("codes")[s]
+            ).cast("int")
+            terms.append(F.element_at(_lit_vec(d2s), pos))
+        adc = terms[0]
+        for t in terms[1:]:
+            adc = adc + t
+        per_q.append(
+            F.struct(
+                F.lit(int(q_id)).alias("q_id"),
+                adc.alias("adc"),
+                F.col("cell").isin(*probed).alias("probed"),
+            )
+        )
+    scored = (
+        encoded.select(
+            F.col(id_col).alias("c_id"), F.explode(F.array(*per_q)).alias("qa")
+        )
+        .select(
+            F.col("qa.q_id").alias("q_id"),
+            "c_id",
+            F.col("qa.adc").alias("adc"),
+            F.col("qa.probed").alias("probed"),
+        )
+        .filter(F.col("probed") & (F.col("q_id") != F.col("c_id")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "adc")
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     query_rows: list[tuple[int, list[float]]],

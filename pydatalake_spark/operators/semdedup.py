@@ -39,6 +39,30 @@ from pyspark.sql import functions as F
 from pydatalake_spark.functions.vector import dot, l2_norm, to_double_array
 
 
+def _default_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_cells: int | None,
+    centroids: DataFrame | None,
+) -> DataFrame:
+    """Resolve the quantizer: the caller's trained centroids, else the
+    deterministic init-only quantizer (the ``num_cells`` lowest-id
+    vectors, auto-sized by ``suggest_num_cells`` when unspecified)."""
+    if centroids is not None:
+        return centroids
+    if num_cells is None:
+        num_cells = suggest_num_cells(emb.count())
+    return (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(num_cells)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            to_double_array(vec_col).alias("cvec"),
+        )
+    )
+
+
 def assign_fixed_cells(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -174,13 +198,23 @@ def semantic_dedup_numpy(
     can't be AQE-split, so a pathologically hot cell lands on one task —
     if the quantizer can't hold cells balanced, fall back to
     ``semantic_dedup`` (joins split fine) or refine centroids.
+
+    ASSIGNMENT runs the matmul tier (``assign_cells_numpy``), NOT the
+    expression form: with auto-sized cells (C ~ n/1000) the expression
+    path evaluates n x C interpreted zip_with trees — O(n²/1000)
+    interpreter work that the round-7 1000x probe measured at exponent
+    ~1.9 (2M vectors x 2048 cells never finished; the matmul tier does
+    the same distances as |batch| x C BLAS calls in seconds).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    cells = assign_fixed_cells(
-        emb, id_col, vec_col, num_cells=num_cells, centroids=centroids
+    cells = assign_cells_numpy(
+        emb,
+        _default_centroids(emb, id_col, vec_col, num_cells, centroids),
+        id_col,
+        vec_col,
     )
     wv = cells.join(
         emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
@@ -407,6 +441,7 @@ def assign_cells_numpy(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_dist: bool = False,
 ) -> DataFrame:
     """(id, cell): nearest-centroid assignment — Arrow/numpy tier.
 
@@ -420,7 +455,14 @@ def assign_cells_numpy(
 
     Scale shape: the centroid table is collected once (bounded by
     contract: |cells| rows) and broadcast inside the closure; the map is
-    shuffle-free — output is (id, cell) pairs only.
+    shuffle-free — output is (id, cell) pairs only.  The collected
+    centroid matrix must fit executor memory (|cells| x dim doubles —
+    ~1 MB at 2048x64, low GB at millions of cells); past that, shard the
+    centroid set or interpose a coarse quantizer level.  With
+    ``with_dist`` the winner's squared distance is also emitted,
+    recomputed as a DIRECT squared-difference sum (the matmul expansion
+    |x|²+|c|²-2x.c cancels catastrophically near zero — fine for the
+    argmin, not for a value an oracle checks to 9 significant digits).
     """
     import numpy as np
     import pandas as pd
@@ -435,12 +477,13 @@ def assign_cells_numpy(
     c2 = (C * C).sum(axis=1)
 
     src = emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, src.schema[id_col].dataType),
-            T.StructField("cell", centroids.schema["cent_id"].dataType),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, src.schema[id_col].dataType),
+        T.StructField("cell", centroids.schema["cent_id"].dataType),
+    ]
+    if with_dist:
+        fields.append(T.StructField("dist2", T.DoubleType()))
+    out_schema = T.StructType(fields)
 
     def assign(batches):
         for pdf in batches:
@@ -451,8 +494,12 @@ def assign_cells_numpy(
             # argmin takes the FIRST minimum -> lowest centroid index; the
             # centroid rows are sorted by cent_id, so ties break identically
             # to min(struct(d2, cent_id))
-            best = cent_ids[d2.argmin(axis=1)]
-            yield pd.DataFrame({id_col: pdf[id_col], "cell": best})
+            idx = d2.argmin(axis=1)
+            out = {id_col: pdf[id_col], "cell": cent_ids[idx]}
+            if with_dist:
+                diff = V - C[idx]
+                out["dist2"] = (diff * diff).sum(axis=1)
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(assign, out_schema)
 
@@ -573,31 +620,19 @@ def assignment_outliers(
     deterministic init by default, trained centroids optional). The
     threshold is ONE exact-percentile scalar broadcast back over the
     per-vector distances — no global sort of the corpus.
+
+    Distances come from the matmul tier (``assign_cells_numpy`` with
+    ``with_dist``): the old broadcast-crossJoin expression path was
+    n x C interpreted zip_with rows — the same O(n²/1000) wall the
+    round-7 1000x probe caught in semantic_dedup's assignment.  The
+    min-distance shuffle disappears with it (the argmin happens inside
+    the Arrow batch); only (id, dist2) rows and one percentile scalar
+    move.
     """
-    if centroids is None:
-        if num_cells is None:
-            num_cells = suggest_num_cells(emb.count())
-        centroids = (
-            emb.orderBy(F.col(id_col).asc())
-            .limit(num_cells)
-            .select(
-                F.col(id_col).alias("cent_id"),
-                to_double_array(vec_col).alias("cvec"),
-            )
-        )
-    j = (
-        emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "d2",
-            F.aggregate(
-                F.zip_with("dv", "cvec", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-    )
-    best = j.groupBy(id_col).agg(F.min("d2").alias("dist2"))
+    cents = _default_centroids(emb, id_col, vec_col, num_cells, centroids)
+    best = assign_cells_numpy(
+        emb, cents, id_col, vec_col, with_dist=True
+    ).select(id_col, "dist2")
     thr = best.agg(
         F.expr(f"percentile(dist2, {pct}D)").alias("thr")
     )

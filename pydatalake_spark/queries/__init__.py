@@ -31,6 +31,7 @@ _GATE_FRONT = [
     "pq_encode",
     "pq_adc_topk",
     "pq_recall_eval",
+    "ivfadc_topk",
     # (b) last green r04
     "q9_product_type_revenue",
     "q10_returned_items",
@@ -76,7 +77,6 @@ _GATE_FRONT = [
     "zipf_fit",
     "approx_profile",
     "multires_rollup",
-    "rolling_median_value",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

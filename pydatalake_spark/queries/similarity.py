@@ -1204,6 +1204,56 @@ def pq_adc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return _session_cached(spark, _PQ_ADC_CACHE, sf, build)
 
 
+_IVFADC_CACHE: dict = {}
+_IVFADC_COARSE_CACHE: dict = {}
+
+
+@q(
+    "ivfadc_topk",
+    _PQ_CTE + """
+    SELECT q_id, c_id, adc FROM pq_adc
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) <= 10
+    """,
+)
+def ivfadc_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC — the billion-scale ANN architecture (coarse IVF cells
+    prune candidates, PQ codes price survivors; operators/pq.py:
+    ivfadc_encode_numpy/ivfadc_topk).  The gate runs nprobe = num_cells:
+    full probing degrades IVFADC to exact ADC over the whole corpus —
+    the same result set as pq_adc_topk, so the same SQL oracle checks it
+    (the ivf_topk precedent).  The entire IVFADC machinery still
+    executes: the fused one-pass cell+code encode, the per-query probe
+    set, and the map-side cell filter; reduced-nprobe behavior
+    (candidate shrinkage, pricing consistency) is pytest-pinned in
+    tests/test_pq.py."""
+    from pydatalake_spark.operators.pq import ivfadc_encode_numpy, ivfadc_topk
+    from pydatalake_spark.operators.similarity import train_ivf_centroids
+    from pydatalake_spark.queries.text import _session_cached
+    from pydatalake_spark.session import cache_once
+
+    def build():
+        cb = _pq_codebooks(spark, sf)
+        coarse = _session_cached(
+            spark,
+            _IVFADC_COARSE_CACHE,
+            sf,
+            lambda: train_ivf_centroids(
+                _t(spark, sf, "embeddings"), num_cells=8
+            ),
+        )
+        enc = cache_once(
+            ivfadc_encode_numpy(_t(spark, sf, "embeddings"), coarse, cb, dim=_DIM)
+        )
+        out = ivfadc_topk(
+            enc, _pq_query_rows(spark, sf), coarse, cb, k=10, nprobe=8, dim=_DIM
+        )
+        return out.select(
+            F.col("q_id").cast("long").alias("q_id"), "c_id", "adc"
+        )
+
+    return _session_cached(spark, _IVFADC_CACHE, sf, build)
+
+
 @q(
     "pq_recall_eval",
     _PQ_CTE + f""", pq_exact AS (

@@ -120,6 +120,94 @@ def test_adc_approximates_exact_distance(spark, emb, cb):
         assert got[(q_id, cid)] == pytest.approx(want, rel=1e-12)
 
 
+@pytest.fixture(scope="module")
+def coarse(spark, emb):
+    from pydatalake_spark.operators.similarity import train_ivf_centroids
+
+    return train_ivf_centroids(emb, num_cells=8)
+
+
+@pytest.fixture(scope="module")
+def qrows(spark, emb):
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+
+
+def test_ivfadc_full_probe_equals_plain_adc(spark, emb, cb, coarse, qrows):
+    """nprobe = num_cells degrades IVFADC to exact ADC: identical rows
+    (incl. distances) to pq_adc_topk — the gate's oracle-equivalence."""
+    from pydatalake_spark.operators.pq import ivfadc_encode_numpy, ivfadc_topk
+
+    enc_pq = pq_encode(emb, cb, dim=64)
+    plain = {
+        (r["q_id"], r["c_id"]): r["adc"]
+        for r in pq_adc_topk(enc_pq, qrows, cb, k=10, dim=64).collect()
+    }
+    enc = ivfadc_encode_numpy(emb, coarse, cb, dim=64)
+    full = {
+        (r["q_id"], r["c_id"]): r["adc"]
+        for r in ivfadc_topk(
+            enc, qrows, coarse, cb, k=10, nprobe=len(coarse), dim=64
+        ).collect()
+    }
+    assert full == plain
+
+
+def test_ivfadc_reduced_nprobe_prices_consistently(spark, emb, cb, coarse, qrows):
+    """At nprobe < C: every returned candidate must lie in the query's
+    probed cells, carry the SAME ADC price as the full-probe scorer, and
+    the candidate pool must actually shrink."""
+    from pydatalake_spark.operators.pq import ivfadc_encode_numpy, ivfadc_topk
+
+    enc = ivfadc_encode_numpy(emb, coarse, cb, dim=64)
+    cells = {r["vec_id"]: r["cell"] for r in enc.collect()}
+    full_prices = {
+        (r["q_id"], r["c_id"]): r["adc"]
+        for r in ivfadc_topk(
+            enc, qrows, coarse, cb, k=10_000, nprobe=len(coarse), dim=64
+        ).collect()
+    }
+    got = ivfadc_topk(enc, qrows, coarse, cb, k=10, nprobe=2, dim=64).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+        assert full_prices[(r["q_id"], r["c_id"])] == r["adc"]
+    for q_id, vec in qrows:
+        cd = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(vec, c)), i)
+            for i, c in enumerate(coarse)
+        )
+        probed = {i for _, i in cd[:2]}
+        rows = by_q.get(q_id, [])
+        assert len(rows) <= 10
+        for r in rows:
+            assert cells[r["c_id"]] in probed
+        # pruning is real: the probed population is smaller than the corpus
+        pool = sum(1 for c in cells.values() if c in probed)
+        assert pool < len(cells)
+
+
+def test_ivfadc_encode_cells_match_python(spark, emb, cb, coarse):
+    from pydatalake_spark.operators.pq import ivfadc_encode_numpy
+
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    enc = {
+        r["vec_id"]: r["cell"]
+        for r in ivfadc_encode_numpy(emb, coarse, cb, dim=64)
+        .filter(F.col("vec_id") < 20)
+        .collect()
+    }
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(v, c)), i)
+            for i, c in enumerate(coarse)
+        )[1]
+        assert enc[int(r["vec_id"])] == best
+
+
 def test_encode_plan_is_map_only(spark, emb, cb):
     """The 100 TB contract: corpus-wide encode has NO shuffle — codebook
     literals are fused into a single scan-project stage."""
