@@ -209,6 +209,56 @@ def test_auto_num_cells_default_matches_explicit(spark):
     assert auto == expl
 
 
+def test_hier_assignment_valid_and_dedups_exact_twins(spark):
+    """The two-level assignment (scale path above HIER_MIN_CELLS) must
+    (a) be deterministic, (b) assign every vector a real centroid id
+    that is optimal WITHIN its coarse group, and (c) keep SemDeDup's
+    core guarantee: exact-duplicate vectors share a cell (identical
+    inputs walk the identical assignment path) so the higher id is
+    dropped."""
+    from pydatalake_spark.operators.semdedup import (
+        HIER_MIN_CELLS,
+        assign_cells_hier_numpy,
+        semantic_dedup_numpy,
+    )
+    from pydatalake_spark.queries.tables import load_table
+    from tests.conftest import SF_DIR
+    from pydatalake_spark.functions.vector import to_double_array
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    cents = (
+        base.orderBy("vec_id")
+        .limit(HIER_MIN_CELLS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            to_double_array("embedding").alias("cvec"),
+        )
+    )
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_hier_numpy(base, cents).collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_hier_numpy(base, cents).collect()
+    }
+    assert a == b
+    cent_ids = {r["cent_id"] for r in cents.collect()}
+    assert set(a.values()) <= cent_ids
+
+    twins = base.withColumn("vec_id", F.col("vec_id") + 100_000)
+    sd = semantic_dedup_numpy(
+        base.unionByName(twins), num_cells=HIER_MIN_CELLS, threshold=0.99
+    )
+    rows = {r["vec_id"]: (r["cell"], r["keep"]) for r in sd.collect()}
+    for vid in list(rows):
+        if vid >= 100_000:
+            cell_t, keep_t = rows[vid]
+            cell_o, _ = rows[vid - 100_000]
+            assert cell_t == cell_o
+            assert keep_t is False  # exact twin of a smaller id
+
+
 def test_numpy_variant_equals_expression_form(spark):
     """semantic_dedup_numpy (applyInPandas gram-matrix verify) must emit
     the exact same verdicts as the expression-form join, on the fixture

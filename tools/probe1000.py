@@ -35,17 +35,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import bench  # noqa: E402  (reads SPARK_GRAFT_SCALING_REPLICAS at import)
 
 # the 100x worst-exponent set — the only queries where "sublinear so far"
-# still has room to hide a slow superlinearity
+# still has room to hide a slow superlinearity.  Ordered cheap -> heavy:
+# the two window/shingle-table queries shuffle data-sized intermediates
+# (~30 GB spill per execution at 1000x) and run LAST so a disk blow-up
+# there cannot take the rest of the probe down.
 PROBE_1000 = [
-    "semantic_dedup",
-    "bloom_decontamination",
-    "embedding_near_dup",
+    "dup_span_stats",
+    "ngram_jaccard_pairs",
     "token_pmi",
     "near_dup_clusters",
-    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "semantic_dedup",
     "strip_contaminated_spans",
-    "dup_span_stats",
+    "bloom_decontamination",
 ]
+
+
+def _reclaim(spark) -> None:
+    """Evict caches and nudge the JVM GC so ContextCleaner releases the
+    previous run's shuffle files — back-to-back 1000x executions
+    otherwise accumulate ~30 GB of dead spill each and fill the disk
+    (the first probe attempt died exactly this way)."""
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
 
 
 def _scaled_dir(spark, replicas: int) -> str:
@@ -82,30 +94,46 @@ def main() -> None:
     dir100 = _scaled_dir(spark, 100)
     dir1000 = _scaled_dir(spark, 1000)
 
+    out = Path(__file__).resolve().parent.parent / "BENCH_probe1000.json"
     result = {"replicas": 1000, "vs_replicas": 100, "queries": {}}
     for name in PROBE_1000:
         fn = bench._probe_callable(name, QUERIES)
-        bench._run_timed(fn, spark, dir100)  # warm
-        t_100 = bench._run_timed(fn, spark, dir100)
-        bench._run_timed(fn, spark, dir1000)  # warm
-        t_1000 = bench._run_timed(fn, spark, dir1000)
-        exponent = (
-            math.log10(t_1000 / t_100) if t_100 > 0 and t_1000 > 0 else None
-        )
-        result["queries"][name] = {
-            "sec_100x": t_100,
-            "sec_1000x": t_1000,
-            "exponent_100_to_1000": (
-                round(exponent, 3) if exponent is not None else None
-            ),
-        }
+        try:
+            # reclaim between warm and timed on BOTH scales: each timed
+            # run pays its own (cold-cache) standalone cost, so the
+            # exponent compares like with like — and the warm run's
+            # ~data-sized spill is gone before the timed one starts
+            bench._run_timed(fn, spark, dir100)  # warm
+            _reclaim(spark)
+            t_100 = bench._run_timed(fn, spark, dir100)
+            _reclaim(spark)
+            bench._run_timed(fn, spark, dir1000)  # warm
+            _reclaim(spark)
+            t_1000 = bench._run_timed(fn, spark, dir1000)
+            exponent = (
+                math.log10(t_1000 / t_100)
+                if t_100 > 0 and t_1000 > 0
+                else None
+            )
+            result["queries"][name] = {
+                "sec_100x": t_100,
+                "sec_1000x": t_1000,
+                "exponent_100_to_1000": (
+                    round(exponent, 3) if exponent is not None else None
+                ),
+            }
+        except Exception as e:  # record and keep probing
+            result["queries"][name] = {"error": str(e)[:500]}
+        finally:
+            _reclaim(spark)
         print(json.dumps({name: result["queries"][name]}), file=sys.stderr)
+        # write incrementally: a crash on a later query keeps the evidence
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
 
-    out = Path(__file__).resolve().parent.parent / "BENCH_probe1000.json"
-    with open(out, "w") as f:
-        json.dump(result, f, indent=1)
     worst = max(
-        (q["exponent_100_to_1000"] or 0.0) for q in result["queries"].values()
+        (q.get("exponent_100_to_1000") or 0.0)
+        for q in result["queries"].values()
     )
     print(
         json.dumps(
