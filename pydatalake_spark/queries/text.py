@@ -2310,31 +2310,24 @@ def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     false-positive rate at EVERY scale factor and no false negatives
     (pytest pins flagged ⊇ exact-contaminated). The sizing count is one
     distinct-count job whose result is a bounded driver scalar. The
-    probe runs the vectorized Arrow tier while the bitmap fits driver
-    memory (BLOOM_VECTOR_MAX_BITS), falling back to the broadcast-join
-    tier beyond; on the vector tier the BUILD is the numpy partial-bitmap
-    pass too (`bloom_build_chunks`: per-partition dense OR, no k-fold
-    explode). The (doc, window-hash) table comes from the shared
-    `_decon_exl` cache, so the tokenize → shingle pipeline runs once per
-    corpus across all decontamination queries. See operators/bloom.py."""
-    from pydatalake_spark.operators.bloom import (
-        BLOOM_VECTOR_MAX_BITS,
-        bloom_build,
-        bloom_build_chunks,
-        bloom_contains,
-        bloom_contains_numpy,
-        bloom_num_bits,
-    )
+    screen routes through the explicit THREE-tier `membership_screen`
+    dispatch (operators/bloom.py:bloom_tier): vectorized Arrow bitmap
+    while it fits driver memory (BLOOM_VECTOR_MAX_BITS), broadcast word
+    table to 2^31 bits, and the EXACT distinct+semi-join beyond — the
+    round-7 1000x probe caught the old two-branch version trying to
+    broadcast a 6.9e9-bit word table (216M rows) through
+    spark.driver.maxResultSize; past the join ceiling a 24-bits/key
+    bitmap is data-sized and buys nothing over the exact screen (FP=0
+    there, so `flagged` only gets MORE precise). The (doc, window-hash)
+    table comes from the shared `_decon_exl` cache, so the tokenize →
+    shingle pipeline runs once per corpus across all decontamination
+    queries. See operators/bloom.py."""
+    from pydatalake_spark.operators.bloom import membership_screen
 
     exl = _decon_exl(spark, sf)
     tw = _decon_train_w(spark, sf)
-    m = bloom_num_bits(tw.count())
-    vector = m <= BLOOM_VECTOR_MAX_BITS
-    build = bloom_build_chunks if vector else bloom_build
-    bitmap = build(tw, key_col="wh", num_bits=m)
     ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
-    contains = bloom_contains_numpy if vector else bloom_contains
-    hits = contains(ev, bitmap, key_col="wh", num_bits=m)
+    hits = membership_screen(ev, tw, key_col="wh", n_train_keys=tw.count())
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum(F.col("bf_hit").cast("int")).cast("long").alias("n_bf_hits"),
@@ -3735,14 +3728,7 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     over-flagged ~28% of clean docs through the ANY-window flag. FN
     must read 0 at any size; a nonzero value means the filter is
     broken."""
-    from pydatalake_spark.operators.bloom import (
-        BLOOM_VECTOR_MAX_BITS,
-        bloom_build,
-        bloom_build_chunks,
-        bloom_contains,
-        bloom_contains_numpy,
-        bloom_num_bits,
-    )
+    from pydatalake_spark.operators.bloom import membership_screen
 
     # shared per-corpus cache: tokenize→shingle feeds FOUR consumers here
     # (sizing count, exact screen, bloom build, bloom probe) and every
@@ -3750,23 +3736,17 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     exl = _decon_exl(spark, sf)
     train_w = _decon_train_w(spark, sf)
     ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
-    m = bloom_num_bits(train_w.count())
-    vector = m <= BLOOM_VECTOR_MAX_BITS
-    # vector tier: numpy partial-bitmap build (bloom_build_chunks — one
-    # dense OR per partition, no k-fold row explode, merge shuffle is
-    # partitions × chunks rows) fixed the r5 8.4s regression here
-    build = bloom_build_chunks if vector else bloom_build
-    bitmap = build(train_w, key_col="wh", num_bits=m)
-    contains = bloom_contains_numpy if vector else bloom_contains
     # fused single pass: the bloom probe runs on the exact screen's OWN
     # join output, so the eval windows cross one wh-keyed shuffle and one
     # doc_id groupBy TOTAL — no second scan, no two per-screen aggregates
-    # to re-join on doc_id
-    both = contains(
+    # to re-join on doc_id. membership_screen's three-tier dispatch (not
+    # the old vector-else-join pair) keeps the audit runnable past the
+    # 2^31-bit broadcast ceiling the 1000x probe hit.
+    both = membership_screen(
         ev.join(train_w.withColumn("_hit", F.lit(1)), "wh", "left"),
-        bitmap,
+        train_w,
         key_col="wh",
-        num_bits=m,
+        n_train_keys=train_w.count(),
     )
     j = both.groupBy("doc_id").agg(
         (F.max(F.coalesce("_hit", F.lit(0))) == 1).alias("contaminated"),
