@@ -45,11 +45,8 @@ def connected_components(
     clique-soup this is meant for (see module docstring for the
     O(log n)-round alternative).
     """
-    edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = _symmetric_edges(pairs, src_col, dst_col).localCheckpoint(
+        eager=True
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node")
@@ -102,6 +99,31 @@ def dedup_by_clusters(
         F.col("node").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def _symmetric_edges(
+    pairs: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Both orientations of every pair, deduplicated, via ONE pass over
+    ``pairs`` (explode of a 2-struct array).  The union-of-two-selects
+    form references the ``pairs`` plan twice, and when that plan is an
+    expensive un-cached build (the near-dup inverted-index join) Spark
+    executes the whole subtree twice in the same job — at the 1000x
+    probe that doubled a ~60 GB live shuffle and filled the disk before
+    the edge checkpoint could truncate the lineage."""
+    s, d = F.col(src_col), F.col(dst_col)
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("src"), d.alias("dst")),
+                    F.struct(d.alias("src"), s.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
 
 
 def _canon_edges(e: DataFrame) -> DataFrame:
@@ -341,13 +363,8 @@ def label_propagation(
     localCheckpoint like the CC loop. num_iters is a fixed small constant
     (LPA converges in a few rounds on near-dup graphs).
     """
-    edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(
-            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = _symmetric_edges(pairs, src_col, dst_col).localCheckpoint(
+        eager=True
     )
     labels = (
         edges.select(F.col("src").alias("node"))

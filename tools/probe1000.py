@@ -96,7 +96,15 @@ def main() -> None:
 
     out = Path(__file__).resolve().parent.parent / "BENCH_probe1000.json"
     result = {"replicas": 1000, "vs_replicas": 100, "queries": {}}
-    for name in PROBE_1000:
+    only = os.environ.get("PROBE_1000_ONLY")
+    names = PROBE_1000
+    if only:
+        # retry mode: re-probe a subset and merge over the existing
+        # artifact (keeps the already-green rows)
+        names = [n for n in only.split(",") if n]
+        if out.is_file():
+            result = json.load(open(out))
+    for name in names:
         fn = bench._probe_callable(name, QUERIES)
         try:
             # reclaim between warm and timed on BOTH scales: each timed
