@@ -204,18 +204,27 @@ def semantic_dedup_numpy(
     path evaluates n x C interpreted zip_with trees — O(n²/1000)
     interpreter work that the round-7 1000x probe measured at exponent
     ~1.9 (2M vectors x 2048 cells never finished; the matmul tier does
-    the same distances as |batch| x C BLAS calls in seconds).
+    the same distances as |batch| x C BLAS calls in seconds).  Above
+    ``HIER_MIN_CELLS`` it escalates to the two-level assignment
+    (``assign_cells_hier_numpy``, n x 2 sqrt(C) distances): the flat
+    matmul's n x C FLOPs are themselves O(n²/1000) once C scales with
+    the corpus (exponent 1.5 at the 1000x probe).  Gate SFs sit at
+    C <= 2, so every oracle row checks the flat/exact path.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    cells = assign_cells_numpy(
-        emb,
-        _default_centroids(emb, id_col, vec_col, num_cells, centroids),
-        id_col,
-        vec_col,
+    if centroids is None and num_cells is None:
+        num_cells = suggest_num_cells(emb.count())
+    cents = _default_centroids(emb, id_col, vec_col, num_cells, centroids)
+    n_cells = num_cells if num_cells is not None else cents.count()
+    assign = (
+        assign_cells_hier_numpy
+        if n_cells >= HIER_MIN_CELLS
+        else assign_cells_numpy
     )
+    cells = assign(emb, cents, id_col, vec_col)
     wv = cells.join(
         emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
         id_col,
@@ -500,6 +509,93 @@ def assign_cells_numpy(
                 diff = V - C[idx]
                 out["dist2"] = (diff * diff).sum(axis=1)
             yield pd.DataFrame(out)
+
+    return src.mapInPandas(assign, out_schema)
+
+
+HIER_MIN_CELLS = 64
+
+
+def assign_cells_hier_numpy(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): TWO-LEVEL nearest-centroid assignment — the scale path
+    past the flat quantizer's n x C distance wall.
+
+    Flat assignment does n x C distance evaluations; with SemDeDup's
+    auto-sized C ~ n/1000 that is O(n²/1000) FLOPs — BLAS-fast but still
+    quadratic (round-7 1000x probe: exponent 1.5 at 2M x 2048). Here the
+    C fine centroids are first grouped under ~sqrt(C) coarse
+    representatives (driver-side, C bounded by contract); each vector
+    then prices sqrt(C) coarse + ~sqrt(C) fine distances — n x 2 sqrt(C)
+    total, which holds the per-vector cost ~constant as the corpus and
+    C grow together.
+
+    The assignment is approximate at the coarse boundary (a vector whose
+    true nearest fine centroid lives under a different coarse rep gets
+    its best WITHIN-group cell — the standard IVF trade-off), so this is
+    NOT the oracle-checked path: ``semantic_dedup_numpy`` switches to it
+    only above ``HIER_MIN_CELLS`` (gate SFs run flat/exact; the scaling
+    probe runs this). Cells remain a valid space partition, which is all
+    SemDeDup's within-cell dedup semantics require; determinism is
+    preserved (fixed centroid order, first-min ties).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(
+        centroids.select("cent_id", "cvec").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cent_ids = np.array([r["cent_id"] for r in cent_rows])
+    C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    n_fine = len(cent_rows)
+    n_coarse = max(1, int(round(n_fine**0.5)))
+    # coarse reps = an even stride over the (id-sorted) fine centroids;
+    # fine centroids then group under their nearest rep
+    rep_idx = np.linspace(0, n_fine - 1, n_coarse).round().astype(np.int64)
+    R = C[rep_idx]
+    r2 = (R * R).sum(axis=1)
+    fine_d2 = (C * C).sum(axis=1)[:, None] + r2[None, :] - 2.0 * (C @ R.T)
+    fine_group = fine_d2.argmin(axis=1)
+    groups = [np.where(fine_group == g)[0] for g in range(n_coarse)]
+    # a rep with no fine members can never win a fine argmin; drop it to
+    # keep every coarse winner resolvable
+    keep = [g for g in range(n_coarse) if len(groups[g])]
+    R, r2 = R[keep], r2[keep]
+    groups = [groups[g] for g in keep]
+
+    src = emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, src.schema[id_col].dataType),
+            T.StructField("cell", centroids.schema["cent_id"].dataType),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["dv"].tolist(), dtype=np.float64)
+            v2 = (V * V).sum(axis=1)
+            coarse = (
+                v2[:, None] + r2[None, :] - 2.0 * (V @ R.T)
+            ).argmin(axis=1)
+            best = np.empty(len(V), dtype=np.int64)
+            for g in np.unique(coarse):
+                rows = np.where(coarse == g)[0]
+                sub = V[rows]
+                Cg = C[groups[g]]
+                d2 = (
+                    (Cg * Cg).sum(axis=1)[None, :] - 2.0 * (sub @ Cg.T)
+                )
+                best[rows] = groups[g][d2.argmin(axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": cent_ids[best]})
 
     return src.mapInPandas(assign, out_schema)
 
