@@ -580,15 +580,22 @@ def membership_screen(
         tier, n_train_keys, bloom_num_bits(n_train_keys),
     )
     if tier == "exact":
+        # internal marker name must not collide with probe columns — the
+        # decontamination audit passes a probe that already carries `_hit`
+        # (r7 ADVICE: AMBIGUOUS_REFERENCE past the join ceiling, the exact
+        # scale this tier exists for)
+        mark = "__ms_hit"
+        while mark in probe.columns:
+            mark += "_"
         t = (
             train_keys.select(key_col)
             .where(F.col(key_col).isNotNull())
             .distinct()
-            .withColumn("_hit", F.lit(True))
+            .withColumn(mark, F.lit(True))
         )
         return probe.join(t, key_col, "left").select(
             *probe.columns,
-            F.coalesce(F.col("_hit"), F.lit(False)).alias("bf_hit"),
+            F.coalesce(F.col(mark), F.lit(False)).alias("bf_hit"),
         )
     m = bloom_num_bits(n_train_keys)
     if tier == "vector":

@@ -31,6 +31,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ckpt(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """``localCheckpoint(eager=True)`` plus the storage-registered RDD ids
+    the call created, so the caller can ``_reap`` them the moment no plan
+    references them.
+
+    Why explicit: localCheckpoint blocks live in executor storage
+    (memory, spilling to DISK) until the ContextCleaner happens to GC the
+    Python-unreachable RDD — in an iterative loop that lag accumulates
+    one data-sized generation per round, and the round-7 1000x probe
+    filled the single local disk exactly this way ("No space left on
+    device" inside localCheckpoint; r7 VERDICT item 2). The ids are
+    diffed from ``getPersistentRDDs`` around the eager materialization,
+    so only blocks THIS call registered are ever reaped — never a shared
+    cache."""
+    sc = df.sparkSession.sparkContext
+    try:
+        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:  # pragma: no cover - py4j interop failure → no reaping
+        return df.localCheckpoint(eager=True), []
+    out = df.localCheckpoint(eager=True)
+    try:
+        ids = [
+            int(i)
+            for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+            if int(i) not in before
+        ]
+    except Exception:  # pragma: no cover
+        ids = []
+    return out, ids
+
+
+def _reap(df: DataFrame, ids: list[int]) -> None:
+    """Drop the checkpoint blocks behind the given RDD ids (non-blocking).
+    Safe ONLY once every plan that could read them has materialized —
+    localCheckpoint data IS the lineage and cannot be recomputed."""
+    if not ids:
+        return
+    sc = df.sparkSession.sparkContext
+    try:
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            r = m.get(i)
+            if r is not None:
+                r.unpersist(False)
+    except Exception:  # pragma: no cover - reaping is best-effort
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -45,23 +93,21 @@ def connected_components(
     clique-soup this is meant for (see module docstring for the
     O(log n)-round alternative).
     """
-    edges = _symmetric_edges(pairs, src_col, dst_col).localCheckpoint(
-        eager=True
-    )
+    edges, edge_ids = _ckpt(_symmetric_edges(pairs, src_col, dst_col))
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster_id", F.col("node")
     )
+    label_ids: list[int] = []
     for _ in range(max_iter):
         # min over (own label, neighbors' labels)
         neighbor = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "cluster_id")
         )
-        new_labels = (
+        new_labels, new_ids = _ckpt(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -70,8 +116,12 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the changed-count was the last reader of the PREVIOUS label
+        # generation — reap its blocks before the next round allocates
+        _reap(new_labels, label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
+            _reap(labels, edge_ids)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
@@ -180,14 +230,17 @@ def connected_components_star(
     checked with a count + per-edge hash-sum aggregate (one scalar per
     round, no edge-set comparison join).
     """
-    edges = _canon_edges(
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    ).localCheckpoint(eager=True)
-    nodes = (
+    edges, edge_ids = _ckpt(
+        _canon_edges(
+            pairs.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+        )
+    )
+    nodes, _node_ids = _ckpt(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def fingerprint(e: DataFrame) -> tuple:
@@ -201,8 +254,13 @@ def connected_components_star(
 
     fp = fingerprint(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        new_fp = fingerprint(edges)
+        new_edges, new_ids = _ckpt(_small_star(_large_star(edges)))
+        new_fp = fingerprint(new_edges)
+        # the fingerprint was the last reader through the new checkpoint;
+        # the previous edge generation is now unreferenced — reap it
+        # (r7 VERDICT item 2: generations otherwise accumulate on disk)
+        _reap(new_edges, edge_ids)
+        edges, edge_ids = new_edges, new_ids
         if new_fp == fp:
             break
         fp = new_fp
@@ -239,7 +297,7 @@ def pagerank(
     connected_components above. Every node in the pair graph has degree
     >= 1, so there is no dangling-mass term.
     """
-    bidir = (
+    bidir, _bidir_ids = _ckpt(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
             edges.select(
@@ -247,7 +305,6 @@ def pagerank(
             )
         )
         .distinct()
-        .localCheckpoint()
     )
     deg = bidir.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
@@ -256,6 +313,7 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
+    rank_ids: list[int] = []
     for it in range(iters):
         contrib = (
             bidir.join(
@@ -277,7 +335,11 @@ def pagerank(
             )
         )
         if (it + 1) % 4 == 0:
-            ranks = ranks.localCheckpoint()
+            # eager + reap of the previous generation: the new checkpoint
+            # folds everything the old blocks held (see _ckpt docstring)
+            ranks, new_ids = _ckpt(ranks)
+            _reap(ranks, rank_ids)
+            rank_ids = new_ids
     return ranks
 
 
@@ -363,14 +425,13 @@ def label_propagation(
     localCheckpoint like the CC loop. num_iters is a fixed small constant
     (LPA converges in a few rounds on near-dup graphs).
     """
-    edges = _symmetric_edges(pairs, src_col, dst_col).localCheckpoint(
-        eager=True
-    )
+    edges, _edge_ids = _ckpt(_symmetric_edges(pairs, src_col, dst_col))
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("community", F.col("node"))
     )
+    label_ids: list[int] = []
     for _ in range(num_iters):
         neighbor = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -391,5 +452,7 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select("node", F.col("nl").alias("community"))
         )
-        labels = best.localCheckpoint(eager=True)
+        labels, new_ids = _ckpt(best)
+        _reap(labels, label_ids)
+        label_ids = new_ids
     return labels

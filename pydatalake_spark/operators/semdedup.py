@@ -180,6 +180,7 @@ def semantic_dedup_numpy(
     num_cells: int | None = None,
     threshold: float = 0.3,
     centroids: DataFrame | None = None,
+    approx_assign: bool | None = None,
 ) -> DataFrame:
     """(id, cell, keep): SemDeDup verdict — numpy within-cell verify.
 
@@ -218,12 +219,31 @@ def semantic_dedup_numpy(
     if centroids is None and num_cells is None:
         num_cells = suggest_num_cells(emb.count())
     cents = _default_centroids(emb, id_col, vec_col, num_cells, centroids)
-    n_cells = num_cells if num_cells is not None else cents.count()
-    assign = (
-        assign_cells_hier_numpy
-        if n_cells >= HIER_MIN_CELLS
-        else assign_cells_numpy
+    # tier from the ACTUAL centroid count when trained centroids are
+    # passed (r7 ADVICE: a num_cells mismatching len(centroids) must not
+    # pick the tier); centroid tables are bounded by contract so the
+    # count is cheap
+    n_cells = cents.count() if centroids is not None else (
+        num_cells if num_cells is not None else cents.count()
     )
+    if approx_assign is None:
+        approx_assign = n_cells >= HIER_MIN_CELLS
+        if approx_assign:
+            # loud, not silent (r7 ADVICE): the two-level assignment is
+            # IVF-approximate at the coarse boundary and DIVERGES from
+            # semantic_dedup / the exact SQL oracle — an oracle gate that
+            # auto-sizes past HIER_MIN_CELLS must see this in the log
+            # before it sees the hash mismatch.
+            import warnings
+
+            warnings.warn(
+                f"semantic_dedup_numpy: auto-escalating to APPROXIMATE "
+                f"two-level assignment (n_cells={n_cells} >= "
+                f"{HIER_MIN_CELLS}); pass approx_assign=False for the "
+                f"exact (oracle-parity) flat assignment",
+                stacklevel=2,
+            )
+    assign = assign_cells_hier_numpy if approx_assign else assign_cells_numpy
     cells = assign(emb, cents, id_col, vec_col)
     wv = cells.join(
         emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
@@ -515,6 +535,12 @@ def assign_cells_numpy(
 
 HIER_MIN_CELLS = 64
 
+# decimal places dist2 survives cross-engine summation-order differences
+# at: numpy pairwise summation vs the oracle's sequential fold agree far
+# beyond 6 dp on unit-scale embedding distances; rounding both sides
+# absorbs the last-ulp reorder noise (same rationale as pq.PQ_ROUND)
+SD_DIST_ROUND = 6
+
 
 def assign_cells_hier_numpy(
     emb: DataFrame,
@@ -724,11 +750,18 @@ def assignment_outliers(
     min-distance shuffle disappears with it (the argmin happens inside
     the Arrow batch); only (id, dist2) rows and one percentile scalar
     move.
+
+    dist2 is rounded to ``SD_DIST_ROUND`` dp BEFORE the percentile and
+    the threshold comparison (r7 ADVICE): numpy's pairwise summation and
+    the oracle's left-to-right fold differ in the last ulp, which could
+    flip membership of a row sitting exactly on the ``dist2 >= thr``
+    boundary — the same reorder-absorbing trick as ``PQ_ROUND`` in the
+    PQ trainer. The oracle rounds identically.
     """
     cents = _default_centroids(emb, id_col, vec_col, num_cells, centroids)
     best = assign_cells_numpy(
         emb, cents, id_col, vec_col, with_dist=True
-    ).select(id_col, "dist2")
+    ).select(id_col, F.round("dist2", SD_DIST_ROUND).alias("dist2"))
     thr = best.agg(
         F.expr(f"percentile(dist2, {pct}D)").alias("thr")
     )

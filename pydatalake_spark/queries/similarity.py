@@ -795,7 +795,10 @@ def pipeline_full_curation_q(spark: SparkSession, sf: str) -> DataFrame:
     "embedding_outlier_screen",
     _SD_CORE_CTE
     + """, best AS (
-        SELECT vec_id, min(d2) AS dist2 FROM dist GROUP BY vec_id
+        -- round(_, 6) = SD_DIST_ROUND: absorbs numpy-pairwise vs
+        -- sequential-fold last-ulp summation differences on both the
+        -- threshold and the emitted value (r7 ADVICE)
+        SELECT vec_id, round(min(d2), 6) AS dist2 FROM dist GROUP BY vec_id
     ), thr AS (
         SELECT percentile_cont(0.99) WITHIN GROUP (ORDER BY dist2) AS t
         FROM best

@@ -89,6 +89,39 @@ def test_dedup_agg_method_equals_window(spark):
         distinct_table(df, subset="k", method="sort")
 
 
+def test_dedup_salted_method_equals_window(spark):
+    """The salted two-phase window form (r7 VERDICT item 3 — the skew
+    escape for A2's keep-first/last path) must return byte-identical
+    rows to the default window form, including hot keys (one key owning
+    most rows), null ordering, full-tiebreak determinism, and a salt
+    count larger than the duplicate count."""
+    rows = [
+        (1, None, "a", 1.0), (1, 5, "b", 2.0), (1, 3, "c", None),
+        (2, 7, None, 0.5), (2, 7, "x", 0.5),
+        (3, None, None, None), (3, None, "z", 9.0),
+    ]
+    # add a hot key: 500 duplicate rows under k=9
+    rows += [(9, i % 13, f"s{i % 7}", float(i % 11)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, v int, s string, x double")
+    for keep in ("first", "last"):
+        for presort in (None, ["v"], ["v", "s"]):
+            for salt in (4, 64, 1024):
+                a = distinct_table(
+                    df, subset="k", keep=keep, presort_by=presort,
+                    method="window",
+                )
+                b = distinct_table(
+                    df, subset="k", keep=keep, presort_by=presort,
+                    method="salted", salt=salt,
+                )
+                assert sorted(map(tuple, a.collect())) == sorted(
+                    map(tuple, b.collect())
+                ), (keep, presort, salt)
+    # the salt column must not leak into the output schema
+    out = distinct_table(df, subset="k", method="salted")
+    assert out.columns == df.columns
+
+
 def test_tables_diff_set_semantics(spark, events):
     """EXCEPT dedups its result (SURVEY §7.3.1): diffing a table-with-dupes
     against empty returns DISTINCT rows."""
@@ -627,6 +660,52 @@ def test_connected_components_chain_and_dedup(spark):
     assert kept == [1, 7, 99]
 
 
+def test_cc_checkpoints_reaped_between_iterations(spark):
+    """r7 VERDICT item 2: the iterative loops must REAP localCheckpoint
+    blocks as generations die — the 1000x probe filled the disk with
+    accumulated label/edge generations. A long chain graph forces many
+    iterations; afterwards the persistent-RDD count must be back to ~the
+    pre-call level (+ the returned frame's own checkpoint), not
+    +O(iterations)."""
+    import pandas as pd
+
+    from pydatalake_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+        label_propagation,
+        pagerank,
+    )
+
+    def n_persistent():
+        return int(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().size()
+        )
+
+    # chain 0-1-2-...-19: diameter 19 → ~10+ min-label rounds
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(19)), "id_b": list(range(1, 20))})
+    )
+    before = n_persistent()
+    cc = connected_components(pairs)
+    assert {r.cluster_id for r in cc.collect()} == {0}
+    # live: the returned labels' checkpoint (edges reaped on convergence)
+    assert n_persistent() <= before + 1
+
+    before = n_persistent()
+    star = connected_components_star(pairs)
+    assert {r.cluster_id for r in star.collect()} == {0}
+    # live: final edge generation + nodes checkpoint
+    assert n_persistent() <= before + 2
+
+    before = n_persistent()
+    pagerank(pairs, iters=12).collect()
+    assert n_persistent() <= before + 2  # bidir + last rank checkpoint
+
+    before = n_persistent()
+    label_propagation(pairs, num_iters=5).collect()
+    assert n_persistent() <= before + 2  # edges + final labels
+
+
 def test_quantized_cosine_preserves_neighbors(spark):
     """int8 codes must preserve neighborhood structure: for a sample of
     query vectors, exact-cosine top-10 over the dequantized corpus shares
@@ -1045,6 +1124,41 @@ def test_membership_screen_three_tier_dispatch(spark):
             assert fp == 0
         else:
             assert fp / 300 < 0.05, tier
+
+
+def test_membership_screen_exact_tier_probe_carrying_hit_column(spark):
+    """r7 ADVICE (medium): the decontamination audit passes a probe that
+    already carries a `_hit` marker column into membership_screen; the
+    exact tier's internal join marker must not collide with it (the old
+    `_hit` internal name raised AMBIGUOUS_REFERENCE exactly past the
+    2^31-bit join ceiling — the scale the tier exists for)."""
+    from pydatalake_spark.operators.bloom import (
+        bloom_num_bits,
+        bloom_tier,
+        membership_screen,
+    )
+
+    train = spark.range(50).select(
+        F.concat(F.lit("ek-"), F.col("id")).alias("k")
+    )
+    # probe with a pre-existing _hit column (and a second hostile name)
+    probe = spark.range(100).select(
+        F.concat(F.lit("ek-"), F.col("id")).alias("k"),
+        F.when(F.col("id") < 50, F.lit(1)).alias("_hit"),
+        F.lit("x").alias("__ms_hit"),
+    )
+    m = bloom_num_bits(50)
+    kw = dict(vector_max_bits=m // 4, join_max_bits=m // 2)
+    assert bloom_tier(50, **kw) == "exact"
+    out = membership_screen(probe, train, key_col="k", **kw)
+    assert set(out.columns) == {"k", "_hit", "__ms_hit", "bf_hit"}
+    rows = out.collect()
+    assert len(rows) == 100
+    hits = {r.k: (r.bf_hit, r._hit) for r in rows}
+    for i in range(100):
+        bf, h = hits[f"ek-{i}"]
+        assert bf is (i < 50)  # exact: FP==FN==0
+        assert h == (1 if i < 50 else None)  # probe's own _hit untouched
 
 
 def test_build_literal_bloom_autosizes(spark):

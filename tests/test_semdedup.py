@@ -393,3 +393,73 @@ def test_rp_ann_recall_high_on_clustered_data(spark):
     # cluster purity: every projected neighbor is from the query's blob
     blob = lambda i: i // 20
     assert all(blob(q) == blob(c) for q, c in approx)
+
+
+def test_assign_tier_from_actual_centroid_count_and_approx_flag(spark):
+    """r7 ADVICE: (a) when trained centroids are passed, the assignment
+    tier must derive from the ACTUAL centroid count, not a mismatching
+    num_cells; (b) approx_assign=False pins the exact flat assignment
+    even past HIER_MIN_CELLS; (c) the auto escalation to the approximate
+    hierarchical tier warns loudly."""
+    import warnings
+
+    from pydatalake_spark.functions.vector import to_double_array
+    from pydatalake_spark.operators.semdedup import (
+        HIER_MIN_CELLS,
+        semantic_dedup,
+        semantic_dedup_numpy,
+    )
+
+    # drop vec 5 (exactly equidistant from both centroids: matmul-vs-fold
+    # float noise breaks the tie differently across engines)
+    emb = _emb(spark).filter(F.col("vec_id") != 5)
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cent_id"),
+        to_double_array("embedding").alias("cvec"),
+    )
+    # (a) 2 real centroids + lying num_cells >= HIER_MIN_CELLS: the tier
+    # must be chosen from the 2, i.e. exact flat — equal to the exact
+    # expression form, and no escalation warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {
+            r.vec_id: (r.cell, r.keep)
+            for r in semantic_dedup_numpy(
+                emb,
+                num_cells=HIER_MIN_CELLS,
+                threshold=0.99,
+                centroids=cents,
+            ).collect()
+        }
+    exact = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup(
+            emb, threshold=0.99, centroids=cents
+        ).collect()
+    }
+    assert got == exact
+
+    # (b)+(c): without centroids, num_cells >= HIER_MIN_CELLS auto-warns;
+    # approx_assign=False silences it and stays exact
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        semantic_dedup_numpy(emb, num_cells=HIER_MIN_CELLS).collect()
+        assert any("APPROXIMATE" in str(x.message) for x in w)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        flat = {
+            r.vec_id: (r.cell, r.keep)
+            for r in semantic_dedup_numpy(
+                emb,
+                num_cells=HIER_MIN_CELLS,
+                threshold=0.99,
+                approx_assign=False,
+            ).collect()
+        }
+    ref = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup(
+            emb, num_cells=HIER_MIN_CELLS, threshold=0.99
+        ).collect()
+    }
+    assert flat == ref

@@ -139,17 +139,30 @@ def main() -> None:
         with open(out, "w") as f:
             json.dump(result, f, indent=1)
 
-    worst = max(
-        (q.get("exponent_100_to_1000") or 0.0)
+    # r7 ADVICE: an errored/timed-out query must NOT read as exponent 0 —
+    # that is exactly the failure this probe exists to surface. Errors get
+    # their own headline list and a null worst when nothing finished.
+    errors = [
+        n for n, q in result["queries"].items() if "error" in q
+    ]
+    finished = [
+        q["exponent_100_to_1000"]
         for q in result["queries"].values()
-    )
+        if q.get("exponent_100_to_1000") is not None
+    ]
+    worst = max(finished) if finished else None
+    result["worst_exponent_100_to_1000"] = worst
+    result["errors"] = errors
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
     print(
         json.dumps(
             {
                 "replicas": 1000,
                 "worst_exponent_100_to_1000": worst,
+                "errors": errors,
                 "exponents": {
-                    n: q["exponent_100_to_1000"]
+                    n: q.get("exponent_100_to_1000")
                     for n, q in result["queries"].items()
                 },
             }

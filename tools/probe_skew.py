@@ -137,6 +137,21 @@ def _window_dedup(spark, d: str):
     )
 
 
+def _window_dedup_salted(spark, d: str):
+    # the r8 skew escape for the window-dedup path: two-phase salted
+    # row_number (operators/dedup.py method='salted')
+    from pydatalake_spark.operators.dedup import distinct_table
+
+    li = spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+    return distinct_table(
+        li,
+        subset="l_orderkey",
+        keep="first",
+        presort_by=["l_shipdate", "l_linenumber", "l_partkey"],
+        method="salted",
+    )
+
+
 def main() -> None:
     from pydatalake_spark.session import get_spark
 
@@ -166,6 +181,7 @@ def main() -> None:
         ("agg_plain", _agg_plain),
         ("agg_salted", _agg_salted),
         ("window_dedup", _window_dedup),
+        ("window_dedup_salted", _window_dedup_salted),
     ]:
         for variant, d in dirs.items():
             df = fn(spark, d)
