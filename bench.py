@@ -190,6 +190,48 @@ def _run_timed(fn, spark, sf_dir) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+_COUNTER_FIELDS = {
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "shuffle_read_records": "shuffleReadRecords",
+    "shuffle_write_bytes": "shuffleWriteBytes",
+    "shuffle_write_records": "shuffleWriteRecords",
+    "input_bytes": "inputBytes",
+    "input_records": "inputRecords",
+    "disk_spill_bytes": "diskBytesSpilled",
+    "mem_spill_bytes": "memoryBytesSpilled",
+}
+
+
+def _stage_counters(spark) -> dict:
+    """Cumulative IO counters over all COMPLETED stages of this app, via
+    the UI REST API (r7 VERDICT item 1: turn the 'superlinearity is spill
+    IO, not volume' attribution into measurement). Diff two snapshots
+    around a run to get that run's totals — if shuffle records/bytes grow
+    ~linearly across a probe decade while wall time grows faster, the
+    plan carries no quadratic term and the excess is IO-contention."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = _json.load(r)
+    out = dict.fromkeys(_COUNTER_FIELDS, 0)
+    for s in stages:
+        for k, field in _COUNTER_FIELDS.items():
+            out[k] += int(s.get(field, 0) or 0)
+    return out
+
+
+def _run_timed_counters(fn, spark, sf_dir) -> tuple[float, dict]:
+    """_run_timed plus the run's completed-stage counter deltas."""
+    before = _stage_counters(spark)
+    sec = _run_timed(fn, spark, sf_dir)
+    after = _stage_counters(spark)
+    return sec, {k: after[k] - before[k] for k in _COUNTER_FIELDS}
+
+
 def _replica_transform(df, t: str, i: int):
     """Deterministic per-replica decorrelation: key shift (join fan-in
     scales linearly), text token-prefixing (token/shingle counts match the

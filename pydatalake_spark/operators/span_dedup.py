@@ -73,7 +73,17 @@ def _doc_window_counts(
     ex = base.select(F.col(id_col), F.explode(wh).alias("wh"))
     g = ex.groupBy(id_col, "wh").agg(F.count("*").alias("cnt"))
     # rows of g are unique per (doc, hash): a count over the hash partition
-    # IS the distinct-doc count, without a countDistinct shuffle
+    # IS the distinct-doc count, without a countDistinct shuffle.
+    # r8 A/B (VERDICT item 1, measured at 100x/1000x replicas with stage
+    # counters): the window form's shuffle volume is exactly linear
+    # (records x10.0 across the decade) and beats the pre-aggregate+join
+    # alternative ~4x in absolute wall at BOTH scales (7.3s/93s vs
+    # 33s/295s) because the join form re-executes the explode for the
+    # doc-count branch (column pruning defeats exchange reuse). The r7
+    # 1.36 decade exponent was environmental — 37 GB of crashed-probe
+    # debris constraining the spill disk + the read-ahead SIGSEGV path —
+    # not plan volume; under a clean disk with spill read-ahead off the
+    # exponent is 1.10 with 29 GB of measured spill (SCALE.md §span-dedup).
     return g.withColumn("nd", F.count("*").over(Window.partitionBy("wh")))
 
 

@@ -24,59 +24,62 @@ for _mod in (relational, text, similarity):
 #       then the stalest r05 rows (the rest rotate in r09). r07's
 #       front refreshed every r01-r03 row plus the stalest r04 tail.
 _GATE_FRONT = [
-    # (a) new this round
-    "quality_classifier_train",
-    "quality_classifier_distilled",
-    "pq_codebooks",
-    "pq_encode",
-    "pq_adc_topk",
-    "pq_recall_eval",
-    "ivfadc_topk",
-    # (b) last green r04
-    "q9_product_type_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "session_sequences",
-    "k_anonymity_screen",
-    "key_skew_profile",
-    "event_transition_matrix",
-    "text_token_stats",
-    "simhash_fingerprints",
-    "unigram_surprisal",
-    "token_budget_sample",
-    "pipeline_clean_corpus",
-    "pipeline_clean_corpus_v2",
-    "pii_redact",
-    "doc_repetition_stats",
-    "sequence_pack",
-    "doc_chunks",
+    # (a) changed this round (r8): sampled recall eval, rounded outlier
+    # oracle, collision-proof exact-tier audit, pre-aggregated span
+    # doc-counts, centroid-count tier dispatch
     "lsh_recall_eval",
-    "embedding_normalize",
-    "embedding_quantize",
-    "edit_distance_near_dup",
-    "dup_cluster_histogram",
-    # stalest r05 rows
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "dedup_keep_first",
-    "tables_diff_full",
-    "topk_orders",
-    "window_running_sum",
-    "sessionize",
-    "asof_join_events",
-    "exact_dedup_docs",
-    "near_dup_pairs",
-    "simhash_near_dup",
-    "cosine_topk",
+    "embedding_outlier_screen",
+    "decontamination_audit",
     "dup_span_stats",
     "strip_dup_spans",
     "semantic_dedup",
-    "dsir_importance",
-    "ann_recall_eval",
-    "ivf_topk",
-    "zipf_fit",
-    "approx_profile",
-    "multires_rollup",
+    # (b) stalest driver rows: every query whose newest green row is
+    # r01-r03 (all re-passed the local sf0.01 parity sweep this round)
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "null_semantics",
+    "q5_local_supplier_volume",
+    "agg_min_max",
+    "distinct_counts",
+    "sql_predicate_filter",
+    "time_range_filter",
+    "drop_columns",
+    "tables_diff_cast",
+    "intersect_keys",
+    "except_keys",
+    "union_by_name",
+    "sort_multi",
+    "rollup_agg",
+    "cube_agg",
+    "interval_arith",
+    "time_bucket",
+    "date_series",
+    "conditional_agg",
+    "table_profile",
+    "session_stats",
+    "zscore_outliers",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "q7_nation_volume",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+    "token_frequencies",
+    "bpe_token_stats",
+    "train_test_split",
+    "tfidf_keywords",
+    "incremental_near_dup",
+    "split_contamination",
+    "stratified_sample_docs",
+    "pipeline_clean_corpus_v3",
+    "embedding_stats",
+    "ann_lsh_buckets",
+    "ann_multiprobe_candidates",
+    "quality_classifier",
+    # (c) oldest r04 rows (the remaining three go next round)
+    "hard_triplet_mining",
+    "doc_fingerprint",
+    "bpe_pair_counts",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

@@ -309,10 +309,10 @@ _MH_BANDS = 2
 _MH_K = 3
 
 
-def _shingle_cte() -> str:
+def _shingle_cte(src: str = "documents", pre: str = "") -> str:
     return f"""
-    WITH tok AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    WITH {pre}tok AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM {src}
     ), sh AS (
         SELECT doc_id,
                CASE WHEN len(toks) >= {_MH_K}
@@ -2523,9 +2523,24 @@ def bpe_pair_counts_q(spark: SparkSession, sf: str) -> DataFrame:
     return pair_counts(word_freqs(_t(spark, sf, "documents")))
 
 
+# deterministic eval-sample size for recall evaluations (r7 VERDICT item
+# 5): the exact ground truth is inherently all-pairs over its input, so
+# at ANY corpus size the eval must run on a bounded sample — top-N doc
+# ids under md5 order (content-blind, engine-portable, tie-free). Gate
+# SFs below N are unaffected (LIMIT N over fewer rows is the identity).
+_RECALL_SAMPLE_N = 2000
+
+
 @q(
     "lsh_recall_eval",
-    _shingle_cte()
+    _shingle_cte(
+        src="docs_s",
+        pre=(
+            "docs_s AS (SELECT doc_id, text FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+            f"LIMIT {_RECALL_SAMPLE_N}), "
+        ),
+    )
     + f""", bb AS ({_bands_sql()}),
     sets AS (
         SELECT doc_id, list_distinct(shingles) AS sset FROM sh
@@ -2568,11 +2583,23 @@ def lsh_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     threshold. Run per-corpus before trusting LSH parameters — band count
     and hash count trade recall for candidate volume. Precision is 1.0 by
     construction (the verify step), which this query CHECKS rather than
-    assumes."""
+    assumes.
+
+    The eval runs on a DETERMINISTIC bounded sample (`_RECALL_SAMPLE_N`
+    docs by md5(doc_id) order — one top-k pass, no full sort) so the
+    exact ground truth stays O(sample²)-bounded at any corpus size; the
+    banding recall estimate is unbiased because a pair's collision
+    probability depends on its Jaccard, not on corpus size (r7 VERDICT
+    item 5 — this was the most expensive standalone bench query)."""
     from pydatalake_spark.operators.minhash import near_dup_pairs
     from pydatalake_spark.operators.ngram_jaccard import ngram_jaccard_pairs
 
-    d = _t(spark, sf, "documents")
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(_RECALL_SAMPLE_N)
+    )
     exact = ngram_jaccard_pairs(
         d, shingle_size=_MH_K, threshold=0.5, max_df=None
     ).select("id_a", "id_b")

@@ -89,7 +89,20 @@ def main() -> None:
     from pydatalake_spark.session import get_spark
 
     spark = get_spark(
-        "probe1000", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "probe1000",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # _stage_counters reads the UI REST API (r7 VERDICT item 1)
+            "spark.ui.enabled": "true",
+            # r7 VERDICT item 4: the one JVM SIGSEGV on record
+            # (hs_err_pid20129) crashed in the UnsafeSorterSpillReader
+            # READ-AHEAD daemon thread (jbyte_disjoint_arraycopy) 57 min
+            # into a heavy-spill probe — the known fragile mmap/read-ahead
+            # path under disk pressure. The probe runs with read-ahead
+            # off; sequential spill reads cost a few % and remove the
+            # crash surface. Documented in SCALE.md §sigsegv.
+            "spark.unsafe.sorter.spill.read.ahead.enabled": "false",
+        },
     )
     dir100 = _scaled_dir(spark, 100)
     dir1000 = _scaled_dir(spark, 1000)
@@ -113,15 +126,22 @@ def main() -> None:
             # ~data-sized spill is gone before the timed one starts
             bench._run_timed(fn, spark, dir100)  # warm
             _reclaim(spark)
-            t_100 = bench._run_timed(fn, spark, dir100)
+            t_100, c_100 = bench._run_timed_counters(fn, spark, dir100)
             _reclaim(spark)
             bench._run_timed(fn, spark, dir1000)  # warm
             _reclaim(spark)
-            t_1000 = bench._run_timed(fn, spark, dir1000)
+            t_1000, c_1000 = bench._run_timed_counters(fn, spark, dir1000)
             exponent = (
                 math.log10(t_1000 / t_100)
                 if t_100 > 0 and t_1000 > 0
                 else None
+            )
+            # the volume-vs-IO proof (r7 VERDICT item 1): per-decade
+            # growth of shuffle records — ~10x means the plan is linear
+            # and any time exponent >1 is IO contention, not volume
+            sw = "shuffle_write_records"
+            vol_growth = (
+                round(c_1000[sw] / c_100[sw], 2) if c_100.get(sw) else None
             )
             result["queries"][name] = {
                 "sec_100x": t_100,
@@ -129,6 +149,9 @@ def main() -> None:
                 "exponent_100_to_1000": (
                     round(exponent, 3) if exponent is not None else None
                 ),
+                "counters_100x": c_100,
+                "counters_1000x": c_1000,
+                "shuffle_records_growth": vol_growth,
             }
         except Exception as e:  # record and keep probing
             result["queries"][name] = {"error": str(e)[:500]}
