@@ -2600,13 +2600,25 @@ def lsh_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
         .limit(_RECALL_SAMPLE_N)
     )
-    exact = ngram_jaccard_pairs(
-        d, shingle_size=_MH_K, threshold=0.5, max_df=None
-    ).select("id_a", "id_b")
-    lsh = near_dup_pairs(
-        d, num_hashes=_MH_N, num_bands=_MH_BANDS,
-        shingle_size=_MH_K, jaccard_threshold=0.5,
-    ).select("id_a", "id_b")
+    # a GlobalLimit collapses to ONE partition — without this respread,
+    # the whole shingle/signature build downstream runs on a single task;
+    # the sample is cached because exact, lsh, and the hit join all
+    # consume it (cache_once: plan-equal, so re-registration is a no-op)
+    d = cache_once(d.repartition(spark.sparkContext.defaultParallelism))
+    # both pair tables are near-dup-density-bounded (tiny) and each is
+    # consumed twice (its own count + the hit join) — cache them so the
+    # inverted-index / band joins run once per eval
+    exact = cache_once(
+        ngram_jaccard_pairs(
+            d, shingle_size=_MH_K, threshold=0.5, max_df=None
+        ).select("id_a", "id_b")
+    )
+    lsh = cache_once(
+        near_dup_pairs(
+            d, num_hashes=_MH_N, num_bands=_MH_BANDS,
+            shingle_size=_MH_K, jaccard_threshold=0.5,
+        ).select("id_a", "id_b")
+    )
     hits = lsh.join(exact, ["id_a", "id_b"])
     one = lambda df: df.agg(F.count(F.lit(1)).cast("long").alias("c"))
     return (
