@@ -3612,9 +3612,14 @@ def source_novelty_q(spark: SparkSession, sf: str) -> DataFrame:
     from pydatalake_spark.operators.ngram_jaccard import shingle_sets
 
     d = _t(spark, sf, "documents")
-    inv = shingle_sets(d, shingle_size=_MH_K).select(
-        "doc_id", F.explode("sset").alias("shingle")
-    )
+    # cache the shingle-set table: `inv` feeds BOTH the first-owner
+    # aggregation and the per-doc join, so an uncached plan tokenizes and
+    # shingles the corpus twice (r8: this query used to ride the
+    # plan-equal full-corpus cache lsh_recall_eval built before that eval
+    # was sample-bounded — it must warm its own now; cache_once keeps it
+    # one registration across the family)
+    sets = cache_once(shingle_sets(d, shingle_size=_MH_K))
+    inv = sets.select("doc_id", F.explode("sset").alias("shingle"))
     own = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per = (
         inv.join(own, "shingle")
