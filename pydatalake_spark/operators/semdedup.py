@@ -244,11 +244,11 @@ def semantic_dedup_numpy(
                 stacklevel=2,
             )
     assign = assign_cells_hier_numpy if approx_assign else assign_cells_numpy
-    cells = assign(emb, cents, id_col, vec_col)
-    wv = cells.join(
-        emb.select(F.col(id_col), to_double_array(vec_col).alias("dv")),
-        id_col,
-    )
+    # FUSED assignment (r8): the assignment map already holds each
+    # vector, so it emits (id, cell, dv) directly — the old
+    # cells-join-corpus step was a data-sized SMJ (sort both sides) that
+    # existed only to re-attach vectors the assignment had just read
+    wv = assign(emb, cents, id_col, vec_col, with_vec=True)
     out_schema = T.StructType(
         [
             T.StructField(id_col, wv.schema[id_col].dataType),
@@ -471,8 +471,13 @@ def assign_cells_numpy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_dist: bool = False,
+    with_vec: bool = False,
 ) -> DataFrame:
     """(id, cell): nearest-centroid assignment — Arrow/numpy tier.
+    ``with_vec`` carries the double-cast vector through as ``dv`` so a
+    consumer that needs (cell, vector) pairs — SemDeDup's within-cell
+    verify — skips the data-sized join back onto the corpus entirely
+    (one exchange and two SMJ sorts saved at every scale).
 
     Same semantics as ``assign_fixed_cells`` with explicit ``centroids``
     (pytest-pinned equal): Euclidean argmin with lowest-centroid-id
@@ -512,6 +517,8 @@ def assign_cells_numpy(
     ]
     if with_dist:
         fields.append(T.StructField("dist2", T.DoubleType()))
+    if with_vec:
+        fields.append(T.StructField("dv", T.ArrayType(T.DoubleType())))
     out_schema = T.StructType(fields)
 
     def assign(batches):
@@ -528,6 +535,8 @@ def assign_cells_numpy(
             if with_dist:
                 diff = V - C[idx]
                 out["dist2"] = (diff * diff).sum(axis=1)
+            if with_vec:
+                out["dv"] = pdf["dv"]
             yield pd.DataFrame(out)
 
     return src.mapInPandas(assign, out_schema)
@@ -547,6 +556,7 @@ def assign_cells_hier_numpy(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_vec: bool = False,
 ) -> DataFrame:
     """(id, cell): TWO-LEVEL nearest-centroid assignment — the scale path
     past the flat quantizer's n x C distance wall.
@@ -596,12 +606,13 @@ def assign_cells_hier_numpy(
     groups = [groups[g] for g in keep]
 
     src = emb.select(F.col(id_col), to_double_array(vec_col).alias("dv"))
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, src.schema[id_col].dataType),
-            T.StructField("cell", centroids.schema["cent_id"].dataType),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, src.schema[id_col].dataType),
+        T.StructField("cell", centroids.schema["cent_id"].dataType),
+    ]
+    if with_vec:
+        fields.append(T.StructField("dv", T.ArrayType(T.DoubleType())))
+    out_schema = T.StructType(fields)
 
     def assign(batches):
         for pdf in batches:
@@ -621,7 +632,10 @@ def assign_cells_hier_numpy(
                     (Cg * Cg).sum(axis=1)[None, :] - 2.0 * (sub @ Cg.T)
                 )
                 best[rows] = groups[g][d2.argmin(axis=1)]
-            yield pd.DataFrame({id_col: pdf[id_col], "cell": cent_ids[best]})
+            out = {id_col: pdf[id_col], "cell": cent_ids[best]}
+            if with_vec:
+                out["dv"] = pdf["dv"]
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(assign, out_schema)
 
