@@ -102,6 +102,12 @@ def bigram_surprisal(
         .agg(F.countDistinct("w1").alias("v"))
     )
     k = F.lit(float(add_k))
+    # join shape (r8 A/B, kept): db⋈bg is the one data-sized exchange;
+    # ctx (unigram types) and vocab are broadcast-small, so the chained
+    # joins cost no second corpus shuffle. Pre-joining the model into one
+    # (w1, w2, s) table was measured 1.5-2x SLOWER at sf0.1 — distinct
+    # bigrams are near the doc-bigram count (Zipf head), so the "model"
+    # pre-join is itself data-sized work, while ctx broadcast is free.
     scored = (
         db.join(bg, ["w1", "w2"])
         .join(ctx, "w1")
