@@ -529,3 +529,15 @@ def test_cms_grid_builds_from_histogram_not_token_stream(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p or "ReusedQueryStage" in p
     assert "SortMergeJoin" not in p
+
+
+def test_semantic_dedup_fused_assignment_no_corpus_rejoin(spark):
+    """r8: the assignment map emits (id, cell, dv) directly, so the plan
+    must carry NO join (the old shape re-joined the corpus to fetch
+    vectors it had just read) and exactly one exchange — the cell-keyed
+    one under the within-cell verify."""
+    p = physical_plan(spark, "semantic_dedup")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("MapInPandas") == 1          # the assignment
+    assert p.count("FlatMapGroupsInPandas") == 1  # the verify
