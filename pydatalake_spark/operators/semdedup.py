@@ -33,7 +33,7 @@ beyond-reference capability for the 100 TB training-data pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pydatalake_spark.functions.vector import dot, l2_norm, to_double_array
@@ -181,8 +181,14 @@ def semantic_dedup_numpy(
     threshold: float = 0.3,
     centroids: DataFrame | None = None,
     approx_assign: bool | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """(id, cell, keep): SemDeDup verdict — numpy within-cell verify.
+
+    ``max_cell_size`` (opt-in) engages ``split_oversized_cells`` between
+    assignment and verify, bounding the one un-splittable stage's group
+    size against hot semantic regions; see that function for the
+    best-effort contract. Leave None on oracle-parity paths.
 
     Same semantics as ``semantic_dedup`` (pytest-pinned equal): keep = no
     smaller-id vector in the same cell has cosine >= threshold. The
@@ -249,6 +255,8 @@ def semantic_dedup_numpy(
     # cells-join-corpus step was a data-sized SMJ (sort both sides) that
     # existed only to re-attach vectors the assignment had just read
     wv = assign(emb, cents, id_col, vec_col, with_vec=True)
+    if max_cell_size is not None:
+        wv = split_oversized_cells(wv, max_cell_size, id_col)
     out_schema = T.StructType(
         [
             T.StructField(id_col, wv.schema[id_col].dataType),
@@ -276,6 +284,134 @@ def semantic_dedup_numpy(
         )
 
     return wv.groupBy("cell").applyInPandas(verify, out_schema)
+
+
+def split_oversized_cells(
+    wv: DataFrame,
+    max_cell_size: int,
+    id_col: str = "vec_id",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Re-key (id, cell, dv) rows so no cell exceeds ``max_cell_size`` —
+    the guard for SemDeDup's one un-splittable stage.
+
+    ``groupBy(cell).applyInPandas`` puts a whole cell on ONE task (AQE
+    cannot split a group), so a pathologically hot cell — boilerplate
+    embeddings collapsing into one semantic region — is the dedup tier's
+    last skew hazard: a million-row cell is a 10¹² -entry gram matrix on
+    one executor. This pass finds cells above the bound (one count
+    aggregate), trains a SECOND-LEVEL deterministic quantizer per hot
+    cell (first ``ceil(2n/max)`` member vectors by id — the same
+    init-only rule as ``_default_centroids``), and reassigns hot-cell
+    members to ``xxhash64(cell, sub)``-keyed sub-cells map-side. Cold
+    cells pass through untouched, so the oracle-checked path (which
+    never sets the bound) is byte-identical.
+
+    Nearest-centroid splits are not balanced on continuum-shaped cells,
+    so the pass ITERATES (still-hot sub-cells re-split, up to
+    ``max_rounds``) and stops early when a round makes no progress.
+    Contract honesty: the bound is BEST-EFFORT — a cell of near-identical
+    vectors assigns every member to one sub-centroid and refuses to
+    shrink. That degenerate shape is exact duplication, which the
+    pipeline removes with exact/hash dedup BEFORE SemDeDup (clean_corpus
+    ordering); run this guard after exact dedup, as the composed
+    pipelines do. Like the two-level assignment, sub-splitting is
+    IVF-approximate at sub-cell boundaries (a cross-sub near-dup pair
+    inside a hot cell is missed) — the standard recall trade for bounded
+    per-task work.
+    """
+    prev_max = None
+    for _ in range(max_rounds):
+        wv, hot_max = _split_cells_once(wv, max_cell_size, id_col)
+        if hot_max is None:  # nothing above the bound
+            break
+        if prev_max is not None and hot_max >= prev_max:
+            break  # degenerate: geometry can't shrink it further
+        prev_max = hot_max
+    return wv
+
+
+def _split_cells_once(
+    wv: DataFrame, max_cell_size: int, id_col: str
+) -> tuple[DataFrame, int | None]:
+    """One geometric split pass; returns (wv', max oversize before the
+    pass or None when no cell exceeded the bound)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sizes = wv.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    hot = [
+        (r["cell"], int(r["_n"]))
+        for r in sizes.filter(F.col("_n") > max_cell_size).collect()
+    ]
+    if not hot:
+        return wv, None
+    hot_set = {c for c, _ in hot}
+    sub_k = {
+        c: int(np.ceil(2.0 * n / max_cell_size)) for c, n in hot
+    }
+    # deterministic init: the first sub_k member vectors by id per hot
+    # cell — one bounded collect (Σ sub_k ≈ 2·n_hot/max rows, the same
+    # contract as the centroid table itself)
+    w = Window.partitionBy("cell").orderBy(id_col)
+    seed_rows = (
+        wv.filter(F.col("cell").isin(list(hot_set)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(max(sub_k.values())))
+        .select("cell", "_rn", "dv")
+        .collect()
+    )
+    subC = {}
+    for r in seed_rows:
+        c = r["cell"]
+        if r["_rn"] <= sub_k[c]:
+            subC.setdefault(c, []).append((r["_rn"], r["dv"]))
+    subs = {
+        c: np.array([v for _, v in sorted(rows)], dtype=np.float64)
+        for c, rows in subC.items()
+    }
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, wv.schema[id_col].dataType),
+            T.StructField("cell", T.LongType()),
+            T.StructField("dv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def reassign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy()
+            new_cells = cells.astype(np.int64).copy()
+            for c in np.unique(cells):
+                if c not in subs:
+                    continue
+                rows = np.where(cells == c)[0]
+                V = np.array(pdf["dv"].iloc[rows].tolist(), dtype=np.float64)
+                Cg = subs[c]
+                d2 = (Cg * Cg).sum(axis=1)[None, :] - 2.0 * (V @ Cg.T)
+                sub = d2.argmin(axis=1)
+                # deterministic composite key (md5 of "cell:sub");
+                # collisions only MERGE cells (more pairs checked,
+                # never fewer — safe for dedup semantics)
+                import hashlib
+
+                for s in np.unique(sub):
+                    h = hashlib.md5(f"{c}:{s}".encode()).digest()
+                    key = int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+                    new_cells[rows[sub == s]] = key
+            out = pdf.copy()
+            out["cell"] = new_cells
+            yield out[[id_col, "cell", "dv"]]
+
+    # each round's output must MATERIALIZE before the next round counts
+    # it; localCheckpoint also keeps the recursive plan from nesting
+    # mapInPandas stages max_rounds deep
+    split = wv.mapInPandas(reassign, out_schema).localCheckpoint(eager=True)
+    return split, max(n for _, n in hot)
 
 
 def suggest_num_cells(n_vectors: int, target_cell_size: int = 1000) -> int:

@@ -463,3 +463,70 @@ def test_assign_tier_from_actual_centroid_count_and_approx_flag(spark):
         ).collect()
     }
     assert flat == ref
+
+
+def test_split_oversized_cells_bounds_hot_cell(spark):
+    """r8: the guard for SemDeDup's un-splittable applyInPandas stage.
+    One hot cell (three separated sub-blobs under a single coarse
+    centroid) must split to sub-cells within the bound; exact twins
+    co-locate (identical vectors walk identical assignment paths) so the
+    higher-id twin is still dropped; cold cells pass through unchanged;
+    and a no-hot-cell input is the identity."""
+    import math
+
+    from pydatalake_spark.functions.vector import to_double_array
+    from pydatalake_spark.operators.semdedup import (
+        semantic_dedup_numpy,
+        split_oversized_cells,
+    )
+
+    # 90 vectors in 3 tight blobs near theta=0 (one coarse cell), plus a
+    # far-away blob of 5 near pi/2 (a cold cell)
+    rows = []
+    for i in range(90):
+        blob = i % 3
+        rows.append((i, _vec(0.02 * blob + 0.001 * (i // 3))))
+    for i in range(90, 95):
+        rows.append((i, _vec(math.pi / 2 + 0.001 * (i - 90))))
+    # exact twins of ids 0..4 at shifted ids
+    for i in range(5):
+        rows.append((1000 + i, _vec(0.02 * (i % 3) + 0.001 * (i // 3))))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = emb.filter(F.col("vec_id").isin(0, 94)).select(
+        F.col("vec_id").alias("cent_id"),
+        to_double_array("embedding").alias("cvec"),
+    )
+
+    from pydatalake_spark.operators.semdedup import assign_cells_numpy
+
+    wv = assign_cells_numpy(emb, cents, with_vec=True)
+    # all 95 hot-blob vectors land in cell 0; 5 in cell 94
+    before = {r.cell: 0 for r in wv.collect()}
+    split = split_oversized_cells(wv, max_cell_size=40)
+    sizes = {}
+    cold_rows = {}
+    for r in split.collect():
+        sizes[r.cell] = sizes.get(r.cell, 0) + 1
+        if r.vec_id >= 90 and r.vec_id < 95:
+            cold_rows[r.vec_id] = r.cell
+    assert max(sizes.values()) <= 40, sizes  # bound respected
+    assert len(sizes) >= 3  # actually split
+    assert set(cold_rows.values()) == {94}  # cold cell untouched
+
+    # identity when nothing exceeds the bound
+    same = split_oversized_cells(wv, max_cell_size=1000)
+    assert sorted((r.vec_id, r.cell) for r in same.collect()) == sorted(
+        (r.vec_id, r.cell) for r in wv.collect()
+    )
+
+    # end-to-end with the bound: exact twins still dedup (identical
+    # vectors share every assignment decision)
+    sd = {
+        r.vec_id: r.keep
+        for r in semantic_dedup_numpy(
+            emb, threshold=0.999, centroids=cents, max_cell_size=40
+        ).collect()
+    }
+    for i in range(5):
+        assert sd[1000 + i] is False, i  # twin of smaller id 0..4
+        assert sd[i] is True, i
