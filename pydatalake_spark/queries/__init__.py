@@ -15,71 +15,74 @@ for _mod in (relational, text, similarity):
 
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round. The green driver-row union covers the ENTIRE registry since r05,
-# so the front is pure rotation (VERDICT r6 item 5: no row older than 3
-# rounds):
-#   (a) queries NEW or changed this round — the distributed
-#       logistic-regression trainer (`quality_classifier_train`) and the
-#       product-quantization tier (pq_*, operators/pq.py).
-#   (b) canaries: all 22 queries whose last green driver row is r04,
-#       then the stalest r05 rows (the rest rotate in r09). r07's
-#       front refreshed every r01-r03 row plus the stalest r04 tail.
+# so the front is rotation under the freshness invariant (enforced below
+# against freshness.LAST_GREEN — r8 VERDICT item 6):
+#   (a) queries whose IMPLEMENTATION changes this round (r9): auto
+#       method dispatch in operators/dedup.py (dedup_keep_first/last,
+#       distinct_full), the signature-cache reuse in pipeline_clean_corpus
+#       (r8 VERDICT item 7), the hyperplane hot-bucket cap touching
+#       embedding_near_dup's module (pinned-planes gate path unchanged).
+#   (b) every row whose newest green driver round is r04-r05 — 26 rows,
+#       including the three whose DEFINITIONS changed in r7 without a
+#       post-change driver row (bigram_perplexity, token_pmi,
+#       rp_distortion — r8 VERDICT item 1).
+#   (c) the stalest r06 rows (22 of 49; the remaining 27 front in r10).
 _GATE_FRONT = [
-    # (a) changed this round (r8): sampled recall eval, rounded outlier
-    # oracle, collision-proof exact-tier audit, pre-aggregated span
-    # doc-counts, centroid-count tier dispatch
-    "lsh_recall_eval",
-    "embedding_outlier_screen",
-    "decontamination_audit",
-    "dup_span_stats",
-    "strip_dup_spans",
-    "semantic_dedup",
-    # (b) stalest driver rows: every query whose newest green row is
-    # r01-r03 (all re-passed the local sf0.01 parity sweep this round)
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "null_semantics",
-    "q5_local_supplier_volume",
-    "agg_min_max",
-    "distinct_counts",
-    "sql_predicate_filter",
-    "time_range_filter",
-    "drop_columns",
-    "tables_diff_cast",
-    "intersect_keys",
-    "except_keys",
-    "union_by_name",
-    "sort_multi",
-    "rollup_agg",
-    "cube_agg",
-    "interval_arith",
-    "time_bucket",
-    "date_series",
-    "conditional_agg",
-    "table_profile",
-    "session_stats",
-    "zscore_outliers",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "q7_nation_volume",
-    "q16_supplier_part_counts",
-    "q20_excess_stock_suppliers",
-    "token_frequencies",
-    "bpe_token_stats",
-    "train_test_split",
-    "tfidf_keywords",
-    "incremental_near_dup",
-    "split_contamination",
-    "stratified_sample_docs",
-    "pipeline_clean_corpus_v3",
-    "embedding_stats",
-    "ann_lsh_buckets",
-    "ann_multiprobe_candidates",
-    "quality_classifier",
-    # (c) oldest r04 rows (the remaining three go next round)
-    "hard_triplet_mining",
-    "doc_fingerprint",
-    "bpe_pair_counts",
+    # (a) implementation changed this round (r9)
+    "dedup_keep_first",
+    "dedup_keep_last",
+    "distinct_full",
+    "pipeline_clean_corpus",
+    "embedding_near_dup",
+    # (b) r04 rows
+    "ann_bucket_candidates",
+    "char_entropy",
+    "cms_heavy_hitters",
+    # (b) r05 rows — bigram_perplexity/token_pmi/rp_distortion changed
+    # semantics in r7 and have never been driver-gated since
+    "bigram_perplexity",
+    "token_pmi",
+    "rp_distortion",
+    "bm25_search",
+    "cap_per_source",
+    "corpus_datacard",
+    "curriculum_stages",
+    "dedup_rate_by_threshold",
+    "kmeans_lloyd_step",
+    "langid_confusion",
+    "minhash_jaccard_estimate",
+    "near_dup_communities",
+    "ngram_containment_pairs",
+    "pipeline_embedding_curation",
+    "pipeline_full_curation",
+    "prefix_dup_docs",
+    "rolling_median_value",
+    "rp_ann_recall",
+    "source_duplication_matrix",
+    "source_novelty",
+    "split_balance_report",
+    "value_histogram",
+    "weighted_sample_docs",
+    # (c) stalest r06 rows (alphabetical prefix of the 49; rest in r10)
+    "array_functions",
+    "cast_projection",
+    "cohort_retention",
+    "delta_append_diff",
+    "exact_ngram_decontamination",
+    "exact_percentiles",
+    "filter_project",
+    "funnel_view_click_purchase",
+    "gopher_quality_flags",
+    "grouping_sets_agg",
+    "hopping_window_agg",
+    "image_phash_near_dup",
+    "json_extract",
+    "lsh_candidate_pairs",
+    "merge_upsert_orders",
+    "minhash_signatures",
+    "multimodal_features",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]
@@ -87,6 +90,27 @@ assert not _missing, f"_GATE_FRONT names unknown queries: {_missing}"
 # the driver gates exactly the first 50 keys — a 51st front entry would
 # silently fall outside the gate window
 assert len(_GATE_FRONT) == 50, len(_GATE_FRONT)
+
+# Freshness invariant (r8 VERDICT item 6): every registry query is either
+# in this round's front (re-gated now) or has a committed green driver row
+# no older than MAX_STALE_ROUNDS — rotation can never silently skip one.
+from pydatalake_spark.queries.freshness import (  # noqa: E402
+    CURRENT_ROUND,
+    LAST_GREEN,
+    MAX_STALE_ROUNDS,
+)
+
+_stale = [
+    k
+    for k in QUERIES
+    if k not in _GATE_FRONT
+    and LAST_GREEN.get(k, 0) < CURRENT_ROUND - MAX_STALE_ROUNDS
+]
+assert not _stale, (
+    f"queries with no green driver row since round "
+    f"{CURRENT_ROUND - MAX_STALE_ROUNDS} are missing from _GATE_FRONT: "
+    f"{_stale} — front them or refresh freshness.LAST_GREEN"
+)
 _order = _GATE_FRONT + [k for k in QUERIES if k not in _GATE_FRONT]
 QUERIES = {k: QUERIES[k] for k in _order}
 ORACLE = {k: ORACLE[k] for k in _order if k in ORACLE}
