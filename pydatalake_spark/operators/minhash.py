@@ -162,6 +162,7 @@ def near_dup_pairs(
     num_bands: int = 2,
     shingle_size: int = 3,
     jaccard_threshold: float = 0.5,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
 
@@ -173,9 +174,23 @@ def near_dup_pairs(
     relies on Spark's LRU block eviction (MEMORY_AND_DISK blocks degrade
     to recompute, never OOM); sweep-style services should
     spark.catalog.clearCache() between batches.
+
+    ``signatures`` optionally injects a precomputed
+    ``minhash_signatures``-shaped table (id, shingles, mh_*) already
+    RESTRICTED to ``df``'s ids. Signatures are per-doc and filter-stable
+    — restricting rows before or after signing yields identical values —
+    so a pipeline that already holds the corpus-level cached signature
+    table can semi-join it down to its survivor set instead of
+    re-shingling the survivors from text (r8 VERDICT item 7:
+    pipeline_clean_corpus's internal minhash pass re-shingled the
+    quality-filtered set the corpus cache already covered).
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    sig = cache_once(sig)
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = cache_once(
+            minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+        )
     sets = sig.select(F.col(id_col), F.col("shingles").alias("sset"))
     bb = band_buckets(sig, id_col, num_hashes, num_bands)
     a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")

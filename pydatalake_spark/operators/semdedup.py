@@ -229,10 +229,12 @@ def semantic_dedup_numpy(
     # passed (r7 ADVICE: a num_cells mismatching len(centroids) must not
     # pick the tier); centroid tables are bounded by contract so the
     # count is cheap
-    n_cells = cents.count() if centroids is not None else (
-        num_cells if num_cells is not None else cents.count()
-    )
     if approx_assign is None:
+        # lazy (r8 ADVICE): when the tier is pinned by the caller the
+        # count is never needed — don't pay a Spark job for it
+        n_cells = cents.count() if centroids is not None else (
+            num_cells if num_cells is not None else cents.count()
+        )
         approx_assign = n_cells >= HIER_MIN_CELLS
         if approx_assign:
             # loud, not silent (r7 ADVICE): the two-level assignment is
@@ -320,11 +322,24 @@ def split_oversized_cells(
     inside a hot cell is missed) — the standard recall trade for bounded
     per-task work.
     """
+    from pydatalake_spark.operators.cluster import _reap
+
     prev_max = None
+    prev_ids: list[int] = []
     for _ in range(max_rounds):
-        wv, hot_max = _split_cells_once(wv, max_cell_size, id_col)
-        if hot_max is None:  # nothing above the bound
+        new_wv, hot_max, new_ids = _split_cells_once(wv, max_cell_size, id_col)
+        if hot_max is None:  # nothing above the bound — wv stays current
             break
+        # the new generation's eager checkpoint has materialized and the
+        # size count was the previous generation's last reader — reap its
+        # data-sized (id, cell, dv) blocks now instead of letting up to
+        # max_rounds generations pile up in executor storage until
+        # ContextCleaner GC (r8 ADVICE; same failure class as r7's
+        # 1000x disk fill, fixed the same way as cluster.py's loops).
+        # Only generations THIS loop checkpointed are ever reaped — the
+        # caller's input wv enters with prev_ids empty.
+        _reap(new_wv, prev_ids)
+        wv, prev_ids = new_wv, new_ids
         if prev_max is not None and hot_max >= prev_max:
             break  # degenerate: geometry can't shrink it further
         prev_max = hot_max
@@ -333,12 +348,15 @@ def split_oversized_cells(
 
 def _split_cells_once(
     wv: DataFrame, max_cell_size: int, id_col: str
-) -> tuple[DataFrame, int | None]:
+) -> tuple[DataFrame, int | None, list[int]]:
     """One geometric split pass; returns (wv', max oversize before the
-    pass or None when no cell exceeded the bound)."""
+    pass or None when no cell exceeded the bound, checkpoint RDD ids of
+    wv' for the caller to reap once the next generation materializes)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    from pydatalake_spark.operators.cluster import _ckpt
 
     sizes = wv.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     hot = [
@@ -346,7 +364,7 @@ def _split_cells_once(
         for r in sizes.filter(F.col("_n") > max_cell_size).collect()
     ]
     if not hot:
-        return wv, None
+        return wv, None, []
     hot_set = {c for c, _ in hot}
     sub_k = {
         c: int(np.ceil(2.0 * n / max_cell_size)) for c, n in hot
@@ -408,10 +426,11 @@ def _split_cells_once(
             yield out[[id_col, "cell", "dv"]]
 
     # each round's output must MATERIALIZE before the next round counts
-    # it; localCheckpoint also keeps the recursive plan from nesting
-    # mapInPandas stages max_rounds deep
-    split = wv.mapInPandas(reassign, out_schema).localCheckpoint(eager=True)
-    return split, max(n for _, n in hot)
+    # it; the checkpoint also keeps the recursive plan from nesting
+    # mapInPandas stages max_rounds deep. _ckpt returns the block ids so
+    # split_oversized_cells can reap superseded generations (r8 ADVICE).
+    split, ids = _ckpt(wv.mapInPandas(reassign, out_schema))
+    return split, max(n for _, n in hot), ids
 
 
 def suggest_num_cells(n_vectors: int, target_cell_size: int = 1000) -> int:

@@ -1074,7 +1074,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     exact dedup (min-id per content hash) -> minhash near-dup removal
     (drop the higher id of each verified pair) -> deterministic hash
     split. Catalyst sees the whole chain, so column pruning and the
-    narrow dedup joins compose — nothing materializes between stages."""
+    narrow dedup joins compose; the only persisted piece is the shared
+    corpus-level signature cache (r8 VERDICT item 7), semi-joined down
+    to the survivor set rather than re-shingled."""
     from pydatalake_spark.functions.split import hash_bucket
 
     d = _t(spark, sf, "documents")
@@ -1095,9 +1097,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     docs1 = docs0.join(keep1.select("doc_id"), "doc_id")
+    # r8 VERDICT item 7: signatures are per-doc and filter-stable, so the
+    # CORPUS-LEVEL cached signature table (plan-equal to the one the
+    # near_dup_pairs family shares via cache_once) semi-joins down to the
+    # quality/exact-dedup survivors instead of re-shingling them from text
+    sig = cache_once(
+        minhash_signatures(d, num_hashes=_MH_N, shingle_size=_MH_K)
+    ).join(docs1.select("doc_id"), "doc_id")
     nd = (
         near_dup_pairs(docs1, num_hashes=_MH_N, num_bands=_MH_BANDS,
-                       shingle_size=_MH_K, jaccard_threshold=0.5)
+                       shingle_size=_MH_K, jaccard_threshold=0.5,
+                       signatures=sig)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

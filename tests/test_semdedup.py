@@ -519,6 +519,20 @@ def test_split_oversized_cells_bounds_hot_cell(spark):
         (r.vec_id, r.cell) for r in wv.collect()
     )
 
+    # r8 ADVICE: superseded checkpoint generations must be reaped as the
+    # iterative re-split proceeds (the cluster.py _ckpt/_reap discipline)
+    # — at most the final returned generation may stay persistent, not
+    # one data-sized (id, cell, dv) generation per round
+    def n_persistent():
+        return int(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().size()
+        )
+
+    before = n_persistent()
+    tight = split_oversized_cells(wv, max_cell_size=10)
+    assert tight.count() == wv.count()
+    assert n_persistent() <= before + 1
+
     # end-to-end with the bound: exact twins still dedup (identical
     # vectors share every assignment decision)
     sd = {

@@ -117,6 +117,22 @@ def main() -> None:
         names = [n for n in only.split(",") if n]
         if out.is_file():
             result = json.load(open(out))
+    # r8 VERDICT item 2: decade exponents carry ±0.15 run-to-run scatter
+    # when the 100x side is only a few seconds — PROBE_1000_MIN_OF=N times
+    # each scale N times (reclaim between runs) and takes the MIN, with
+    # every run's wall published so the scatter is quantified, not argued
+    min_of = max(1, int(os.environ.get("PROBE_1000_MIN_OF", "1")))
+
+    def _timed_min(fn, d) -> tuple[float, dict, list[float]]:
+        best_t, best_c, runs = None, None, []
+        for _ in range(min_of):
+            t, c = bench._run_timed_counters(fn, spark, d)
+            runs.append(t)
+            if best_t is None or t < best_t:
+                best_t, best_c = t, c
+            _reclaim(spark)
+        return best_t, best_c, runs
+
     for name in names:
         fn = bench._probe_callable(name, QUERIES)
         try:
@@ -126,11 +142,10 @@ def main() -> None:
             # ~data-sized spill is gone before the timed one starts
             bench._run_timed(fn, spark, dir100)  # warm
             _reclaim(spark)
-            t_100, c_100 = bench._run_timed_counters(fn, spark, dir100)
-            _reclaim(spark)
+            t_100, c_100, runs_100 = _timed_min(fn, dir100)
             bench._run_timed(fn, spark, dir1000)  # warm
             _reclaim(spark)
-            t_1000, c_1000 = bench._run_timed_counters(fn, spark, dir1000)
+            t_1000, c_1000, runs_1000 = _timed_min(fn, dir1000)
             exponent = (
                 math.log10(t_1000 / t_100)
                 if t_100 > 0 and t_1000 > 0
@@ -152,6 +167,9 @@ def main() -> None:
                 "counters_100x": c_100,
                 "counters_1000x": c_1000,
                 "shuffle_records_growth": vol_growth,
+                "min_of": min_of,
+                "runs_100x": runs_100,
+                "runs_1000x": runs_1000,
             }
         except Exception as e:  # record and keep probing
             result["queries"][name] = {"error": str(e)[:500]}
