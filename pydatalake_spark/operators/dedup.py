@@ -43,7 +43,16 @@ struct comparison orders a null field BEFORE non-null, matching
   picked over ≤``salt`` rows/key. Same single-sort-per-partition shape
   as the window form (no SortAggregate double-sort), so it beats agg on
   wide rows while matching its skew immunity (probe_skew:
-  window_dedup_salted).
+  window_dedup_salted). Its cost: phase 2 re-shuffles one row per key,
+  which for a mostly-unique corpus is a second data-sized exchange
+  (measured 2.2x window on uniform keys) — generic salting is the
+  right pin only when the hot keys can't be enumerated.
+- ``method='auto'`` (default): sampled hot-key probe; hot keys found →
+  the HOT-SPLIT plan — cold keys run the window form unchanged, only
+  rows of the ≤``1/AUTO_HOT_SHARE`` named hot keys take the two-phase
+  spread (phase 2 over ≤ |hot|·salt rows, trivial). Keys partition
+  across the sides, so the union is the same deterministic winner set;
+  total shuffled rows stay ~one data pass.
 
 Scale: both forms cost exactly one hash-partition shuffle on ``subset`` —
 the minimum any keyed dedup needs. No driver materialization.
@@ -73,28 +82,56 @@ AUTO_HOT_SHARE = 0.05
 AUTO_MIN_SAMPLED = 20_000
 
 
-def _auto_method(df: DataFrame, keys: Sequence[str]) -> str:
-    """Pick ``window`` vs ``salted`` from a cheap sampled hot-key probe.
+def _auto_hot_keys(
+    df: DataFrame, keys: Sequence[str]
+) -> list[dict] | None:
+    """Sampled hot-key probe: ``None`` when no key is hot (use the plain
+    window form), else the list of hot key tuples (≤ ``1/AUTO_HOT_SHARE``
+    entries by construction) for the hot-split salted plan.
 
     One extra job over the SAMPLED KEY COLUMNS only (column-pruned scan;
     the groupBy is a hash aggregation with map-side partials, itself
-    skew-safe). Returns ``salted`` when the hottest sampled key owns
-    ``AUTO_HOT_SHARE`` of sampled rows and the sample is big enough for
-    skew to matter; ``window`` otherwise (the measured winner at low key
-    duplication — see the module docstring).
+    skew-safe); a second bounded collect runs only when the first pass
+    found a hot key. A key is hot when it owns ``AUTO_HOT_SHARE`` of
+    sampled rows and the sample is big enough for skew to matter.
     """
-    row = (
+    probe = (
         df.select(*keys)
         .sample(fraction=AUTO_PROBE_FRACTION, seed=7)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_c"))
-        .agg(F.sum("_c").alias("_n"), F.max("_c").alias("_mx"))
-        .first()
     )
+    row = probe.agg(F.sum("_c").alias("_n"), F.max("_c").alias("_mx")).first()
     n = row["_n"] or 0
-    if n < AUTO_MIN_SAMPLED:
-        return "window"
-    return "salted" if row["_mx"] / n >= AUTO_HOT_SHARE else "window"
+    if n < AUTO_MIN_SAMPLED or row["_mx"] / n < AUTO_HOT_SHARE:
+        return None
+    hot = (
+        probe.filter(F.col("_c") >= AUTO_HOT_SHARE * n)
+        .orderBy(F.col("_c").desc(), *keys)
+        .limit(int(1 / AUTO_HOT_SHARE) + 1)
+        .collect()
+    )
+    return [{k: r[k] for k in keys} for r in hot]
+
+
+def _auto_method(df: DataFrame, keys: Sequence[str]) -> str:
+    """Decision summary of the auto probe: ``salted`` when a hot key was
+    found (the auto path then builds the hot-SPLIT salted plan), else
+    ``window``."""
+    return "window" if _auto_hot_keys(df, keys) is None else "salted"
+
+
+def _hot_pred(keys: Sequence[str], hot: list[dict]):
+    """Null-safe membership predicate for the hot key tuples (≤20 terms,
+    codegen'd; ``eqNullSafe`` keeps null-keyed rows on the cold side
+    instead of vanishing through three-valued logic)."""
+    pred = F.lit(False)
+    for row in hot:
+        term = F.lit(True)
+        for k in keys:
+            term = term & F.col(k).eqNullSafe(F.lit(row[k]))
+        pred = pred | term
+    return pred
 
 
 def distinct_table(
@@ -109,9 +146,11 @@ def distinct_table(
     """Drop duplicate rows; with ``subset``, keep first/last per key group.
 
     ``method='auto'`` (default, r8 VERDICT item 3) probes a 1% key
-    sample and picks ``salted`` when one key is hot (``_auto_method``),
-    ``window`` otherwise — production callers no longer need to know
-    their skew. Explicit ``'window'`` / ``'agg'`` / ``'salted'`` pin the
+    sample: no hot key → the plain window plan; hot keys found → the
+    HOT-SPLIT plan (only the named hot keys take the two-phase salted
+    spread, every cold key keeps the single-sort window — skew immunity
+    at ~window cost). Production callers no longer need to know their
+    skew. Explicit ``'window'`` / ``'agg'`` / ``'salted'`` pin the
     physical plan (identical results all four ways — see the module
     docstring for the measured trade-off: window wins at low key
     duplication; agg and salted are skew-immune; salted keeps the window
@@ -146,8 +185,10 @@ def distinct_table(
         # (SURVEY §7.3.2 — the documented deterministic-tiebreak rule)
         rest = [c for c in df.columns if c not in keys and c not in presort]
         order_cols = presort + rest
+        hot: list[dict] | None = None
         if order_cols and method == "auto":
-            method = _auto_method(df, keys)
+            hot = _auto_hot_keys(df, keys)
+            method = "window" if hot is None else "hotsplit"
         if not order_cols:
             # subset covers every column — keyed keep-first/last degenerates
             # to full-row distinct (there is nothing to order within a key)
@@ -168,7 +209,16 @@ def distinct_table(
                 else F.col(c).desc_nulls_last()
                 for c in order_cols
             ]
-            if method == "salted":
+
+            def window_plan(d: DataFrame) -> DataFrame:
+                w = Window.partitionBy(*keys).orderBy(*ordering_cols)
+                return (
+                    d.withColumn(_RN, F.row_number().over(w))
+                    .filter(F.col(_RN) == 1)
+                    .drop(_RN)
+                )
+
+            def salted_plan(d: DataFrame) -> DataFrame:
                 # skew escape for the WINDOW form (r7 VERDICT item 3: a
                 # window partition is the one exchange AQE cannot split —
                 # 2.4x degradation at a 50%-hot key). Same algebra as
@@ -185,24 +235,38 @@ def distinct_table(
                 )
                 w1 = Window.partitionBy(*keys, _SALT).orderBy(*ordering_cols)
                 local = (
-                    df.withColumn(_SALT, salt_col)
+                    d.withColumn(_SALT, salt_col)
                     .withColumn(_RN, F.row_number().over(w1))
                     .filter(F.col(_RN) == 1)
                     .drop(_RN)
                 )
                 w2 = Window.partitionBy(*keys).orderBy(*ordering_cols)
-                out = (
+                return (
                     local.withColumn(_RN, F.row_number().over(w2))
                     .filter(F.col(_RN) == 1)
                     .drop(_RN, _SALT)
                 )
-            else:
-                w = Window.partitionBy(*keys).orderBy(*ordering_cols)
-                out = (
-                    df.withColumn(_RN, F.row_number().over(w))
-                    .filter(F.col(_RN) == 1)
-                    .drop(_RN)
+
+            if method == "hotsplit":
+                # the auto path's plan (r9): generic two-phase salting
+                # re-shuffles the ~unique cold-key majority a second time
+                # (measured 2.2x the window form on uniform keys), but the
+                # probe already NAMES the hot keys — so only their rows
+                # take the two-phase spread (phase 2 over ≤ |hot|·salt
+                # rows, trivial) while every cold key keeps the
+                # single-sort window plan. Keys are partitioned across
+                # the two sides, so the union is the same deterministic
+                # winner set; total shuffled rows ≈ one data pass, the
+                # same as the plain window — skew immunity at ~no
+                # absolute cost (tools/probe_skew.py: window_dedup_auto).
+                pred = _hot_pred(keys, hot)
+                out = window_plan(df.filter(~pred)).unionByName(
+                    salted_plan(df.filter(pred))
                 )
+            elif method == "salted":
+                out = salted_plan(df)
+            else:
+                out = window_plan(df)
     if postsort_by:
         post = [postsort_by] if isinstance(postsort_by, str) else list(postsort_by)
         out = out.orderBy(*post)

@@ -148,12 +148,26 @@ def test_dedup_auto_method_dispatch(spark, monkeypatch):
     monkeypatch.setattr(D, "AUTO_MIN_SAMPLED", 100)
     assert D._auto_method(hot, ["k"]) == "salted"  # k=9 owns half the rows
     assert D._auto_method(uniform, ["k"]) == "window"  # max share 0.5%
-    # the default (auto) call returns the same rows as the pinned forms
-    a = distinct_table(hot, subset="k", keep="first", presort_by=["v"])
-    b = distinct_table(
-        hot, subset="k", keep="first", presort_by=["v"], method="window"
+    # the default (auto) call — here the HOT-SPLIT plan (k=9 is named
+    # hot) — returns the same rows as the pinned window form, including
+    # null-keyed rows (eqNullSafe keeps them on the cold side) and a
+    # null-keyed HOT group
+    hot_nulls = hot.unionByName(
+        spark.createDataFrame(
+            [(None, i % 13, float(i)) for i in range(200)]
+            + [(None, None, None), (77, None, 1.5)],
+            "k int, v int, x double",
+        )
     )
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert D._auto_method(hot_nulls, ["k"]) == "salted"
+    a = distinct_table(hot_nulls, subset="k", keep="first", presort_by=["v"])
+    b = distinct_table(
+        hot_nulls, subset="k", keep="first", presort_by=["v"],
+        method="window",
+    )
+    assert sorted(map(tuple, a.collect()), key=str) == sorted(
+        map(tuple, b.collect()), key=str
+    )
     # r8 ADVICE: degenerate salt values refused loudly (salt=0 NULLs the
     # pmod bucket and silently voids the skew protection)
     for bad in (0, 1, -3):
