@@ -1074,9 +1074,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     exact dedup (min-id per content hash) -> minhash near-dup removal
     (drop the higher id of each verified pair) -> deterministic hash
     split. Catalyst sees the whole chain, so column pruning and the
-    narrow dedup joins compose; the only persisted piece is the shared
+    narrow dedup joins compose; the persisted pieces are the shared
     corpus-level signature cache (r8 VERDICT item 7), semi-joined down
-    to the survivor set rather than re-shingled."""
+    to the survivor set rather than re-shingled, and the narrow
+    survivor-id set itself (consumed five times downstream)."""
     from pydatalake_spark.functions.split import hash_bucket
 
     d = _t(spark, sf, "documents")
@@ -1100,10 +1101,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # r8 VERDICT item 7: signatures are per-doc and filter-stable, so the
     # CORPUS-LEVEL cached signature table (plan-equal to the one the
     # near_dup_pairs family shares via cache_once) semi-joins down to the
-    # quality/exact-dedup survivors instead of re-shingling them from text
+    # quality/exact-dedup survivors instead of re-shingling them from text.
+    # Everything downstream consumes only the survivor IDS (the signature
+    # semi-join references them 4x — both band sides, both set sides —
+    # and the final anti-join once), so the narrow id set is cached once
+    # and the quality+exact-dedup chain executes a single time instead
+    # of five.
+    ids = cache_once(docs1.select("doc_id"))
     sig = cache_once(
         minhash_signatures(d, num_hashes=_MH_N, shingle_size=_MH_K)
-    ).join(docs1.select("doc_id"), "doc_id")
+    ).join(ids, "doc_id")
     nd = (
         near_dup_pairs(docs1, num_hashes=_MH_N, num_bands=_MH_BANDS,
                        shingle_size=_MH_K, jaccard_threshold=0.5,
@@ -1111,7 +1118,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    final = docs1.join(nd, "doc_id", "left_anti")
+    final = ids.join(nd, "doc_id", "left_anti")
     return (
         final.select("doc_id", hash_bucket("doc_id", 100).alias("__b"))
         .select(
