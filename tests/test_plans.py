@@ -46,7 +46,32 @@ def test_dedup_single_shuffle(spark):
     assert "Window" in p
 
 
-def test_dedup_agg_method_partial_combines(spark):
+def test_dedup_hotsplit_plan_shape(spark, monkeypatch):
+    """The auto path's hot-split plan (r9): the cold side keeps the
+    single-sort window (one Window over the key-only partition), the hot
+    side runs the two-phase salted spread, and both unite — so the plan
+    must carry exactly THREE Window nodes (cold, salted phase 1, salted
+    phase 2) and a Union, with the salted phases visible as the
+    salt-keyed hashpartitioning."""
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.operators import dedup as D
+    from pydatalake_spark.operators.dedup import distinct_table
+    from pydatalake_spark.queries.tables import load_table
+
+    monkeypatch.setattr(D, "AUTO_PROBE_FRACTION", 1.0)
+    monkeypatch.setattr(D, "AUTO_MIN_SAMPLED", 100)
+    ev = load_table(spark, SF, "events").withColumn(
+        "user_id",
+        # make one key own ~half the rows so the probe names it hot
+        (F.col("event_id") % 2 * F.col("user_id")).cast("long"),
+    )
+    df = distinct_table(ev, subset="user_id", keep="first", presort_by="ts")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in p
+    nodes = [ln for ln in p.splitlines() if re.search(r"(^|- )Window \[", ln)]
+    assert len(nodes) == 3, p
+    assert "__pydatalake_salt__" in p  # salted phases keyed by the salt
     """The skew-immune dedup tier (method='agg') must place a partial
     min_by/max_by BEFORE its single exchange — that map-side combine is
     the entire point (a hot key forwards one row per task instead of
