@@ -21,7 +21,9 @@ for _mod in (relational, text, similarity):
 #       method dispatch in operators/dedup.py (dedup_keep_first/last,
 #       distinct_full), the signature-cache reuse in pipeline_clean_corpus
 #       (r8 VERDICT item 7), the hyperplane hot-bucket cap touching
-#       embedding_near_dup's module (pinned-planes gate path unchanged).
+#       embedding_near_dup's module (pinned-planes gate path unchanged),
+#       and semantic_dedup's column-blocked verify (dominated flags
+#       asserted byte-equal, but the implementation changed — re-gate).
 #   (b) every row whose newest green driver round is r04-r05 — 26 rows,
 #       including the three whose DEFINITIONS changed in r7 without a
 #       post-change driver row (bigram_perplexity, token_pmi,
@@ -34,6 +36,7 @@ _GATE_FRONT = [
     "distinct_full",
     "pipeline_clean_corpus",
     "embedding_near_dup",
+    "semantic_dedup",
     # (b) r04 rows
     "ann_bucket_candidates",
     "char_entropy",
@@ -82,7 +85,8 @@ _GATE_FRONT = [
     "minhash_signatures",
     "multimodal_features",
     "near_dup_clusters",
-    "ngram_jaccard_pairs",
+    # (ngram_jaccard_pairs rotates out to fit semantic_dedup's re-gate;
+    # it is r06-green and the freshness assert forces it into r10's front)
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]
