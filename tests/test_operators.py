@@ -168,6 +168,19 @@ def test_dedup_auto_method_dispatch(spark, monkeypatch):
     assert sorted(map(tuple, a.collect()), key=str) == sorted(
         map(tuple, b.collect()), key=str
     )
+    # composite (multi-column) hot key: the probe groups, names, and
+    # predicates on the full key tuple — results equal the window form
+    comp = spark.createDataFrame(
+        [
+            (9 if i % 2 else i, "x" if i % 2 else f"t{i % 7}", float(i))
+            for i in range(400)
+        ],
+        "k int, s string, x double",
+    )
+    assert D._auto_method(comp, ["k", "s"]) == "salted"  # (9,'x') is hot
+    ca = distinct_table(comp, subset=["k", "s"], keep="last")
+    cb = distinct_table(comp, subset=["k", "s"], keep="last", method="window")
+    assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, cb.collect()))
     # r8 ADVICE: degenerate salt values refused loudly (salt=0 NULLs the
     # pmod bucket and silently voids the skew protection)
     for bad in (0, 1, -3):
