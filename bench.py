@@ -363,6 +363,27 @@ def _probe_callable(name, queries):
             )
 
         return fn
+    if name == "near_dup_pairs":
+        # r9: the registry entry serves the per-corpus _minhash_pairs
+        # session cache (shared with pipeline_clean_corpus) — probing it
+        # would time a cache read. Probe the underlying operator; the
+        # 0.55 verify threshold keeps the plan distinct from the cached
+        # one (same trick as the ngram_jaccard_pairs bypass below) while
+        # the band join + set verify do identical work. The operator's
+        # internal signature cache_once stays (pre-r9 behavior): the
+        # probe measures the band-join + verify scaling on top of a warm
+        # signature table, the same contract as every round since r8.
+        from pydatalake_spark.operators.minhash import near_dup_pairs
+        from pydatalake_spark.queries.tables import load_table
+        from pydatalake_spark.queries.text import _MH_BANDS, _MH_K, _MH_N
+
+        return lambda spark, sf_dir: near_dup_pairs(
+            load_table(spark, sf_dir, "documents"),
+            num_hashes=_MH_N,
+            num_bands=_MH_BANDS,
+            shingle_size=_MH_K,
+            jaccard_threshold=0.55,
+        )
     if name == "embedding_near_dup":
         # the registry entry pins num_planes=8 so the static oracle SQL
         # can replay the bucket hash — fine at gate SF, QUADRATIC at

@@ -189,11 +189,7 @@ def distinct_table(
         if order_cols and method == "auto":
             hot = _auto_hot_keys(df, keys)
             method = "window" if hot is None else "hotsplit"
-        if not order_cols:
-            # subset covers every column — keyed keep-first/last degenerates
-            # to full-row distinct (there is nothing to order within a key)
-            out = df.distinct()
-        elif method == "agg":
+        def agg_plan(d: DataFrame) -> DataFrame:
             ordering = F.struct(*order_cols)
             payload = F.struct(*df.columns)
             pick = (
@@ -201,7 +197,14 @@ def distinct_table(
                 if keep == "first"
                 else F.max_by(payload, ordering)
             )
-            out = df.groupBy(*keys).agg(pick.alias("_row")).select("_row.*")
+            return d.groupBy(*keys).agg(pick.alias("_row")).select("_row.*")
+
+        if not order_cols:
+            # subset covers every column — keyed keep-first/last degenerates
+            # to full-row distinct (there is nothing to order within a key)
+            out = df.distinct()
+        elif method == "agg":
+            out = agg_plan(df)
         else:
             ordering_cols = [
                 F.col(c).asc_nulls_first()
@@ -251,17 +254,22 @@ def distinct_table(
                 # the auto path's plan (r9): generic two-phase salting
                 # re-shuffles the ~unique cold-key majority a second time
                 # (measured 2.2x the window form on uniform keys), but the
-                # probe already NAMES the hot keys — so only their rows
-                # take the two-phase spread (phase 2 over ≤ |hot|·salt
-                # rows, trivial) while every cold key keeps the
-                # single-sort window plan. Keys are partitioned across
-                # the two sides, so the union is the same deterministic
-                # winner set; total shuffled rows ≈ one data pass, the
-                # same as the plain window — skew immunity at ~no
-                # absolute cost (tools/probe_skew.py: window_dedup_auto).
+                # probe already NAMES the hot keys — so every cold key
+                # keeps the single-sort window plan while the hot rows
+                # take the AGG tier (min_by/max_by, pinned byte-identical
+                # to the window form): its map-side partial aggregation
+                # collapses each task's hot rows to ≤|hot| rows BEFORE
+                # the exchange, so the hot side needs no shuffle-sized
+                # sort or shuffle at all — strictly cheaper than spreading
+                # the hot key across salt reducers and structurally
+                # skew-immune (no reducer ever sees more than |hot| rows
+                # per task's worth of partials). Keys are partitioned
+                # across the two sides, so the union is the same
+                # deterministic winner set (tools/probe_skew.py:
+                # window_dedup_auto).
                 pred = _hot_pred(keys, hot)
                 out = window_plan(df.filter(~pred)).unionByName(
-                    salted_plan(df.filter(pred))
+                    agg_plan(df.filter(pred))
                 )
             elif method == "salted":
                 out = salted_plan(df)

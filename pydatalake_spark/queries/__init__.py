@@ -18,12 +18,14 @@ for _mod in (relational, text, similarity):
 # so the front is rotation under the freshness invariant (enforced below
 # against freshness.LAST_GREEN — r8 VERDICT item 6):
 #   (a) queries whose IMPLEMENTATION changes this round (r9): auto
-#       method dispatch in operators/dedup.py (dedup_keep_first/last,
-#       distinct_full), the signature-cache reuse in pipeline_clean_corpus
-#       (r8 VERDICT item 7), the hyperplane hot-bucket cap touching
-#       embedding_near_dup's module (pinned-planes gate path unchanged),
-#       and semantic_dedup's column-blocked verify (dominated flags
-#       asserted byte-equal, but the implementation changed — re-gate).
+#       method dispatch + agg-tier hot-split in operators/dedup.py
+#       (dedup_keep_first/last, distinct_full), the shared _minhash_pairs
+#       session cache (near_dup_pairs serves it; pipeline_clean_corpus
+#       restricts it to survivors — r8 VERDICT item 7), the hyperplane
+#       hot-bucket cap touching embedding_near_dup's module
+#       (pinned-planes gate path unchanged), and semantic_dedup's
+#       column-blocked verify (dominated flags asserted byte-equal, but
+#       the implementation changed — re-gate).
 #   (b) every row whose newest green driver round is r04-r05 — 26 rows,
 #       including the three whose DEFINITIONS changed in r7 without a
 #       post-change driver row (bigram_perplexity, token_pmi,
@@ -35,6 +37,7 @@ _GATE_FRONT = [
     "dedup_keep_last",
     "distinct_full",
     "pipeline_clean_corpus",
+    "near_dup_pairs",
     "embedding_near_dup",
     "semantic_dedup",
     # (b) r04 rows
@@ -79,7 +82,8 @@ _GATE_FRONT = [
     "grouping_sets_agg",
     "hopping_window_agg",
     "image_phash_near_dup",
-    "json_extract",
+    # (json_extract rotates out to fit near_dup_pairs' r9 re-gate — it
+    # is r06-green and the freshness assert forces it into r10's front)
     "lsh_candidate_pairs",
     "merge_upsert_orders",
     "minhash_signatures",

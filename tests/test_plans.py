@@ -49,10 +49,11 @@ def test_dedup_single_shuffle(spark):
 def test_dedup_hotsplit_plan_shape(spark, monkeypatch):
     """The auto path's hot-split plan (r9): the cold side keeps the
     single-sort window (one Window over the key-only partition), the hot
-    side runs the two-phase salted spread, and both unite — so the plan
-    must carry exactly THREE Window nodes (cold, salted phase 1, salted
-    phase 2) and a Union, with the salted phases visible as the
-    salt-keyed hashpartitioning."""
+    side takes the agg tier (min_by/max_by with a map-side partial
+    aggregation BEFORE its exchange — a hot key forwards ≤1 row per task
+    instead of landing every row on one reducer), and both unite — so
+    the plan must carry exactly ONE Window node, a Union, and a partial
+    min_by on the hot branch."""
     from pyspark.sql import functions as F
 
     from pydatalake_spark.operators import dedup as D
@@ -70,8 +71,10 @@ def test_dedup_hotsplit_plan_shape(spark, monkeypatch):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" in p
     nodes = [ln for ln in p.splitlines() if re.search(r"(^|- )Window \[", ln)]
-    assert len(nodes) == 3, p
-    assert "__pydatalake_salt__" in p  # salted phases keyed by the salt
+    assert len(nodes) == 1, p
+    # hot branch: partial min_by before its exchange (map-side combine is
+    # the skew immunity — the exchange moves ≤|hot| rows per task)
+    assert re.search(r"partial_min_by|partial_minby|min_by", p), p
     """The skew-immune dedup tier (method='agg') must place a partial
     min_by/max_by BEFORE its single exchange — that map-side combine is
     the entire point (a hot key forwards one row per task instead of
