@@ -445,6 +445,35 @@ def test_near_dup_pairs_injected_signatures(spark):
     )
 
 
+def test_near_dup_pairs_subset_restriction(spark):
+    """r9 (the pipeline_clean_corpus rework's correctness argument): LSH
+    pair generation and Jaccard verification are PAIRWISE — whether
+    (a, b) share a band bucket and what their shingle Jaccard is never
+    depends on any third document — so running near_dup_pairs on a
+    SUBSET equals running it on the full corpus and keeping only pairs
+    with BOTH endpoints in the subset. pipeline_clean_corpus restricts
+    the shared corpus pair table this way instead of re-running the band
+    join on its survivors."""
+    from pydatalake_spark.operators.minhash import near_dup_pairs
+    from pydatalake_spark.queries.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    surv = d.filter(F.col("doc_id") % 3 != 0)
+    direct = near_dup_pairs(surv, jaccard_threshold=0.3)
+    ids = surv.select("doc_id")
+    restricted = (
+        near_dup_pairs(d, jaccard_threshold=0.3)
+        .join(ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        # a USING join moves its key to column position 0 — re-project to
+        # the operator's column order so the row compare is by field
+        .select("id_a", "id_b", "jaccard")
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, restricted.collect())
+    )
+
+
 def test_multimodal_resize_and_frames(spark):
     from pydatalake_spark.operators.multimodal import (
         attach_payload,
