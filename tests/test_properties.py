@@ -73,6 +73,47 @@ def test_keep_first_matches_pandas_model(spark, data):
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=4,
+    max_size=40,
+))
+def test_hotsplit_dedup_matches_window_model(spark, data):
+    """The auto path's HOT-SPLIT plan (r9: window for cold keys ∪ agg tier
+    for probed-hot keys) returns the same winner set as the plain window
+    form on arbitrary small frames — thresholds forced low so the probe
+    names hot keys on hypothesis-sized data (keys drawn from {0,1,2}, so
+    some key virtually always owns ≥5% of rows)."""
+    from pydatalake_spark.operators import dedup as D
+
+    pdf = pd.DataFrame(data, columns=["k", "ts", "p"])
+    df = spark.createDataFrame(pdf, schema="k long, ts long, p long")
+    old = (D.AUTO_PROBE_FRACTION, D.AUTO_MIN_SAMPLED)
+    D.AUTO_PROBE_FRACTION, D.AUTO_MIN_SAMPLED = 1.0, 1
+    try:
+        got = sorted(
+            (r.k, r.ts, r.p)
+            for r in distinct_table(
+                df, subset=["k"], keep="last", presort_by=["ts"]
+            ).collect()
+        )
+        want = sorted(
+            (r.k, r.ts, r.p)
+            for r in distinct_table(
+                df, subset=["k"], keep="last", presort_by=["ts"],
+                method="window",
+            ).collect()
+        )
+    finally:
+        D.AUTO_PROBE_FRACTION, D.AUTO_MIN_SAMPLED = old
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     lts=st.lists(
         st.tuples(st.integers(0, 2), st.floats(0, 100, allow_nan=False)),
