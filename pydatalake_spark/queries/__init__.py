@@ -38,6 +38,8 @@ _GATE_FRONT = [
     "distinct_full",
     "pipeline_clean_corpus",
     "near_dup_pairs",
+    "quality_classifier_train",
+    "quality_classifier_distilled",
     "embedding_near_dup",
     "semantic_dedup",
     # (b) r04 rows
@@ -85,8 +87,9 @@ _GATE_FRONT = [
     # (json_extract rotates out to fit near_dup_pairs' r9 re-gate — it
     # is r06-green and the freshness assert forces it into r10's front)
     "lsh_candidate_pairs",
-    "merge_upsert_orders",
-    "minhash_signatures",
+    # (merge_upsert_orders and minhash_signatures rotate out to fit the
+    # quality_classifier fit-cache re-gate — both r06-green; the
+    # freshness assert forces them into r10's front)
     "multimodal_features",
     "near_dup_clusters",
     # (ngram_jaccard_pairs rotates out to fit semantic_dedup's re-gate;
