@@ -17,83 +17,73 @@ for _mod in (relational, text, similarity):
 # round. The green driver-row union covers the ENTIRE registry since r05,
 # so the front is rotation under the freshness invariant (enforced below
 # against freshness.LAST_GREEN — r8 VERDICT item 6):
-#   (a) queries whose IMPLEMENTATION changes this round (r9): auto
-#       method dispatch + agg-tier hot-split in operators/dedup.py
-#       (dedup_keep_first/last, distinct_full), the shared _minhash_pairs
-#       session cache (near_dup_pairs serves it; pipeline_clean_corpus
-#       restricts it to survivors — r8 VERDICT item 7), the hyperplane
-#       hot-bucket cap touching embedding_near_dup's module
-#       (pinned-planes gate path unchanged), and semantic_dedup's
-#       column-blocked verify (dominated flags asserted byte-equal, but
-#       the implementation changed — re-gate).
-#   (b) every row whose newest green driver round is r04-r05 — 26 rows,
-#       including the three whose DEFINITIONS changed in r7 without a
-#       post-change driver row (bigram_perplexity, token_pmi,
-#       rp_distortion — r8 VERDICT item 1).
-#   (c) the stalest r06 rows (22 of 49; the remaining 27 front in r10).
+#   (a) the 31 rows the freshness assert forces in (last green round ≤ r06
+#       after the r10 ledger regen — the complete r06 stratum plus the
+#       four rows r9 rotated out: json_extract, merge_upsert_orders,
+#       minhash_signatures, ngram_jaccard_pairs). This completes the
+#       first full ≤3-round rotation cycle of the whole registry.
+#   (b) queries whose IMPLEMENTATION changes this round (r10):
+#       decontamination_audit (shared screen-verdict pass with
+#       bloom_decontamination, VERDICT item 3) and semantic_dedup
+#       (_split_cells_once checkpoint reaping + lazy n_cells, VERDICT
+#       items 2/low-3). bloom_decontamination / q18 / q21 also change
+#       but already sit in stratum (a).
+#   (c) the stalest r07 rows (alphabetical prefix, 17 of 41; the
+#       remaining 24 front in r11 — they fit its 50-slot window).
 _GATE_FRONT = [
-    # (a) implementation changed this round (r9)
-    "dedup_keep_first",
-    "dedup_keep_last",
-    "distinct_full",
-    "pipeline_clean_corpus",
-    "near_dup_pairs",
-    "quality_classifier_train",
-    "quality_classifier_distilled",
-    "embedding_near_dup",
+    # (a) freshness-forced: r06-or-older green rows
+    "bloom_decontamination",
+    "json_extract",
+    "merge_upsert_orders",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "partition_values",
+    "pipeline_decontaminated_corpus",
+    "pivot_linestatus",
+    "q11_supplier_concentration",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_sole_returned_supplier",
+    "q2_min_price_part",
+    "q4_order_priority",
+    "q6_revenue_delta",
+    "q8_market_share",
+    "range_join_events",
+    "resample_ffill",
+    "scalar_functions",
+    "semi_join",
+    "source_mix_weights",
+    "string_agg_per_group",
+    "strip_contaminated_spans",
+    "tables_diff_subset",
+    "text_langid",
+    "text_quality_score",
+    "uniqueness_probe",
+    "window_lag_lead",
+    "window_rank",
+    "window_time_range_avg",
+    "winnow_fingerprints",
+    # (b) implementation changed this round (r10)
+    "decontamination_audit",
     "semantic_dedup",
-    # (b) r04 rows
-    "ann_bucket_candidates",
-    "char_entropy",
-    "cms_heavy_hitters",
-    # (b) r05 rows — bigram_perplexity/token_pmi/rp_distortion changed
-    # semantics in r7 and have never been driver-gated since
-    "bigram_perplexity",
-    "token_pmi",
-    "rp_distortion",
-    "bm25_search",
-    "cap_per_source",
-    "corpus_datacard",
-    "curriculum_stages",
-    "dedup_rate_by_threshold",
-    "kmeans_lloyd_step",
-    "langid_confusion",
-    "minhash_jaccard_estimate",
-    "near_dup_communities",
-    "ngram_containment_pairs",
-    "pipeline_embedding_curation",
-    "pipeline_full_curation",
-    "prefix_dup_docs",
-    "rolling_median_value",
-    "rp_ann_recall",
-    "source_duplication_matrix",
-    "source_novelty",
-    "split_balance_report",
-    "value_histogram",
-    "weighted_sample_docs",
-    # (c) stalest r06 rows (alphabetical prefix of the 49; rest in r10)
-    "array_functions",
-    "cast_projection",
-    "cohort_retention",
-    "delta_append_diff",
-    "exact_ngram_decontamination",
-    "exact_percentiles",
-    "filter_project",
-    "funnel_view_click_purchase",
-    "gopher_quality_flags",
-    "grouping_sets_agg",
-    "hopping_window_agg",
-    "image_phash_near_dup",
-    # (json_extract rotates out to fit near_dup_pairs' r9 re-gate — it
-    # is r06-green and the freshness assert forces it into r10's front)
-    "lsh_candidate_pairs",
-    # (merge_upsert_orders and minhash_signatures rotate out to fit the
-    # quality_classifier fit-cache re-gate — both r06-green; the
-    # freshness assert forces them into r10's front)
-    "multimodal_features",
-    "near_dup_clusters",
-    # (ngram_jaccard_pairs rotates out to fit semantic_dedup's re-gate;
-    # it is r06-green and the freshness assert forces it into r10's front)
+    # (c) stalest r07 rows (alphabetical prefix of the 41; rest in r11)
+    "ann_recall_eval",
+    "approx_profile",
+    "asof_join_events",
+    "cosine_topk",
+    "doc_chunks",
+    "doc_repetition_stats",
+    "dsir_importance",
+    "dup_cluster_histogram",
+    "edit_distance_near_dup",
+    "embedding_normalize",
+    "embedding_quantize",
+    "event_transition_matrix",
+    "exact_dedup_docs",
+    "ivf_topk",
+    "ivfadc_topk",
+    "k_anonymity_screen",
+    "key_skew_profile",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]
