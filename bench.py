@@ -574,9 +574,17 @@ def main() -> None:
     # quiet-machine numbers were unchanged. A third run, taken ONLY when
     # the two timed runs disagree by >1.5x on a non-trivial query, costs
     # nothing in the steady state and absorbs one more transient.
+    # r9 ADVICE: the warm-up run is also TIMED (cold_first_run in
+    # BENCH_DETAIL) — for queries served by a per-corpus session cache
+    # (pair tables, fingerprints, classifier fit, decon screen verdicts)
+    # the warm ratio measures a cache read while the oracle re-executes,
+    # so the cold number is the honest one-time build cost next to it.
+    # cold - warm over ALL queries (JIT/codegen included, so a ceiling)
+    # is surfaced as cold_minus_warm_sec in the compact line.
     timings: dict[str, float] = {}
+    cold_runs: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cold_runs[name] = _run_timed(QUERIES[name], spark, SF_DIR)
         t1 = _run_timed(QUERIES[name], spark, SF_DIR)
         t2 = _run_timed(QUERIES[name], spark, SF_DIR)
         t = min(t1, t2)
@@ -607,6 +615,7 @@ def main() -> None:
             round(spark_on_oracled / oracle_total, 3) if oracle_total > 0 else None
         ),
         "ratios": ratios,
+        "cold_first_run": cold_runs,
     }
     if SCALING_PROBE:
         detail["scaling_probe"] = _scaling_probe(spark, QUERIES)
@@ -639,6 +648,11 @@ def main() -> None:
         "queries": {n: round(v, 2) for n, v in timings.items()},
         "oracle_total_sec": oracle_total,
         "vs_oracle_ratio": detail["vs_oracle_ratio"],
+        # ceiling on one-time cache-build + JIT cost the warm timings
+        # amortize away (r9 ADVICE: make cache-served ratios honest)
+        "cold_minus_warm_sec": round(
+            sum(max(0.0, cold_runs[n] - timings[n]) for n in timings), 2
+        ),
         "task_binary_max_kib": binary_kib,
         # the 5 worst spark/duckdb ratios among queries where the oracle
         # does >= 50 ms of real work — below that the ratio only measures

@@ -10,8 +10,10 @@ Covers SURVEY §2.2 (W1-W8) against ``src/pydala/dataset/writer.py``:
   ``partitionBy`` emits hive-style ``key=value/`` dirs;
   ``partition_flavor="directory"`` then strips the ``key=`` prefixes to
   the reference's bare value dirs (``writer.py:126-147``) — a driver-side
-  O(#partition-dirs) rename pass, local filesystems only (object stores
-  have no rename; keep hive there, which every engine reads anyway).
+  O(#partition-dirs) rename pass: ``os.rename`` on local paths, the
+  Hadoop FileSystem connector (rename, else copy+delete) on remote
+  schemes. Object-store "renames" are server-side copies, not atomic —
+  prefer hive flavor there unless the bare layout is required.
   ``sources/read.py:read_directory_partitioned`` is the matching reader;
 - W5 write modes (``writer.py:185-256``):
     * ``raise``      → error if the path already has data,
@@ -135,15 +137,11 @@ def write_dataset(
         )
     if partition_flavor == "directory":
         # reference writer.py:126-147 bare-value-dir flavor: a post-write
-        # rename pass, so it needs a local posix path (object stores have
-        # no rename — keep hive there), partition columns, and a mode
-        # whose existing-side reads don't need hive discovery (delta's
+        # rename pass — os.rename on local paths, the Hadoop FileSystem
+        # connector (rename, else FileUtil.copy+delete) on remote schemes
+        # (r9 VERDICT item 7) — plus partition columns, and a mode whose
+        # existing-side reads don't need hive discovery (delta's
         # anti-diff would misread a bare layout without partition_schema)
-        if "://" in path and not path.startswith("file:"):
-            raise ValueError(
-                "partition_flavor='directory' needs a local path "
-                "(object stores have no rename); use hive flavor there"
-            )
         if not partition_by:
             raise ValueError(
                 "partition_flavor='directory' requires partition_by"
@@ -204,7 +202,7 @@ def write_dataset(
             partition_flavor=partition_flavor,
         )
         if partition_flavor == "directory":
-            _strip_hive_prefixes(path, parts)
+            _strip_hive_prefixes(path, parts, spark=df.sparkSession)
         return
 
     writer = df.write.mode(spark_mode)
@@ -223,11 +221,11 @@ def write_dataset(
     if fmt == "parquet":
         writer.option("compression", compression).parquet(path)
         if partition_flavor == "directory":
-            _strip_hive_prefixes(path, parts)
+            _strip_hive_prefixes(path, parts, spark=df.sparkSession)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
         if partition_flavor == "directory":
-            _strip_hive_prefixes(path, parts)
+            _strip_hive_prefixes(path, parts, spark=df.sparkSession)
     elif fmt == "feather":
         if parts:
             _write_feather_partitioned(df, path, parts, mode=spark_mode)
@@ -237,7 +235,9 @@ def write_dataset(
         raise ValueError(f"unsupported write format {fmt!r}")
 
 
-def _strip_hive_prefixes(path: str, parts: Sequence[str]) -> None:
+def _strip_hive_prefixes(
+    path: str, parts: Sequence[str], spark=None
+) -> None:
     """Rename ``key=value/`` partition dirs to bare ``value/`` — the
     reference's "directory" flavor (``writer.py:126-147``), applied as a
     driver-side O(#partition-dirs) post-pass over the hive layout Spark
@@ -250,7 +250,28 @@ def _strip_hive_prefixes(path: str, parts: Sequence[str]) -> None:
     Null partition values are REFUSED before any rename: stripping
     ``key=__HIVE_DEFAULT_PARTITION__`` would leave a ``_``-prefixed bare
     dir every reader treats as hidden, silently dropping those rows.
+
+    Non-local schemes (s3a://, gs://, hdfs://, …) route through the
+    Hadoop FileSystem connector instead of ``os`` calls (r9 VERDICT
+    item 7 — the old os-walk silently NO-OPED on object stores, leaving
+    hive layout where the caller asked for bare values): ``fs.rename``
+    per dir, with a ``FileUtil.copy`` + delete fallback for stores whose
+    rename is unsupported or non-atomic-and-refused. O(#partition-dirs)
+    driver-side metadata calls either way; object-store renames are
+    server-side copies (not atomic) — concurrent readers of the SAME
+    directory-flavor dataset during a write can observe both layouts, a
+    limitation inherent to bare-value layouts on stores without rename
+    (documented in COVERAGE.md §2.2 W4; hive flavor has no such window).
     """
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", path)
+    if m and m.group(1) != "file":
+        if spark is None:
+            raise ValueError(
+                f"directory-flavor strip on {path!r} needs an active "
+                "SparkSession to reach the Hadoop filesystem connector"
+            )
+        _strip_hive_prefixes_hadoop(spark, path, list(parts))
+        return
     local = path[len("file:"):] if path.startswith("file:") else path
     _refuse_null_partitions(local, list(parts))
     level_dirs = [local]
@@ -303,6 +324,95 @@ def _refuse_null_partitions(local: str, parts: list[str]) -> None:
                 "partition_flavor='hive'."
             )
         _refuse_null_partitions(full, rest)
+
+
+def _fs_rename(fs, src, dst) -> bool:
+    """One Hadoop ``FileSystem.rename`` — split out so tests can mock a
+    store that refuses renames and pin the copy+delete fallback."""
+    return bool(fs.rename(src, dst))
+
+
+def _fs_copy_delete(jvm, fs, src, dst, conf) -> None:
+    """Copy ``src`` (file or dir tree) to ``dst`` and delete the source —
+    the strip pass's fallback when ``fs.rename`` reports failure (object
+    stores without rename support, cross-bucket moves). Server-side
+    per-file copies; NOT atomic, see `_strip_hive_prefixes`."""
+    ok = jvm.org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, True, True, conf)
+    if not ok:
+        raise OSError(
+            f"directory-flavor strip: neither rename nor copy+delete "
+            f"succeeded moving {src} -> {dst} on this filesystem; the "
+            "dataset remains in readable HIVE layout — use "
+            "partition_flavor='hive' on this store"
+        )
+
+
+def _strip_hive_prefixes_hadoop(spark, path: str, parts: list[str]) -> None:
+    """`_strip_hive_prefixes` over the Hadoop FileSystem API — the remote-
+    scheme twin of the local os-walk (same merge/refuse semantics), so
+    directory-flavor writes to s3a://, gs://, hdfs://, abfs:// etc. go
+    through whatever connector the session's Hadoop conf provides instead
+    of silently no-oping (r9 VERDICT item 7). Driver-side metadata ops
+    only: O(#partition-dirs) listStatus + rename calls, falling back to
+    `FileUtil.copy` + delete when the store's rename refuses."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return
+
+    def subdirs(p):
+        return [
+            st.getPath()
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and not st.getPath().getName().startswith(("_", "."))
+        ]
+
+    # refuse pass first (no mutation), mirroring _refuse_null_partitions
+    level = [root]
+    for col in parts:
+        nxt = []
+        for d in level:
+            for ch in subdirs(d):
+                if ch.getName() == f"{col}=__HIVE_DEFAULT_PARTITION__":
+                    raise ValueError(
+                        f"null value in partition column {col!r}: the "
+                        "directory flavor cannot represent null "
+                        "partitions (the stripped dir name would start "
+                        "with '_' and be hidden from readers). The data "
+                        f"was written in HIVE layout at {path} — filter "
+                        "out null partition keys or use "
+                        "partition_flavor='hive'."
+                    )
+                nxt.append(ch)
+        level = nxt
+
+    level = [root]
+    for col in parts:
+        nxt = []
+        for d in level:
+            for ch in subdirs(d):
+                name = ch.getName()
+                if name.startswith(f"{col}="):
+                    bare = HPath(d, name.split("=", 1)[1])
+                    if fs.exists(bare):
+                        # append merge: move each child into the bare twin
+                        for st in fs.listStatus(ch):
+                            src = st.getPath()
+                            dst = HPath(bare, src.getName())
+                            if not _fs_rename(fs, src, dst):
+                                _fs_copy_delete(jvm, fs, src, dst, conf)
+                        fs.delete(ch, False)
+                    elif not _fs_rename(fs, ch, bare):
+                        _fs_copy_delete(jvm, fs, ch, bare, conf)
+                    nxt.append(bare)
+                else:
+                    # bare dir from a previous directory-flavor write
+                    nxt.append(ch)
+        level = nxt
 
 
 def write_feather(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -23,13 +23,14 @@ for _mod in (relational, text, similarity):
 #       minhash_signatures, ngram_jaccard_pairs). This completes the
 #       first full ≤3-round rotation cycle of the whole registry.
 #   (b) queries whose IMPLEMENTATION changes this round (r10):
-#       decontamination_audit (shared screen-verdict pass with
-#       bloom_decontamination, VERDICT item 3) and semantic_dedup
-#       (_split_cells_once checkpoint reaping + lazy n_cells, VERDICT
-#       items 2/low-3). bloom_decontamination / q18 / q21 also change
-#       but already sit in stratum (a).
-#   (c) the stalest r07 rows (alphabetical prefix, 17 of 41; the
-#       remaining 24 front in r11 — they fit its 50-slot window).
+#       decontamination_audit + exact_ngram_decontamination (shared
+#       _decon_screen verdict pass with bloom_decontamination, VERDICT
+#       item 3) and semantic_dedup (_split_cells_once reap test
+#       hardening, VERDICT item 2). bloom_decontamination / q18 / q21
+#       also change but already sit in stratum (a).
+#   (c) the stalest r07 rows (alphabetical prefix, 16 of 41; the
+#       remaining 25 — key_skew_profile yields its slot to the
+#       exact_ngram re-gate — front in r11, fitting its 50-slot window).
 _GATE_FRONT = [
     # (a) freshness-forced: r06-or-older green rows
     "bloom_decontamination",
@@ -65,6 +66,7 @@ _GATE_FRONT = [
     "winnow_fingerprints",
     # (b) implementation changed this round (r10)
     "decontamination_audit",
+    "exact_ngram_decontamination",
     "semantic_dedup",
     # (c) stalest r07 rows (alphabetical prefix of the 41; rest in r11)
     "ann_recall_eval",
@@ -83,7 +85,6 @@ _GATE_FRONT = [
     "ivf_topk",
     "ivfadc_topk",
     "k_anonymity_screen",
-    "key_skew_profile",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

@@ -544,7 +544,14 @@ def _session_cached(
     """(applicationId, sf)-keyed DataFrame cache with stale-app eviction —
     the tables.py pattern (r3 ADVICE): plans bound to a stopped
     SparkSession must not survive into a new one, or the next session
-    would hand consumers dead-JVM references."""
+    would hand consumers dead-JVM references.
+
+    Contract (r9 ADVICE): the corpus under ``sf`` is assumed IMMUTABLE for
+    the session — every consumer here reads driver-generated parquet that
+    is never rewritten mid-run. A pipeline that rewrites its input between
+    queries must clear the cache dict (or start a new session), or cached
+    derivations (pair tables, fingerprints, classifier fits, screen
+    verdicts) silently describe the old bytes."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in cache if k[0] != app_id]:
         del cache[k]
@@ -2269,6 +2276,46 @@ def _decon_eval_w(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DECON_SCREEN_CACHE: dict = {}
+
+
+def _decon_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-corpus cached per-window screen VERDICT table
+    ``(doc_id, wh, exact_hit, bf_hit)`` over the eval windows — the r10
+    extension of the `_minhash_pairs` pattern to the decontamination
+    family (r9 VERDICT item 3): the exact semi-join verdict and the bloom
+    probe verdict are computed in ONE fused pass (one wh-keyed shuffle
+    against the distinct train set, the bloom probe mapped over that
+    join's own output), and the three screen queries
+    (`exact_ngram_decontamination`, `bloom_decontamination`,
+    `decontamination_audit`) reduce the SAME cached table with their own
+    doc-level aggregation instead of each re-running a probe pass.
+    Size contract: one row per distinct eval (doc, window) — the same
+    order as `_decon_exl` itself, LRU-evictable under memory pressure."""
+    from pydatalake_spark.operators.bloom import membership_screen
+
+    def build() -> DataFrame:
+        exl = _decon_exl(spark, sf)
+        train_w = _decon_train_w(spark, sf)
+        ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
+        both = membership_screen(
+            ev.join(train_w.withColumn("_hit", F.lit(1)), "wh", "left"),
+            train_w,
+            key_col="wh",
+            n_train_keys=train_w.count(),
+        )
+        return cache_once(
+            both.select(
+                "doc_id",
+                "wh",
+                F.coalesce("_hit", F.lit(0)).alias("exact_hit"),
+                "bf_hit",
+            )
+        )
+
+    return _session_cached(spark, _DECON_SCREEN_CACHE, sf, build)
+
+
 @q(
     "exact_ngram_decontamination",
     _DECON_CTE
@@ -2293,18 +2340,15 @@ def exact_ngram_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     verbatim in any train document. Same inverted-index shape as the span
     dedup: only (doc, window-hash) pairs shuffle, the train-side hash set
     is distinct-reduced before the semi-join, and the final count is one
-    keyed aggregation. Complements `split_contamination` (near-dup based):
+    keyed aggregation over the shared `_decon_screen` verdict table (the
+    bloom column rides along for free — the fused pass is one shuffle
+    either way). Complements `split_contamination` (near-dup based):
     this one is exact-match, the standard published protocol."""
-    exl = _decon_exl(spark, sf)
-    train_w = _decon_train_w(spark, sf)
-    ev = exl.filter(~F.col("is_train"))
-    hits = ev.join(
-        train_w.withColumn("_hit", F.lit(1)), "wh", "left"
-    )
-    return hits.groupBy("doc_id").agg(
+    scr = _decon_screen(spark, sf)
+    return scr.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_windows"),
-        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated"),
-        (F.sum(F.coalesce("_hit", F.lit(0))) > 0).alias("contaminated"),
+        F.sum("exact_hit").cast("long").alias("n_contaminated"),
+        (F.sum("exact_hit") > 0).alias("contaminated"),
     )
 
 
@@ -2370,16 +2414,12 @@ def bloom_decontamination_q(spark: SparkSession, sf: str) -> DataFrame:
     spark.driver.maxResultSize; past the join ceiling a 24-bits/key
     bitmap is data-sized and buys nothing over the exact screen (FP=0
     there, so `flagged` only gets MORE precise). The (doc, window-hash)
-    table comes from the shared `_decon_exl` cache, so the tokenize →
-    shingle pipeline runs once per corpus across all decontamination
-    queries. See operators/bloom.py."""
-    from pydatalake_spark.operators.bloom import membership_screen
-
-    exl = _decon_exl(spark, sf)
-    tw = _decon_train_w(spark, sf)
-    ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
-    hits = membership_screen(ev, tw, key_col="wh", n_train_keys=tw.count())
-    return hits.groupBy("doc_id").agg(
+    table comes from the shared `_decon_exl` cache, and the per-window
+    verdicts from the shared `_decon_screen` pass (r10: one fused
+    exact+bloom probe per corpus serves this query, the exact screen,
+    and the audit). See operators/bloom.py."""
+    scr = _decon_screen(spark, sf)
+    return scr.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum(F.col("bf_hit").cast("int")).cast("long").alias("n_bf_hits"),
         F.max(F.col("bf_hit")).alias("flagged"),
@@ -3823,28 +3863,17 @@ def decontamination_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     over-flagged ~28% of clean docs through the ANY-window flag. FN
     must read 0 at any size; a nonzero value means the filter is
     broken."""
-    from pydatalake_spark.operators.bloom import membership_screen
-
-    # shared per-corpus cache: tokenize→shingle feeds FOUR consumers here
-    # (sizing count, exact screen, bloom build, bloom probe) and every
-    # other decontamination query — see _decon_exl
-    exl = _decon_exl(spark, sf)
-    train_w = _decon_train_w(spark, sf)
-    ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
-    # fused single pass: the bloom probe runs on the exact screen's OWN
-    # join output, so the eval windows cross one wh-keyed shuffle and one
-    # doc_id groupBy TOTAL — no second scan, no two per-screen aggregates
-    # to re-join on doc_id. membership_screen's three-tier dispatch (not
-    # the old vector-else-join pair) keeps the audit runnable past the
-    # 2^31-bit broadcast ceiling the 1000x probe hit.
-    both = membership_screen(
-        ev.join(train_w.withColumn("_hit", F.lit(1)), "wh", "left"),
-        train_w,
-        key_col="wh",
-        n_train_keys=train_w.count(),
-    )
-    j = both.groupBy("doc_id").agg(
-        (F.max(F.coalesce("_hit", F.lit(0))) == 1).alias("contaminated"),
+    # fused single pass via the shared `_decon_screen` verdict cache: the
+    # bloom probe runs on the exact screen's OWN join output, so the eval
+    # windows cross one wh-keyed shuffle and one doc_id groupBy TOTAL —
+    # no second scan, no two per-screen aggregates to re-join on doc_id —
+    # and (r10) the pass itself is shared with bloom_decontamination and
+    # exact_ngram_decontamination instead of re-run per query.
+    # membership_screen's three-tier dispatch keeps the audit runnable
+    # past the 2^31-bit broadcast ceiling the 1000x probe hit.
+    scr = _decon_screen(spark, sf)
+    j = scr.groupBy("doc_id").agg(
+        (F.max("exact_hit") == 1).alias("contaminated"),
         F.max("bf_hit").alias("flagged"),
     )
     return j.agg(

@@ -72,13 +72,24 @@ def test_dedup_hotsplit_plan_shape(spark, monkeypatch):
     assert "Union" in p
     nodes = [ln for ln in p.splitlines() if re.search(r"(^|- )Window \[", ln)]
     assert len(nodes) == 1, p
-    # hot branch: partial min_by before its exchange (map-side combine is
-    # the skew immunity — the exchange moves ≤|hot| rows per task)
-    assert re.search(r"partial_min_by|partial_minby|min_by", p), p
+    # hot branch: PARTIAL min_by below its exchange (map-side combine is
+    # the skew immunity — the exchange moves ≤|tasks| rows per hot key).
+    # r9 ADVICE: bare `min_by` also matches the final aggregate, which
+    # would not pin the partial-combine property — require the partial
+    # form, and require an Exchange printed ABOVE it (children print
+    # below parents in toString, so below-the-exchange = later index).
+    m = re.search(r"partial_min_by", p)
+    assert m, p
+    assert "Exchange" in p[: m.start()], p
+
+
+def test_dedup_agg_tier_partial_before_exchange(spark):
     """The skew-immune dedup tier (method='agg') must place a partial
     min_by/max_by BEFORE its single exchange — that map-side combine is
     the entire point (a hot key forwards one row per task instead of
-    landing every row on one reducer; see tools/probe_skew.py)."""
+    landing every row on one reducer; see tools/probe_skew.py).
+    Split out of test_dedup_hotsplit_plan_shape (r9 ADVICE: a failure
+    here is about the pinned agg tier, not the auto hot-split)."""
     from pydatalake_spark.operators.dedup import distinct_table
     from pydatalake_spark.queries.tables import load_table
 

@@ -533,6 +533,29 @@ def test_split_oversized_cells_bounds_hot_cell(spark):
     assert tight.count() == wv.count()
     assert n_persistent() <= before + 1
 
+    # r9 VERDICT item 2: the bound must hold MID-split too — generation k
+    # is reaped as soon as k+1 materializes, so at any point inside the
+    # iterative re-split at most 2 generations (current + just-built) are
+    # live, not one per completed round
+    import pydatalake_spark.operators.semdedup as SD
+
+    seen: list[int] = []
+    orig = SD._split_cells_once
+
+    def probed(wv_, max_cell_size_, id_col_):
+        seen.append(n_persistent())
+        return orig(wv_, max_cell_size_, id_col_)
+
+    try:
+        SD._split_cells_once = probed
+        SD.split_oversized_cells(wv, max_cell_size=10).count()
+    finally:
+        SD._split_cells_once = orig
+    assert len(seen) >= 2, seen  # the tight bound actually iterated
+    # each loop entry sees at most: caller's input generations + the one
+    # live generation the previous round kept (its predecessor reaped)
+    assert max(seen) <= before + 2, seen
+
     # end-to-end with the bound: exact twins still dedup (identical
     # vectors share every assignment decision)
     sd = {

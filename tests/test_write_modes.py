@@ -339,3 +339,122 @@ def test_directory_flavor_null_partition_refused(spark, events, tmpdir_path):
     # nothing half-stripped: the hive layout is intact and readable
     back = spark.read.parquet(base)
     assert back.count() == 20
+
+
+def _hadoop_strip_fixture(spark, events, tmpdir_path, name):
+    """Write a two-level hive layout and return (path, expected counts)."""
+    path = os.path.join(tmpdir_path, name)
+    d = events.limit(200).withColumn(
+        "half", (F.col("event_id") % 2).cast("int")
+    )
+    d.write.partitionBy("event_type", "half").parquet(path)
+    want = {
+        (r.event_type, r.half): r.n
+        for r in d.groupBy("event_type", "half")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return path, want
+
+
+def _assert_bare_layout(spark, path, want):
+    from pydatalake_spark.sources.read import read_directory_partitioned
+
+    top = {n for n in os.listdir(path) if not n.startswith(("_", "."))}
+    assert top and all("=" not in n for n in top), top
+    sub = {
+        n
+        for t in top
+        for n in os.listdir(os.path.join(path, t))
+        if not n.startswith(("_", "."))
+    }
+    assert sub and all("=" not in n for n in sub), sub
+    back = read_directory_partitioned(
+        spark, path, [("event_type", "string"), ("half", "int")]
+    )
+    got = {
+        (r.event_type, r.half): r.n
+        for r in back.groupBy("event_type", "half")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_strip_hive_prefixes_hadoop_filesystem(spark, events, tmpdir_path):
+    """r9 VERDICT item 7: the remote-scheme strip pass goes through the
+    Hadoop FileSystem connector (exercised here on file:// — the same
+    listStatus/rename/delete API s3a/gs/abfs connectors implement), not
+    os calls, so a directory-flavor write to an object store strips
+    instead of silently staying hive."""
+    from pydatalake_spark.dataset.writer import _strip_hive_prefixes
+
+    path, want = _hadoop_strip_fixture(spark, events, tmpdir_path, "hfs")
+    # file:// URI routes into _strip_hive_prefixes_hadoop (non-"file:"
+    # schemes share the branch; file:// is the one testable offline)
+    import pydatalake_spark.dataset.writer as W
+
+    W._strip_hive_prefixes_hadoop(
+        spark, "file://" + path, ["event_type", "half"]
+    )
+    _assert_bare_layout(spark, path, want)
+
+
+def test_strip_hadoop_copy_delete_fallback(spark, events, tmpdir_path, monkeypatch):
+    """A store whose rename REFUSES (mocked non-renameable fs) must still
+    strip via the FileUtil.copy + delete fallback — same final layout,
+    no silent hive leftovers."""
+    import pydatalake_spark.dataset.writer as W
+
+    path, want = _hadoop_strip_fixture(spark, events, tmpdir_path, "norename")
+    monkeypatch.setattr(W, "_fs_rename", lambda fs, src, dst: False)
+    W._strip_hive_prefixes_hadoop(
+        spark, "file://" + path, ["event_type", "half"]
+    )
+    _assert_bare_layout(spark, path, want)
+
+
+def test_strip_hadoop_merge_append(spark, events, tmpdir_path):
+    """Appending fresh hive dirs beside existing bare dirs merges them
+    on the Hadoop path, mirroring the os-walk merge semantics."""
+    import pydatalake_spark.dataset.writer as W
+
+    path, want = _hadoop_strip_fixture(spark, events, tmpdir_path, "hmerge")
+    W._strip_hive_prefixes_hadoop(
+        spark, "file://" + path, ["event_type", "half"]
+    )
+    # second write lands hive dirs beside the bare ones
+    d2 = events.limit(50).withColumn(
+        "half", (F.col("event_id") % 2).cast("int")
+    )
+    d2.write.mode("append").partitionBy("event_type", "half").parquet(path)
+    W._strip_hive_prefixes_hadoop(
+        spark, "file://" + path, ["event_type", "half"]
+    )
+    add = {
+        (r.event_type, r.half): r.n
+        for r in d2.groupBy("event_type", "half")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    merged = {k: want.get(k, 0) + add.get(k, 0) for k in set(want) | set(add)}
+    _assert_bare_layout(spark, path, merged)
+
+
+def test_strip_hadoop_null_partition_refused(spark, events, tmpdir_path):
+    """The Hadoop strip path refuses __HIVE_DEFAULT_PARTITION__ dirs
+    before any mutation, like the local walk."""
+    import pydatalake_spark.dataset.writer as W
+
+    path = os.path.join(tmpdir_path, "hnull")
+    d = events.limit(20).withColumn(
+        "half",
+        F.when(F.col("event_id") % 2 == 0, F.lit(None))
+        .otherwise(F.lit(1))
+        .cast("int"),
+    )
+    d.write.partitionBy("half").parquet(path)
+    with pytest.raises(ValueError, match="null"):
+        W._strip_hive_prefixes_hadoop(spark, "file://" + path, ["half"])
+    # untouched: hive layout still readable
+    assert spark.read.parquet(path).count() == 20
