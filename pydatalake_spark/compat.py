@@ -142,6 +142,84 @@ class Reader(DataLakeTable):
         """≙ ``reader.py:367-370`` — adopt a pre-registered table."""
         return self.spark.table(existing_table)
 
+    # --- reference inspection accessors (reader.py:487-581) --------------
+    @property
+    def has_dataset(self) -> bool:
+        """≙ ``reader.py:540-542`` — files bound as a (lazy) dataset."""
+        return self._df is not None
+
+    @property
+    def has_relation(self) -> bool:
+        """≙ ``reader.py:544-546`` — a query handle exists. The Spark plan
+        IS the relation, so this tracks dataset binding."""
+        return self._df is not None
+
+    @property
+    def has_pa_table(self) -> bool:
+        """≙ ``reader.py:536-538`` — the driver-edge Arrow materialization
+        has been built (via ``pa_table``/``buffer_size``)."""
+        return getattr(self, "_pa_table", None) is not None
+
+    @property
+    def pa_table(self):
+        """≙ ``reader.py:495-500`` — EAGER driver-edge ``pyarrow.Table``.
+        Small-data by contract, like ``to_pandas``: the whole (configured)
+        table materializes on the driver. Cached per Reader."""
+        if getattr(self, "_pa_table", None) is None:
+            self._pa_table = self.to_arrow()
+        return self._pa_table
+
+    @property
+    def buffer_size(self) -> int:
+        """≙ ``reader.py:556-561`` — total Arrow buffer bytes of the
+        materialized table (triggers ``pa_table`` like the reference; the
+        reference's accessor returns None on the second call — a bug per
+        SURVEY §4, intentionally not replicated)."""
+        return int(self.pa_table.get_total_buffer_size())
+
+    def get_buffer_size(self, unit: str = "MB") -> str:
+        """≙ ``reader.py:580-581`` — formatted ``buffer_size``."""
+        return f"{_convert_size_unit(self.buffer_size, unit)} {unit}"
+
+    @property
+    def disk_usage(self) -> int:
+        """≙ ``reader.py:566-570`` (``fs.du(path, total=True)``) — total
+        bytes under the dataset path, via the Hadoop FileSystem connector
+        so it answers for local paths and object stores alike. Driver-side
+        metadata call; no data moves."""
+        if getattr(self, "_disk_usage", None) is None:
+            sc = self.spark.sparkContext
+            jpath = sc._jvm.org.apache.hadoop.fs.Path(self.path)
+            fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+            self._disk_usage = int(fs.getContentSummary(jpath).getLength())
+        return self._disk_usage
+
+    def get_disk_usage(self, unit: str = "MB") -> str:
+        """≙ ``reader.py:572-573`` — formatted ``disk_usage``."""
+        return f"{_convert_size_unit(self.disk_usage, unit)} {unit}"
+
+    @property
+    def tables(self) -> list[str]:
+        """≙ ``reader.py:575-577`` — which representations exist. The
+        engine holds ONE lazy DataFrame (see module docstring), so this
+        reports the two states that exist here: the bound dataset/relation
+        and the optional driver-edge Arrow table."""
+        out = []
+        if self.has_dataset:
+            out += ["dataset", "relation"]
+        if self.has_pa_table:
+            out.append("pa_table")
+        return out
+
+
+def _convert_size_unit(n_bytes: int, unit: str = "MB") -> str:
+    """≙ reference ``utils/base.py convert_size_unit`` — bytes to a fixed
+    decimal in B/KB/MB/GB/TB."""
+    scale = {"B": 0, "KB": 1, "MB": 2, "GB": 3, "TB": 4}
+    if unit not in scale:
+        raise ValueError(f"unit must be one of {sorted(scale)}, got {unit!r}")
+    return f"{n_bytes / (1024 ** scale[unit]):.1f}"
+
 
 class Writer:
     """≙ ``pydala.dataset.Writer`` (``writer.py:430-527``).
@@ -149,9 +227,11 @@ class Writer:
     ``partitioning_flavor`` (``writer.py:30``): ``"hive"`` and
     ``"directory"`` map through; the reference's pyarrow default (None =
     directory flavor) maps to HIVE here — a documented divergence, kept
-    because object-store paths cannot take the directory flavor's rename
-    pass and every engine reads hive. Pass ``"directory"`` explicitly
-    for the bare-value-dir layout on local paths.
+    because hive is what every engine reads and the directory flavor's
+    strip pass on object stores is a non-atomic server-side copy window
+    (see ``dataset/writer.py:_strip_hive_prefixes``). Pass
+    ``"directory"`` explicitly for the bare-value-dir layout (any
+    filesystem the session's Hadoop conf can reach).
     """
 
     def __init__(
