@@ -384,6 +384,34 @@ def _probe_callable(name, queries):
             shingle_size=_MH_K,
             jaccard_threshold=0.55,
         )
+    if name == "bloom_decontamination":
+        # r10: the registry entry reduces the shared _decon_screen
+        # verdict cache — probing it would time a cache read and fake a
+        # ~0 exponent. Probe the underlying fused screen pass instead
+        # (the _decon_exl/_decon_train_w inputs stay warm per dir, the
+        # same scope the probe measured before the verdict cache: the
+        # bloom build + probe pass is what must scale).
+        from pyspark.sql import functions as F
+
+        from pydatalake_spark.operators.bloom import membership_screen
+        from pydatalake_spark.queries.text import _decon_exl, _decon_train_w
+
+        def bloom_fn(spark, sf_dir):
+            exl = _decon_exl(spark, sf_dir)
+            tw = _decon_train_w(spark, sf_dir)
+            ev = exl.filter(~F.col("is_train")).select("doc_id", "wh")
+            hits = membership_screen(
+                ev, tw, key_col="wh", n_train_keys=tw.count()
+            )
+            return hits.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_windows"),
+                F.sum(F.col("bf_hit").cast("int")).cast("long").alias(
+                    "n_bf_hits"
+                ),
+                F.max(F.col("bf_hit")).alias("flagged"),
+            )
+
+        return bloom_fn
     if name == "embedding_near_dup":
         # the registry entry pins num_planes=8 so the static oracle SQL
         # can replay the bucket hash — fine at gate SF, QUADRATIC at

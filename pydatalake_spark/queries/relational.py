@@ -1589,26 +1589,35 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q18 shape: IN-subquery with HAVING → left-semi join against the
-    grouped-filtered orderkeys. The heavy groupBy(l_orderkey) happens once on
-    the semi side; the final agg reuses the same key so AQE keeps the
-    exchange count at two."""
+    """TPC-H Q18 shape: IN-subquery with HAVING → join against the
+    grouped-filtered orderkeys.
+
+    r10 rewrite: the final grouping keys include ``o_orderkey``, so the
+    post-semi-join re-aggregation of lineitem detail is algebraically the
+    per-order total the HAVING side already computed — an aggregate
+    pushdown Catalyst doesn't perform. ONE groupBy(l_orderkey) produces
+    both the >300 filter and ``total_qty``; its (rare) survivors join
+    orders — AQE sees the filtered size at runtime and converts to a
+    broadcast join at gate SF, or keeps a keyed shuffle when the
+    survivor set outgrows the broadcast ceiling at large SF (no static
+    hint: the survivor count scales with SF, so pinning broadcast would
+    be a 100-TB lie) — customers broadcast onto that, and no second
+    lineitem scan, semi-join, or final exchange exists."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 300)
-        .select("l_orderkey")
-    )
-    big = big.withColumnRenamed("l_orderkey", "big_key")
-    return (
-        o.join(big, o.o_orderkey == F.col("big_key"), "left_semi")
-        .join(l, F.col("o_orderkey") == l.l_orderkey)
-        .join(c, F.col("o_custkey") == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
     )
 
 
@@ -2228,20 +2237,25 @@ def q21_sole_returned_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(is_ret).alias("n_ret"))
     )
-    ret = per_os.filter(F.col("n_ret") > 0).select("l_suppkey", "l_orderkey")
-    solo = (
+    # r10: single-pass verdict — the solo-returned supplier IS a per-order
+    # aggregate (max over the returned suppliers, of which exactly one
+    # exists on kept orders), so the old ret x solo self-join of the
+    # reduced grain collapses into ONE groupBy(l_orderkey): lineitem is
+    # scanned and shuffled once (the initial plan used to carry the
+    # per-(order,supplier) exchange TWICE — ReuseExchange only recovered
+    # it at AQE runtime), and the order-verdict side never rejoins data.
+    per_o = (
         per_os.groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_supp"),
             F.sum(F.when(F.col("n_ret") > 0, 1).otherwise(0)).alias("n_ret_supp"),
+            F.max(F.when(F.col("n_ret") > 0, F.col("l_suppkey"))).alias("ret_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
-        .select(F.col("l_orderkey").alias("solo_ok"))
     )
     return (
-        ret.join(solo, ret.l_orderkey == solo.solo_ok)
-        .join(F.broadcast(s), ret.l_suppkey == s.s_suppkey, "left_semi")
-        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        per_o.join(F.broadcast(s), per_o.ret_supp == s.s_suppkey, "left_semi")
+        .groupBy(F.col("ret_supp").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
 

@@ -65,7 +65,23 @@ PICKS = {
     "decontamination_audit": (
         "round-6 fused pass: ONE wh-keyed exchange (the exact-screen "
         "join) with the bloom probe (MapInPandas) mapped over its "
-        "output; one doc_id aggregation pair, no per-screen re-join"
+        "output; one doc_id aggregation pair, no per-screen re-join. "
+        "r10: the fused pass itself is the shared _decon_screen cache "
+        "(InMemoryTableScan) that bloom_decontamination and "
+        "exact_ngram_decontamination also reduce"
+    ),
+    "q18_large_volume_customer": (
+        "r10 single-pass: ONE exchange (per-order partial-combined "
+        "sum); the filtered survivors join orders (AQE broadcasts at "
+        "gate SF — no static hint, the survivor set scales with SF), "
+        "customers broadcast, no detail re-join or final aggregation"
+    ),
+    "q21_sole_returned_supplier": (
+        "r10 single-pass verdict: lineitem reduces once to "
+        "(order, supplier) grain then once to order grain (the solo "
+        "returned supplier is max over returned suppliers — no "
+        "ret x solo self-join of the reduced grain); supplier "
+        "broadcast semi-join; final per-supplier count"
     ),
     "pipeline_decontaminated_corpus": (
         "dedup exchange keyed by the 16-byte md5 fingerprint, never "
