@@ -569,16 +569,65 @@ def test_bloom_chunked_build_plan_has_no_explode(spark):
 
 
 def test_fused_audit_plan_single_wh_shuffle(spark):
-    """decontamination_audit's fused pass: the eval windows must cross
-    exactly one wh-keyed exchange (the exact-screen join) with the bloom
-    probe mapped over that join's output — no second scan of the eval
-    windows, no per-screen aggregate re-join."""
+    """decontamination_audit's fused pass: the eval windows cross exactly
+    one wh-keyed exchange (the exact-screen join) with the bloom probe
+    mapped over that join's output — no second scan of the eval windows,
+    no per-screen aggregate re-join. r10: the fused pass is the shared
+    `_decon_screen` cached table; its build subtree prints only while the
+    cache is COLD (a prior consumer in the same session materializes it
+    and the plan shows the elided cached stage instead), so the
+    always-true assertions are on the audit's own REDUCTION: one
+    doc-keyed aggregation pair over the cached scan, zero probe passes
+    and zero wh-keyed exchanges of its own."""
     p = physical_plan(spark, "decontamination_audit")
-    assert p.count("MapInPandas") == 1            # bloom probe, fused in
     # one doc-keyed aggregation pair (partial + final), not two screens'
     # (keys=[doc_id] exactly; the (doc_id, wh) distincts of the shared
     # window-table build are a different aggregate)
     assert len(re.findall(r"HashAggregate\(keys=\[doc_id#\d+L\]", p)) == 2
+    assert "InMemoryTableScan" in p  # consumes the shared screen verdicts
+    # the bloom probe lives INSIDE the screen build — count DISTINCT
+    # MapInPandas expression ids, because an adaptive cached-relation
+    # subtree prints its Final AND Initial sections (the same node
+    # appears twice verbatim); a genuine second probe pass would carry a
+    # fresh expression id
+    probes = set(re.findall(r"MapInPandas \w+\([^)]*\)#(\d+)", p))
+    assert len(probes) <= 1, p
+    reduction = p.split("InMemoryTableScan")[0]
+    assert "MapInPandas" not in reduction
+    assert not re.search(r"Exchange hashpartitioning\(wh#", reduction), p
+
+
+def test_decon_screen_cold_build_is_fused(spark):
+    """The shared `_decon_screen` verdict build itself: the bloom probe
+    (ONE MapInPandas) maps over the exact-screen join's own output — one
+    fused pass. Asserted on a COLD build: the screen cache dict and
+    Spark's relation cache are cleared first, so neither materialized-
+    stage elision nor CacheManager plan-equal substitution can hide the
+    build subtree (the consumers' test above stays cache-state-agnostic)."""
+    import pydatalake_spark.queries.text as TX
+
+    TX._DECON_SCREEN_CACHE.clear()
+    spark.catalog.clearCache()
+    scr = TX._decon_screen(spark, SF)
+    p = scr._jdf.queryExecution().executedPlan().toString()
+    # distinct expression ids, not raw occurrences: nested adaptive
+    # blocks print Final + Initial sections with the same node verbatim
+    probes = set(re.findall(r"MapInPandas \w+\([^)]*\)#(\d+)", p))
+    assert len(probes) == 1, p
+    # the probe consumes the exact-screen join's own output: exactly one
+    # wh-keyed LeftOuter join feeds it — no second eval-window pass, no
+    # per-screen re-join. (Join STRATEGY is not pinned: with the exl
+    # cache warm the static plan broadcasts; right after clearCache the
+    # degraded size estimate picks SortMergeJoin statically and AQE
+    # re-converts at runtime — both are the same fused single pass.)
+    joins = set(
+        re.findall(
+            r"(?:BroadcastHashJoin|SortMergeJoin) \[wh#(\d+)\], \[wh#\d+\], "
+            r"LeftOuter",
+            p,
+        )
+    )
+    assert len(joins) == 1, p
 
 
 def test_rp_distortion_is_join_free(spark):
