@@ -901,6 +901,7 @@ def rp_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    method: str = "numpy",
 ) -> DataFrame:
     """(id, proj): Johnson–Lindenstrauss random projection to ``out_dim``
     dims with a deterministic ±1/sqrt(out_dim) sign matrix (Achlioptas
@@ -909,11 +910,46 @@ def rp_project(
     bucketing or transfer, with no training and no stored model beyond
     the hash-derived matrix.
 
-    Scale: the matrix is literal (folded into codegen); each output dim
-    is one dot product against a constant array — no shuffle, no Python,
-    map-only."""
-    proj = _rp_proj_expr(to_double_array(vec_col), out_dim, dim)
-    return emb.select(F.col(id_col), proj.alias("proj"))
+    Scale: map-only either way — no shuffle. ``method='numpy'``
+    (default, r10) evaluates the projection as ONE BLAS matmul per Arrow
+    batch via mapInPandas: Catalyst higher-order functions are
+    interpreted per ELEMENT (never whole-stage-codegen'd), so the
+    expression form pays out_dim×dim interpreted lambda calls per row —
+    the r10 crossover probe measured it ~10x DuckDB's vectorized list
+    ops and the numpy tier closes that. ``method='expr'`` keeps the pure
+    column-expression form (composes into SQL views / streaming plans
+    with no Python boundary); both produce identical values up to
+    float-sum reassociation (~1e-15, pinned to 1e-9 in pytest)."""
+    if method == "expr":
+        proj = _rp_proj_expr(to_double_array(vec_col), out_dim, dim)
+        return emb.select(F.col(id_col), proj.alias("proj"))
+    if method != "numpy":
+        raise ValueError(f"method must be 'numpy' or 'expr', got {method!r}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    S = (
+        np.array(_jl_signs(out_dim, dim), dtype=np.float64)
+        / float(out_dim) ** 0.5
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("proj", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def proj_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "proj": list(V @ S.T)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(proj_batches, out_schema)
 
 
 def _rp_proj_expr(dv, out_dim: int, dim: int):
@@ -947,6 +983,7 @@ def rp_distortion(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    method: str = "numpy",
 ) -> DataFrame:
     """One-row norm-distortion readout of the JL projection: per-vector
     ratio ||Pv|| / ||v|| aggregated to (n_vectors, avg_ratio, min_ratio,
@@ -956,18 +993,64 @@ def rp_distortion(
 
     Map-only (r7): ||Pv|| and ||v|| come from the SAME row, so no
     id-keyed join — the old plan shuffled the corpus once just to pair a
-    vector with its own projection. Both arrays are bound to REAL
+    vector with its own projection. ``method='numpy'`` (default, r10):
+    per-Arrow-batch BLAS matmul + norm with per-batch (n, sum, min, max)
+    partials reduced by one scalar aggregate — interpreted HOF lambdas
+    were the whole wall (see rp_project). ``method='expr'`` keeps the
+    codegen-free-of-Python form; there, both arrays are bound to REAL
     columns before the norm HOFs (re-inline hazard)."""
-    bound = emb.select(to_double_array(vec_col).alias("dv"))
-    pr = bound.withColumn(
-        "proj", _rp_proj_expr(F.col("dv"), out_dim, dim)
+    if method == "expr":
+        bound = emb.select(to_double_array(vec_col).alias("dv"))
+        pr = bound.withColumn(
+            "proj", _rp_proj_expr(F.col("dv"), out_dim, dim)
+        )
+        j = pr.select(
+            (l2_norm(F.col("proj")) / l2_norm(F.col("dv"))).alias("r")
+        )
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.avg("r").alias("avg_ratio"),
+            F.min("r").alias("min_ratio"),
+            F.max("r").alias("max_ratio"),
+        )
+    if method != "numpy":
+        raise ValueError(f"method must be 'numpy' or 'expr', got {method!r}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    S = (
+        np.array(_jl_signs(out_dim, dim), dtype=np.float64)
+        / float(out_dim) ** 0.5
     )
-    j = pr.select(
-        (l2_norm(F.col("proj")) / l2_norm(F.col("dv"))).alias("r")
+    part_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_r", T.DoubleType()),
+            T.StructField("min_r", T.DoubleType()),
+            T.StructField("max_r", T.DoubleType()),
+        ]
     )
-    return j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.avg("r").alias("avg_ratio"),
-        F.min("r").alias("min_ratio"),
-        F.max("r").alias("max_ratio"),
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            r = np.linalg.norm(V @ S.T, axis=1) / np.linalg.norm(V, axis=1)
+            yield pd.DataFrame(
+                {
+                    "n": [len(r)],
+                    "sum_r": [float(r.sum())],
+                    "min_r": [float(r.min())],
+                    "max_r": [float(r.max())],
+                }
+            )
+
+    parts = emb.select(vec_col).mapInPandas(partials, part_schema)
+    return parts.agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        (F.sum("sum_r") / F.sum("n")).alias("avg_ratio"),
+        F.min("min_r").alias("min_ratio"),
+        F.max("max_r").alias("max_ratio"),
     )

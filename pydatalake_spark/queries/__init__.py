@@ -25,12 +25,15 @@ for _mod in (relational, text, similarity):
 #   (b) queries whose IMPLEMENTATION changes this round (r10):
 #       decontamination_audit + exact_ngram_decontamination (shared
 #       _decon_screen verdict pass with bloom_decontamination, VERDICT
-#       item 3) and semantic_dedup (_split_cells_once reap test
-#       hardening, VERDICT item 2). bloom_decontamination / q18 / q21
-#       also change but already sit in stratum (a).
-#   (c) the stalest r07 rows (alphabetical prefix, 16 of 41; the
-#       remaining 25 — key_skew_profile yields its slot to the
-#       exact_ngram re-gate — front in r11, fitting its 50-slot window).
+#       item 3), semantic_dedup (_split_cells_once reap test hardening,
+#       VERDICT item 2), and rp_distortion + rp_ann_recall (numpy
+#       projection tier — interpreted HOF lambdas were the wall).
+#       bloom_decontamination / q18 / q21 also change but already sit
+#       in stratum (a).
+#   (c) the stalest r07 rows (alphabetical prefix, 14 of 41; the
+#       remaining 27 — key_skew_profile, k_anonymity_screen and
+#       ivfadc_topk yield their slots to the (b) re-gates — front in
+#       r11, fitting its 50-slot window).
 _GATE_FRONT = [
     # (a) freshness-forced: r06-or-older green rows
     "bloom_decontamination",
@@ -68,6 +71,8 @@ _GATE_FRONT = [
     "decontamination_audit",
     "exact_ngram_decontamination",
     "semantic_dedup",
+    "rp_distortion",
+    "rp_ann_recall",
     # (c) stalest r07 rows (alphabetical prefix of the 41; rest in r11)
     "ann_recall_eval",
     "approx_profile",
@@ -83,8 +88,6 @@ _GATE_FRONT = [
     "event_transition_matrix",
     "exact_dedup_docs",
     "ivf_topk",
-    "ivfadc_topk",
-    "k_anonymity_screen",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

@@ -632,10 +632,14 @@ def test_decon_screen_cold_build_is_fused(spark):
 
 def test_rp_distortion_is_join_free(spark):
     # r7: ||Pv|| and ||v|| come from the same row — the readout must be
-    # map-only + one scalar aggregate, never an id-keyed self-join
+    # map-only + one scalar aggregate, never an id-keyed self-join.
+    # r10: the map IS a single Arrow-batched numpy matmul (HOF lambdas
+    # are interpreted per element, measured ~10x slower) emitting
+    # per-batch partials; exactly one exchange (the scalar agg)
     p = physical_plan(spark, "rp_distortion")
     assert "Join" not in p
-    assert "MapInPandas" not in p  # stays whole-stage codegen
+    assert p.count("MapInPandas") == 1, p
+    assert p.count("Exchange") == 1, p
 
 
 def test_cms_grid_builds_from_histogram_not_token_stream(spark):

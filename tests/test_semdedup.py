@@ -334,6 +334,24 @@ def test_rp_projection_preserves_neighbors(spark):
     for i in range(100):
         assert np.allclose(got[i], P[i], atol=1e-9)
 
+    # r10: the default Arrow/numpy tier and the pure-expression tier are
+    # the same transform up to float-sum reassociation (~1e-15; the
+    # oracle compares at 1e-9)
+    exprd = {
+        r.vec_id: np.array(r.proj)
+        for r in rp_project(emb, method="expr").collect()
+    }
+    for i in range(100):
+        assert np.allclose(got[i], exprd[i], atol=1e-9)
+    de = rp_distortion(emb, method="expr").collect()[0]
+    assert abs(de.avg_ratio - d.avg_ratio) < 1e-9
+    assert abs(de.min_ratio - d.min_ratio) < 1e-9
+    assert abs(de.max_ratio - d.max_ratio) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        rp_project(emb, method="fast")
+
 
 def test_rp_ann_recall_high_on_clustered_data(spark):
     """On CLUSTERED embeddings (the shape real corpora have) every

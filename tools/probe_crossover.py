@@ -28,11 +28,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import bench  # noqa: E402  (sets SF_DIR / REPLICAS, owns the builder)
 
+# the standing-explanation set: every ≥1s query whose quiet ratio sits
+# >2x on a LINEAR plan (r10 weak-minima members with linear oracles;
+# embedding_near_dup / dup_span_stats / source_novelty are excluded —
+# their pinned-parameter ORACLES go superlinear at 100x, and their scale
+# stories are carried by the 100x/1000x operator probes instead)
 QUERIES_UNDER_TEST = [
     "q21_sole_returned_supplier",
     "q18_large_volume_customer",
+    "dsir_importance",
+    "bigram_perplexity",
+    "rp_distortion",
 ]
-TABLES = ["lineitem", "orders", "customer", "supplier"]
+TABLES = [
+    "lineitem", "orders", "customer", "supplier", "documents", "embeddings",
+]
 
 
 def _spark_time(fn, spark, sf_dir) -> float:
