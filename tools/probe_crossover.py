@@ -39,6 +39,7 @@ QUERIES_UNDER_TEST = [
     "dsir_importance",
     "bigram_perplexity",
     "rp_distortion",
+    "dup_span_stats",
 ]
 TABLES = [
     "lineitem", "orders", "customer", "supplier", "documents", "embeddings",
