@@ -94,9 +94,10 @@ PICKS = {
         "shuffle, never text; one higher-order mask rebuilds clean_text"
     ),
     "rp_distortion": (
-        "round 7: map-only — pair sampling, projection and distortion "
-        "readout fused in one codegen stage per partition; the only "
-        "exchange is the final scalar aggregate (no self-join)"
+        "r10: map-only — ONE Arrow-batched MapInPandas (BLAS matmul + "
+        "norm per batch, emitting n/sum/min/max partials; interpreted "
+        "HOF lambdas were ~10x slower); the only exchange is the final "
+        "scalar aggregate (no self-join)"
     ),
     "cms_heavy_hitters": (
         "round 7: CMS grid derives from the exact token histogram "
