@@ -540,6 +540,16 @@ _TASK_BINARY_RE = re.compile(
 TASK_BINARY_MAX_KIB = 4096.0
 
 
+def _loadavg1() -> float:
+    """1-minute system loadavg (0.0 if unreadable) — recorded per minima
+    run so burst-window contamination is auditable from the artifact."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 def _task_binary_max_kib(stderr_path: str) -> float:
     """Largest 'Broadcasting large task binary' warning in the captured
     JVM stderr, in KiB (0.0 = every task closure stayed under Spark's
@@ -609,17 +619,49 @@ def main() -> None:
     # so the cold number is the honest one-time build cost next to it.
     # cold - warm over ALL queries (JIT/codegen included, so a ceiling)
     # is surfaced as cold_minus_warm_sec in the compact line.
+    # r11 (VERDICT item 3, finishing r9 ADVICE 1): a timed run that was
+    # served by a _session_cached artifact measures a cache read while
+    # the oracle re-executes — detect it MECHANICALLY via the hit
+    # counter delta so those entries can be excluded from worst_ratios
+    # and annotated with their honest cold cost instead.
+    from pydatalake_spark.queries.text import SESSION_CACHE_HITS
+
     timings: dict[str, float] = {}
     cold_runs: dict[str, float] = {}
+    cache_served: dict[str, bool] = {}
     for name in BENCH_QUERIES:
         cold_runs[name] = _run_timed(QUERIES[name], spark, SF_DIR)
+        h0 = SESSION_CACHE_HITS["n"]
         t1 = _run_timed(QUERIES[name], spark, SF_DIR)
         t2 = _run_timed(QUERIES[name], spark, SF_DIR)
         t = min(t1, t2)
         if t > 0.3 and max(t1, t2) > 1.5 * t:
             t = min(t, _run_timed(QUERIES[name], spark, SF_DIR))
         timings[name] = t
+        cache_served[name] = SESSION_CACHE_HITS["n"] > h0
     total = round(sum(timings.values()), 4)
+
+    # minima protocol (r10 VERDICT item 4): --runs N re-times the whole
+    # set N-1 more times and commits per-query min/median + per-run
+    # loadavg to BENCH_MINIMA.json — the steady-state claim becomes a
+    # file, not COVERAGE.md prose. Pass 1 is the full protocol above.
+    extra_runs = 0
+    if "--runs" in sys.argv:
+        extra_runs = max(0, int(sys.argv[sys.argv.index("--runs") + 1]) - 1)
+    run_timings: list[dict[str, float]] = [dict(timings)]
+    run_loadavg = [_loadavg1()]
+    for _ in range(extra_runs):
+        run_loadavg.append(_loadavg1())
+        pass_t = {
+            name: _run_timed(QUERIES[name], spark, SF_DIR)
+            for name in BENCH_QUERIES
+        }
+        run_timings.append(pass_t)
+    if extra_runs:
+        timings = {
+            n: min(rt[n] for rt in run_timings) for n in BENCH_QUERIES
+        }
+        total = round(sum(timings.values()), 4)
 
     oracle_timings = _time_oracles()
     oracle_total = round(sum(oracle_timings.values()), 4)
@@ -644,6 +686,7 @@ def main() -> None:
         ),
         "ratios": ratios,
         "cold_first_run": cold_runs,
+        "cache_served": sorted(n for n, v in cache_served.items() if v),
     }
     if SCALING_PROBE:
         detail["scaling_probe"] = _scaling_probe(spark, QUERIES)
@@ -665,8 +708,40 @@ def main() -> None:
     # driver records only the last 2000 chars of stdout and parses the JSON
     # line out of that tail — round 2's full-detail line was ~4k chars and
     # came back "parsed: null", losing the whole perf signal for the round.
-    with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
+    # SPARK_GRAFT_DETAIL_OUT redirects the detail file so verification /
+    # judge runs can't clobber the committed artifact (r10 VERDICT item 5).
+    detail_out = os.environ.get("SPARK_GRAFT_DETAIL_OUT") or str(
+        Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    )
+    with open(detail_out, "w") as f:
         json.dump(detail, f, indent=1)
+
+    if extra_runs:
+        import statistics
+
+        minima = {
+            "metric": "headline_queries_minima",
+            "runs": extra_runs + 1,
+            "sf": sf,
+            "loadavg_per_run": run_loadavg,
+            "min_total_sec": total,
+            "oracle_total_sec": oracle_total,
+            "min_vs_oracle_ratio": detail["vs_oracle_ratio"],
+            "per_query": {
+                n: {
+                    "min": round(min(rt[n] for rt in run_timings), 3),
+                    "median": round(
+                        statistics.median(rt[n] for rt in run_timings), 3
+                    ),
+                    "runs": [round(rt[n], 3) for rt in run_timings],
+                }
+                for n in BENCH_QUERIES
+            },
+        }
+        with open(
+            Path(__file__).resolve().parent / "BENCH_MINIMA.json", "w"
+        ) as f:
+            json.dump(minima, f, indent=1)
 
     out = {
         "metric": detail["metric"],
@@ -684,17 +759,34 @@ def main() -> None:
         "task_binary_max_kib": binary_kib,
         # the 5 worst spark/duckdb ratios among queries where the oracle
         # does >= 50 ms of real work — below that the ratio only measures
-        # Spark's fixed per-query overhead, not the plan
+        # Spark's fixed per-query overhead, not the plan. Cache-served
+        # timings (detected via the _session_cached hit counter) are
+        # EXCLUDED — their warm number times a cache read while the
+        # oracle re-executes the full pass (r10 VERDICT item 3) — and
+        # reported separately with warm AND cold ratios so the honest
+        # one-time cost stays auditable from this line alone.
         "worst_ratios": dict(
             sorted(
                 (
                     (n, r)
                     for n, r in ratios.items()
-                    if r is not None and oracle_timings.get(n, 0) >= 0.05
+                    if r is not None
+                    and oracle_timings.get(n, 0) >= 0.05
+                    and not cache_served.get(n)
                 ),
                 key=lambda kv: -kv[1],
             )[:5]
         ),
+        "cache_served_ratios": {
+            n: {
+                "warm": ratios[n],
+                "cold": round(cold_runs[n] / oracle_timings[n], 2),
+            }
+            for n in sorted(ratios)
+            if cache_served.get(n)
+            and ratios[n] is not None
+            and oracle_timings.get(n, 0) >= 0.05
+        },
     }
     if "scaling_probe" in detail:
         out["probe_exponents"] = {
@@ -705,7 +797,12 @@ def main() -> None:
     # hard guard: never exceed the driver's tail window — shed the bulky
     # per-query dict FIRST so the compact diagnostics (worst ratios,
     # probe exponents) survive
-    for drop in ("queries", "worst_ratios", "probe_exponents"):
+    for drop in (
+        "queries",
+        "cache_served_ratios",
+        "worst_ratios",
+        "probe_exponents",
+    ):
         if len(line) <= 1900:
             break
         out.pop(drop, None)

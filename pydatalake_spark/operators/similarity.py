@@ -895,6 +895,38 @@ def _jl_signs(out_dim: int, in_dim: int) -> list[list[int]]:
     ]
 
 
+def _rp_valid_expr(vec_col: str, dim: int):
+    """Boolean column: the vector is non-null, exactly ``dim`` long, and
+    element-null-free — the rows the expr tier's zip_with/fold does NOT
+    degrade to all-null. Evaluated JVM-SIDE because the Arrow transfer is
+    lossy for this distinction: Spark->pandas renders a NULL element as
+    NaN, indistinguishable from a data NaN in Python (r10 ADVICE — the
+    tiers must agree on degenerate inputs; NaN elements stay VALID and
+    propagate as values in both tiers). size/array_compact are native
+    collection expressions, not interpreted lambdas."""
+    c = F.col(vec_col)
+    return (
+        c.isNotNull()
+        & (F.size(c) == dim)
+        & (F.size(F.array_compact(c)) == dim)
+    )
+
+
+def _rp_batch_matrix(pdf, vec_col: str, dim: int):
+    """(V, valid) for one Arrow batch carrying the JVM-computed ``_ok``
+    validity column: ``V`` is the float64 matrix of the valid rows,
+    ``valid`` the boolean mask over the batch. All valid rows have
+    length ``dim`` by construction, so the asarray never sees a ragged
+    input."""
+    import numpy as np
+
+    valid = pdf["_ok"].to_numpy(dtype=bool)
+    kept = pdf[vec_col][valid].tolist()
+    if not kept:
+        return np.empty((0, dim), dtype=np.float64), valid
+    return np.asarray(kept, dtype=np.float64), valid
+
+
 def rp_project(
     emb: DataFrame,
     out_dim: int = 16,
@@ -937,6 +969,7 @@ def rp_project(
         [
             T.StructField(id_col, emb.schema[id_col].dataType),
             T.StructField("proj", T.ArrayType(T.DoubleType())),
+            T.StructField("_ok", T.BooleanType()),
         ]
     )
 
@@ -944,12 +977,34 @@ def rp_project(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V, valid = _rp_batch_matrix(pdf, vec_col, dim)
+            P = V @ S.T
+            out = [None] * len(pdf)  # invalid rows: the expr tier's
+            vi = 0                   # all-null fold -> null components
+            for i in range(len(pdf)):
+                if valid[i]:
+                    out[i] = P[vi]
+                    vi += 1
+                else:
+                    out[i] = [None] * out_dim
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "proj": list(V @ S.T)}
+                {id_col: pdf[id_col], "proj": out, "_ok": valid}
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(proj_batches, out_schema)
+    raw = emb.select(
+        id_col, vec_col, _rp_valid_expr(vec_col, dim).alias("_ok")
+    ).mapInPandas(proj_batches, out_schema)
+    # The pandas->Arrow return leg reads a NaN in a nested float list as
+    # NULL; a VALID row's null component can only have been a NaN (the
+    # matmul never emits null), so restore it — out_dim interpreted
+    # coalesce calls per row, ~1.5% of the 1024-lambda fold this tier
+    # replaced. Invalid rows keep their expr-tier-shaped all-null array.
+    nan_lit = F.lit(float("nan"))
+    fixed = F.when(
+        F.col("_ok"),
+        F.transform(F.col("proj"), lambda x: F.coalesce(x, nan_lit)),
+    ).otherwise(F.col("proj"))
+    return raw.select(F.col(id_col), fixed.alias("proj"))
 
 
 def _rp_proj_expr(dv, out_dim: int, dim: int):
@@ -998,14 +1053,22 @@ def rp_distortion(
     partials reduced by one scalar aggregate — interpreted HOF lambdas
     were the whole wall (see rp_project). ``method='expr'`` keeps the
     codegen-free-of-Python form; there, both arrays are bound to REAL
-    columns before the norm HOFs (re-inline hazard)."""
+    columns before the norm HOFs (re-inline hazard).
+
+    Degenerate inputs (r11, closing r10 ADVICE — the tiers must agree):
+    zero-norm / null / ragged / None-element vectors count in
+    ``n_vectors`` but produce NULL r (try_divide, not an ANSI
+    DIVIDE_BY_ZERO throw; the numpy tier masks the same rows), so
+    avg/min/max skip them; NaN *elements* propagate as values with
+    Spark's aggregate ordering (min skips NaN-as-largest, max/avg go
+    NaN) in both tiers. Empty input returns n_vectors=0, NULL stats."""
     if method == "expr":
         bound = emb.select(to_double_array(vec_col).alias("dv"))
         pr = bound.withColumn(
             "proj", _rp_proj_expr(F.col("dv"), out_dim, dim)
         )
         j = pr.select(
-            (l2_norm(F.col("proj")) / l2_norm(F.col("dv"))).alias("r")
+            F.try_divide(l2_norm(F.col("proj")), l2_norm(F.col("dv"))).alias("r")
         )
         return j.agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
@@ -1023,12 +1086,20 @@ def rp_distortion(
         np.array(_jl_signs(out_dim, dim), dtype=np.float64)
         / float(out_dim) ** 0.5
     )
+    # NaN ratios are encoded as a COUNT (n_nan) + finite-only stats:
+    # Spark's pandas->Arrow conversion reads a NaN in a float column as
+    # NULL (pandas' missing sentinel), so a NaN partial would silently
+    # drop out of the final aggregate. The final agg reconstructs
+    # Spark's row-level semantics: any NaN poisons avg/max, min skips
+    # NaN-as-largest (NaN only when NO finite ratio exists).
     part_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
-            T.StructField("sum_r", T.DoubleType()),
-            T.StructField("min_r", T.DoubleType()),
-            T.StructField("max_r", T.DoubleType()),
+            T.StructField("n_r", T.LongType()),
+            T.StructField("n_nan", T.LongType()),
+            T.StructField("sum_f", T.DoubleType()),
+            T.StructField("min_f", T.DoubleType()),
+            T.StructField("max_f", T.DoubleType()),
         ]
     )
 
@@ -1036,21 +1107,33 @@ def rp_distortion(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            r = np.linalg.norm(V @ S.T, axis=1) / np.linalg.norm(V, axis=1)
+            V, _valid = _rp_batch_matrix(pdf, vec_col, dim)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                norms = np.linalg.norm(V, axis=1)
+                nz = norms != 0  # keep NaN norms: NaN/NaN = NaN, a VALUE
+                r = np.linalg.norm(V @ S.T, axis=1)[nz] / norms[nz]
+            fin = r[~np.isnan(r)]
             yield pd.DataFrame(
                 {
-                    "n": [len(r)],
-                    "sum_r": [float(r.sum())],
-                    "min_r": [float(r.min())],
-                    "max_r": [float(r.max())],
+                    "n": [len(pdf)],
+                    "n_r": [len(r)],
+                    "n_nan": [int(len(r) - len(fin))],
+                    "sum_f": [float(fin.sum()) if len(fin) else None],
+                    "min_f": [float(fin.min()) if len(fin) else None],
+                    "max_f": [float(fin.max()) if len(fin) else None],
                 }
             )
 
-    parts = emb.select(vec_col).mapInPandas(partials, part_schema)
+    parts = emb.select(
+        vec_col, _rp_valid_expr(vec_col, dim).alias("_ok")
+    ).mapInPandas(partials, part_schema)
+    nan_lit = F.lit(float("nan"))
+    has_nan = F.coalesce(F.sum("n_nan"), F.lit(0)) > 0
     return parts.agg(
-        F.sum("n").cast("long").alias("n_vectors"),
-        (F.sum("sum_r") / F.sum("n")).alias("avg_ratio"),
-        F.min("min_r").alias("min_ratio"),
-        F.max("max_r").alias("max_ratio"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_vectors"),
+        F.when(has_nan, nan_lit)
+        .otherwise(F.try_divide(F.sum("sum_f"), F.sum("n_r")))
+        .alias("avg_ratio"),
+        F.coalesce(F.min("min_f"), F.when(has_nan, nan_lit)).alias("min_ratio"),
+        F.when(has_nan, nan_lit).otherwise(F.max("max_f")).alias("max_ratio"),
     )

@@ -16,78 +16,74 @@ for _mod in (relational, text, similarity):
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round. The green driver-row union covers the ENTIRE registry since r05,
 # so the front is rotation under the freshness invariant (enforced below
-# against freshness.LAST_GREEN — r8 VERDICT item 6):
-#   (a) the 31 rows the freshness assert forces in (last green round ≤ r06
-#       after the r10 ledger regen — the complete r06 stratum plus the
-#       four rows r9 rotated out: json_extract, merge_upsert_orders,
-#       minhash_signatures, ngram_jaccard_pairs). This completes the
-#       first full ≤3-round rotation cycle of the whole registry.
-#   (b) queries whose IMPLEMENTATION changes this round (r10):
-#       decontamination_audit + exact_ngram_decontamination (shared
-#       _decon_screen verdict pass with bloom_decontamination, VERDICT
-#       item 3), semantic_dedup (_split_cells_once reap test hardening,
-#       VERDICT item 2), and rp_distortion + rp_ann_recall (numpy
-#       projection tier — interpreted HOF lambdas were the wall).
-#       bloom_decontamination / q18 / q21 also change but already sit
-#       in stratum (a).
-#   (c) the stalest r07 rows (alphabetical prefix, 14 of 41; the
-#       remaining 27 — key_skew_profile, k_anonymity_screen and
-#       ivfadc_topk yield their slots to the (b) re-gates — front in
-#       r11, fitting its 50-slot window).
+# against freshness.LAST_GREEN — r8 VERDICT item 6). This round (r11)
+# opens the SECOND full rotation cycle:
+#   (a) the 27 rows the freshness assert forces in — the entire remaining
+#       r07 stratum (r10's front took the alphabetical prefix of the 41;
+#       these are the other 27, exactly as the r10 comment promised).
+#   (b) queries whose IMPLEMENTATION changes this round (r11):
+#       q18_large_volume_customer (static F.broadcast(customer) hint
+#       dropped — r10 ADVICE medium: customer scales with SF, AQE picks
+#       the broadcast side at runtime) and rp_distortion + rp_ann_recall
+#       (numpy-tier degenerate-input guards — zero-norm, ragged, empty —
+#       so both method tiers agree; r10 ADVICE low).
+#   (c) the stalest r08 rows (alphabetical prefix, 20 of 48) pulled
+#       forward so r12's forced set shrinks to 28 and keeps fitting the
+#       50-slot window.
 _GATE_FRONT = [
-    # (a) freshness-forced: r06-or-older green rows
-    "bloom_decontamination",
-    "json_extract",
-    "merge_upsert_orders",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "partition_values",
-    "pipeline_decontaminated_corpus",
-    "pivot_linestatus",
-    "q11_supplier_concentration",
-    "q13_customer_distribution",
+    # (a) freshness-forced: the 27 remaining r07 rows
+    "ivfadc_topk",
+    "k_anonymity_screen",
+    "key_skew_profile",
+    "multires_rollup",
+    "pii_redact",
+    "pipeline_clean_corpus_v2",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_recall_eval",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_type_revenue",
+    "sequence_pack",
+    "session_sequences",
+    "sessionize",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "tables_diff_full",
+    "text_token_stats",
+    "token_budget_sample",
+    "topk_orders",
+    "unigram_surprisal",
+    "window_running_sum",
+    "zipf_fit",
+    # (b) implementation changed this round (r11)
     "q18_large_volume_customer",
-    "q21_sole_returned_supplier",
-    "q2_min_price_part",
-    "q4_order_priority",
-    "q6_revenue_delta",
-    "q8_market_share",
-    "range_join_events",
-    "resample_ffill",
-    "scalar_functions",
-    "semi_join",
-    "source_mix_weights",
-    "string_agg_per_group",
-    "strip_contaminated_spans",
-    "tables_diff_subset",
-    "text_langid",
-    "text_quality_score",
-    "uniqueness_probe",
-    "window_lag_lead",
-    "window_rank",
-    "window_time_range_avg",
-    "winnow_fingerprints",
-    # (b) implementation changed this round (r10)
-    "decontamination_audit",
-    "exact_ngram_decontamination",
-    "semantic_dedup",
     "rp_distortion",
     "rp_ann_recall",
-    # (c) stalest r07 rows (alphabetical prefix of the 41; rest in r11)
-    "ann_recall_eval",
-    "approx_profile",
-    "asof_join_events",
-    "cosine_topk",
-    "doc_chunks",
-    "doc_repetition_stats",
-    "dsir_importance",
-    "dup_cluster_histogram",
-    "edit_distance_near_dup",
-    "embedding_normalize",
-    "embedding_quantize",
-    "event_transition_matrix",
-    "exact_dedup_docs",
-    "ivf_topk",
+    # (c) stalest r08 rows (alphabetical prefix, 20 of 48; rest in r12)
+    "agg_min_max",
+    "ann_lsh_buckets",
+    "ann_multiprobe_candidates",
+    "bpe_pair_counts",
+    "bpe_token_stats",
+    "conditional_agg",
+    "cube_agg",
+    "date_series",
+    "distinct_counts",
+    "doc_fingerprint",
+    "drop_columns",
+    "dup_span_stats",
+    "embedding_outlier_screen",
+    "embedding_stats",
+    "except_keys",
+    "hard_triplet_mining",
+    "incremental_near_dup",
+    "intersect_keys",
+    "interval_arith",
+    "lsh_recall_eval",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

@@ -1599,10 +1599,14 @@ def q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
     both the >300 filter and ``total_qty``; its (rare) survivors join
     orders — AQE sees the filtered size at runtime and converts to a
     broadcast join at gate SF, or keeps a keyed shuffle when the
-    survivor set outgrows the broadcast ceiling at large SF (no static
-    hint: the survivor count scales with SF, so pinning broadcast would
-    be a 100-TB lie) — customers broadcast onto that, and no second
-    lineitem scan, semi-join, or final exchange exists."""
+    survivor set outgrows the broadcast ceiling at large SF. NO static
+    broadcast hint anywhere (r11, closing r10 ADVICE): both customer and
+    the survivor set scale with SF, so pinning either side would be a
+    100-TB lie — at runtime AQE broadcasts the survivor-joined orders
+    side (tiny at every SF: ~1 row per 25k orders passes >300), which is
+    also the correct side at 100 TB where customer alone exceeds the
+    broadcast ceiling. No second lineitem scan, semi-join, or final
+    exchange exists."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
@@ -1613,7 +1617,7 @@ def q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",

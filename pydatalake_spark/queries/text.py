@@ -538,6 +538,32 @@ def _simhash_sql() -> str:
     """
 
 
+def _sf_stamp(sf: str):
+    """Cheap freshness fingerprint of a local corpus dir: (entry count,
+    max mtime_ns, total size) over its top-level entries. None when the
+    path isn't a scannable local dir (remote scheme) — the guard then
+    degrades to the r9 immutability contract."""
+    import os as _os
+
+    n, mt, size = 0, 0, 0
+    try:
+        for entry in _os.scandir(sf):
+            st = entry.stat()
+            n += 1
+            mt = max(mt, st.st_mtime_ns)
+            size += st.st_size
+    except OSError:
+        return None
+    return (n, mt, size)
+
+
+# bench introspection (r11, VERDICT item 3): every served-without-build
+# hit increments this, so bench.py can tag cache-served timed runs
+# MECHANICALLY (counter delta around the run) instead of hand-listing
+# which queries ride which cache — the hand-list went stale twice.
+SESSION_CACHE_HITS = {"n": 0}
+
+
 def _session_cached(
     spark: SparkSession, cache: dict, sf: str, build
 ) -> DataFrame:
@@ -546,19 +572,34 @@ def _session_cached(
     SparkSession must not survive into a new one, or the next session
     would hand consumers dead-JVM references.
 
-    Contract (r9 ADVICE): the corpus under ``sf`` is assumed IMMUTABLE for
-    the session — every consumer here reads driver-generated parquet that
-    is never rewritten mid-run. A pipeline that rewrites its input between
-    queries must clear the cache dict (or start a new session), or cached
-    derivations (pair tables, fingerprints, classifier fits, screen
-    verdicts) silently describe the old bytes."""
+    Freshness guard (r11, VERDICT item 6): each hit re-checks a cheap
+    (count, mtime, size) stamp of the corpus dir and REBUILDS on
+    mismatch, so a compat-API user who rewrites the corpus mid-session
+    gets fresh derivations (pair tables, fingerprints, classifier fits,
+    screen VERDICTS) instead of silently-stale ones. For non-local
+    corpus paths the stamp is unavailable and the r9 contract stands:
+    the corpus is assumed immutable for the session."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in cache if k[0] != app_id]:
         del cache[k]
     key = (app_id, sf)
-    if key not in cache:
-        cache[key] = build()
-    return cache[key]
+    stamp = _sf_stamp(sf)
+    hit = cache.get(key)
+    if hit is not None and hit[0] != stamp:
+        # corpus rewritten mid-session: release the stale persisted
+        # blocks (best effort — cached values may be plain row lists)
+        unpersist = getattr(hit[1], "unpersist", None)
+        if callable(unpersist):
+            try:
+                unpersist()
+            except Exception:
+                pass
+        hit = None
+    if hit is None:
+        cache[key] = (stamp, build())
+    else:
+        SESSION_CACHE_HITS["n"] += 1
+    return cache[key][1]
 
 
 _SIMHASH_CACHE: dict = {}

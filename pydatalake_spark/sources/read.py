@@ -272,6 +272,30 @@ def read_json(
     return reader.options(**options).json(path)
 
 
+def _refuse_mid_strip(spark: SparkSession, base: str) -> None:
+    """Raise if the dataset root carries the writer's strip-in-progress
+    marker: the layout is (or crashed) mid hive->directory transition and
+    a path-parsing read would mix both layouts. One exists() metadata
+    call; local paths short-circuit through ``os``."""
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", base)
+    if m and m.group(1) != "file":
+        jvm = spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(base)
+        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        present = fs.exists(jvm.org.apache.hadoop.fs.Path(root, "_STRIP_IN_PROGRESS"))
+    else:
+        local = base[len("file:"):] if base.startswith("file:") else base
+        present = os.path.exists(os.path.join(local, "_STRIP_IN_PROGRESS"))
+    if present:
+        raise RuntimeError(
+            f"directory-flavor dataset at {base} is mid layout transition "
+            "(_STRIP_IN_PROGRESS marker present): a write's hive->bare "
+            "strip pass is running or crashed. Retry after the writer "
+            "finishes, or re-run the write to repair; concurrent-reader "
+            "deployments should use partition_flavor='hive'."
+        )
+
+
 def read_directory_partitioned(
     spark: SparkSession,
     base: str,
@@ -287,7 +311,13 @@ def read_directory_partitioned(
     ``input_file_name()`` and parse the partition values out of the path —
     stays fully distributed (the parse is a Catalyst expression per row, and
     partition values are dictionary-encoded by parquet so the cost is tiny).
+
+    Refuses (loudly, retryably) while the writer's hive->directory strip
+    pass is mid-transition — its ``_STRIP_IN_PROGRESS`` marker is present
+    — instead of returning a silently mixed both-layouts view (r11;
+    decision documented at ``dataset/writer.py:_strip_hive_prefixes``).
     """
+    _refuse_mid_strip(spark, base)
     if fmt == "feather":
         # no Spark datasource named "feather" exists to glob-load; the
         # feather paths here are hive-layout (read_feather_distributed)

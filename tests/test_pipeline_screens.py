@@ -78,3 +78,51 @@ def test_gopher_flags_consistent(spark):
         )
     ).count()
     assert inconsistent == 0
+
+
+def test_session_cache_rebuilds_on_corpus_rewrite(spark, tmp_path):
+    """r10 VERDICT item 6: _session_cached re-checks a (count, mtime,
+    size) stamp of the corpus dir on every hit — rewriting the corpus
+    mid-session rebuilds instead of serving stale derivations (the old
+    contract silently kept pair tables / screen verdicts for the old
+    bytes)."""
+    import os
+    import time
+
+    from pydatalake_spark.queries.text import _session_cached
+
+    sf = str(tmp_path / "corpus")
+    os.makedirs(sf)
+    with open(os.path.join(sf, "documents.parquet"), "wb") as f:
+        f.write(b"v1-bytes")
+
+    cache: dict = {}
+    builds = []
+
+    def build():
+        builds.append(1)
+        return f"built-{len(builds)}"
+
+    assert _session_cached(spark, cache, sf, build) == "built-1"
+    assert _session_cached(spark, cache, sf, build) == "built-1"  # hit
+
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    with open(os.path.join(sf, "documents.parquet"), "wb") as f:
+        f.write(b"v2-bytes-longer")
+
+    assert _session_cached(spark, cache, sf, build) == "built-2"
+    assert _session_cached(spark, cache, sf, build) == "built-2"
+
+    # unpersistable cached values get released on rebuild (best effort)
+    class FakeDF:
+        unpersisted = False
+
+        def unpersist(self):
+            FakeDF.unpersisted = True
+
+    cache2: dict = {}
+    _session_cached(spark, cache2, sf, lambda: FakeDF())
+    with open(os.path.join(sf, "extra.parquet"), "wb") as f:
+        f.write(b"x")
+    _session_cached(spark, cache2, sf, lambda: FakeDF())
+    assert FakeDF.unpersisted

@@ -627,3 +627,82 @@ def test_blocked_verify_crosses_block_boundary(spark):
     # the planted pairs actually exercised domination
     assert not got[2050] and not got[2048] and not got[1]
     assert got[10] and got[2047] and got[0]
+
+
+def test_rp_tiers_agree_on_degenerate_inputs(spark):
+    """r10 ADVICE: the numpy tier must match the expr tier on edge
+    inputs — zero-norm vectors (NULL ratio via try_divide, not a NaN
+    that poisons min/max or an ANSI throw), ragged / None-element /
+    null vectors (NULL ratio, still counted in n_vectors), NaN elements
+    (propagate as values with Spark's NaN-is-largest ordering), and an
+    empty input (n_vectors=0, NULL stats)."""
+    import math
+
+    from pydatalake_spark.operators.similarity import (
+        rp_distortion,
+        rp_project,
+    )
+
+    good = [float(i % 7 - 3) for i in range(64)]
+    nan_vec = list(good)
+    nan_vec[5] = float("nan")
+    rows = [
+        (0, good),
+        (1, [0.0] * 64),          # zero norm
+        (2, good[:10]),           # ragged (short)
+        (3, good + [1.0]),        # ragged (long)
+        (4, None),                # null vector
+        (5, nan_vec),             # NaN element: a VALUE, not null
+        (6, [float(x) + 1.0 for x in good]),
+    ]
+    none_vec = list(good)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # a None ELEMENT can't ride through createDataFrame's double array
+    # casting uniformly across tiers; build it via SQL to keep it null
+    none_df = spark.sql(
+        "SELECT CAST(7 AS LONG) vec_id, "
+        "array(CAST(NULL AS DOUBLE), " + ", ".join(
+            f"CAST({x} AS DOUBLE)" for x in none_vec[1:]
+        ) + ") embedding"
+    )
+    emb = emb.unionByName(none_df)
+
+    dn = rp_distortion(emb, method="numpy").collect()[0]
+    de = rp_distortion(emb, method="expr").collect()[0]
+    assert dn.n_vectors == de.n_vectors == 8
+    # valid rows: 0, 5 (NaN), 6 -> avg/max are NaN (NaN propagates),
+    # min skips NaN-as-largest and comes from rows 0/6
+    assert math.isnan(dn.avg_ratio) and math.isnan(de.avg_ratio)
+    assert math.isnan(dn.max_ratio) and math.isnan(de.max_ratio)
+    assert dn.min_ratio is not None and not math.isnan(dn.min_ratio)
+    assert abs(dn.min_ratio - de.min_ratio) < 1e-9
+
+    # without the NaN row: finite stats, identical across tiers
+    clean = emb.filter("vec_id <> 5")
+    cn = rp_distortion(clean, method="numpy").collect()[0]
+    ce = rp_distortion(clean, method="expr").collect()[0]
+    assert cn.n_vectors == ce.n_vectors == 7
+    for a, b in [(cn.avg_ratio, ce.avg_ratio), (cn.min_ratio, ce.min_ratio),
+                 (cn.max_ratio, ce.max_ratio)]:
+        assert a is not None and abs(a - b) < 1e-9
+
+    # empty input: n_vectors 0 (not NULL), NULL stats, both tiers
+    empty = emb.filter("vec_id < 0")
+    en = rp_distortion(empty, method="numpy").collect()[0]
+    ee = rp_distortion(empty, method="expr").collect()[0]
+    assert en.n_vectors == 0 and ee.n_vectors == 0
+    assert en.avg_ratio is None and ee.avg_ratio is None
+    assert en.min_ratio is None and en.max_ratio is None
+
+    # rp_project: invalid rows yield all-null components in BOTH tiers
+    pn = {r.vec_id: r.proj for r in rp_project(emb, method="numpy").collect()}
+    pe = {r.vec_id: r.proj for r in rp_project(emb, method="expr").collect()}
+    for vid in (2, 3, 4, 7):
+        assert all(x is None for x in pn[vid]), (vid, pn[vid])
+        assert all(x is None for x in pe[vid]), (vid, pe[vid])
+    assert all(math.isnan(x) for x in pn[5])
+    assert all(math.isnan(x) for x in pe[5])
+    for vid in (0, 1, 6):
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(pn[vid], pe[vid])
+        ), vid
