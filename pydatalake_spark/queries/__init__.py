@@ -5,11 +5,11 @@ DataFrame callable plus a DuckDB-oracle ANSI SQL equivalent.
 re-exports them for the driver's correctness gate.
 """
 
-from pydatalake_spark.queries import relational, text, similarity
+from pydatalake_spark.queries import lakehouse, relational, text, similarity
 
 QUERIES = {}
 ORACLE = {}
-for _mod in (relational, text, similarity):
+for _mod in (relational, text, similarity, lakehouse):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
 
@@ -63,7 +63,7 @@ _GATE_FRONT = [
     "q18_large_volume_customer",
     "rp_distortion",
     "rp_ann_recall",
-    # (c) stalest r08 rows (alphabetical prefix, 20 of 48; rest in r12)
+    # (c) stalest r08 rows (alphabetical prefix, 17 of 48; rest in r12)
     "agg_min_max",
     "ann_lsh_buckets",
     "ann_multiprobe_candidates",
@@ -81,9 +81,15 @@ _GATE_FRONT = [
     "except_keys",
     "hard_triplet_mining",
     "incremental_near_dup",
-    "intersect_keys",
-    "interval_arith",
-    "lsh_recall_eval",
+    # (d) NEW this round (r11): the native Delta-protocol reader/writer
+    # (sources/delta.py — VERDICT item 8, dependency-blocked no more:
+    # implemented from the public PROTOCOL.md instead of delta-spark).
+    # New queries have no green row yet, so they MUST front. Displaces
+    # three (c) pulls (intersect_keys, interval_arith, lsh_recall_eval —
+    # r08-green, fresh until r12's forced set, which stays ≤50).
+    "delta_roundtrip_orders",
+    "delta_time_travel_v0",
+    "delta_partition_prune",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

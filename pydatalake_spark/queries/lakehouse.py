@@ -1,0 +1,141 @@
+"""Delta Lake interop queries (driver-oracled).
+
+These gate the NATIVE Delta transaction-log implementation
+(``sources/delta.py`` — the public delta-io PROTOCOL.md, no delta-spark)
+end-to-end through the driver's DuckDB-oracle correctness check: a Delta
+table is materialized from the round's ``orders`` parquet as two commits
+(v0 = pre-1998 orders, v1 = append the rest, partitioned by
+``o_orderstatus``), then each query reads a different protocol surface —
+latest snapshot, version time travel, log-level partition pruning — and
+the oracle recomputes the same answer from the RAW parquet, so a log
+corruption, a mis-replayed remove, or a pruning bug shows up as a value
+mismatch, not just a test assertion.
+
+Fixture staleness: the table is rebuilt whenever the source dir's
+(count, mtime, size) stamp changes — same guard as the text-corpus
+session caches (VERDICT r10 item 6)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydatalake_spark.queries.tables import load_table as _t
+from pydatalake_spark.queries.text import _sf_stamp
+from pydatalake_spark.sources.delta import is_delta_table, read_delta, write_delta
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_CUT = "1998-01-01 00:00:00"
+
+
+def _orders_delta(spark: SparkSession, sf: str) -> str:
+    """Materialize (once per sf dir state) the two-commit orders Delta
+    table the queries below read. Deterministic path keyed on the sf dir;
+    stamp-guarded rebuild when the source changes."""
+    key = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), "pydatalake_delta_fixture")
+    table = os.path.join(root, f"orders_{key}")
+    stamp_file = table + ".stamp"
+    stamp = _sf_stamp(sf)
+    if stamp is not None and os.path.isfile(stamp_file) and is_delta_table(table):
+        try:
+            with open(stamp_file) as f:
+                if json.load(f) == list(stamp):
+                    return table
+        except (OSError, json.JSONDecodeError):
+            pass
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    orders = _t(spark, sf, "orders")
+    cut = F.lit(_CUT).cast("timestamp")
+    write_delta(
+        orders.filter(F.col("o_orderdate") < cut),
+        table,
+        partition_by=["o_orderstatus"],
+    )
+    write_delta(
+        orders.filter(~(F.col("o_orderdate") < cut)), table, mode="append"
+    )
+    if stamp is not None:
+        with open(stamp_file, "w") as f:
+            json.dump(list(stamp), f)
+    return table
+
+
+@q(
+    "delta_roundtrip_orders",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           sum(o_totalprice) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_roundtrip_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-snapshot read: two commits replayed, hive-layout scan with
+    log-verified partition dirs; must equal the raw parquet aggregate."""
+    df = read_delta(spark, _orders_delta(spark, sf))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+@q(
+    "delta_time_travel_v0",
+    f"""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           sum(o_totalprice) AS total_price
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}'
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_time_travel_v0(spark: SparkSession, sf: str) -> DataFrame:
+    """Version time travel: v0 state (pre-1998 slice) after a later
+    append — exercises replay stopping at the requested version."""
+    df = read_delta(spark, _orders_delta(spark, sf), version=0)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+@q(
+    "delta_partition_prune",
+    """
+    SELECT count(*) AS n_orders, sum(o_totalprice) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def delta_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-level partition pruning: the file list is filtered on the
+    log's partitionValues BEFORE any parquet footer is opened (the
+    100-TB point of the format); value parity vs the raw-parquet WHERE
+    proves pruning dropped exactly the right files."""
+    df = read_delta(
+        spark,
+        _orders_delta(spark, sf),
+        partition_filters=[("o_orderstatus", "=", "F")],
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )

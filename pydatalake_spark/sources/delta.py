@@ -1,0 +1,950 @@
+"""Native Delta Lake transaction-log reader/writer (no ``delta-spark``).
+
+``delta-spark`` is not installable in this environment (re-checked every
+round — the package index has no distribution), so this module implements
+the OPEN Delta table protocol directly from its public specification
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): newline-
+delimited JSON action files under ``_delta_log/``, parquet checkpoints
+with a ``_last_checkpoint`` pointer, and put-if-absent commit atomicity.
+It replaces the reference's implicit "Parquet via Delta Lake" stance
+(SURVEY §7.0) with real on-disk interop: tables written here carry a
+spec-conformant log that delta-spark / duckdb-delta / delta-rs can read,
+and foreign Delta tables (reader version 1-2, no deletion vectors or
+column mapping — those raise loudly) read back into Spark DataFrames.
+
+Feature level
+-------------
+* reader: protocol ``minReaderVersion`` 1 (also accepts 2 when
+  ``delta.columnMapping.mode`` is absent/none); JSON commits + parquet
+  checkpoints; version and timestamp time travel; log-level partition
+  pruning.
+* writer: ``minWriterVersion`` 2 shape — ``delta.appendOnly`` honored,
+  schema fixed per table (append with a different schema raises;
+  ``overwrite_schema=True`` on overwrite evolves it), hive-layout data
+  files, per-file ``numRecords`` stats, parquet checkpoint every
+  ``checkpoint_interval`` commits.
+
+Why this matters at 100 TB
+--------------------------
+The transaction log IS the file listing: resolving a snapshot costs
+O(commits since last checkpoint) small JSON reads plus one parquet
+checkpoint footer-to-rows scan — never an object-store LIST over millions
+of data files. Partition pruning happens on the log's ``partitionValues``
+before Spark opens a single footer. Data IO stays fully distributed
+(``spark.read.parquet`` over the resolved file list).
+
+Driver-memory honesty: snapshot state (path, partitionValues, size per
+live file) is one dict — ~200 B/file ≈ 200 MB at 1M files (100 TB at
+100 MB/file). delta-spark's driver holds the same state for planning; the
+documented escalation is distributed state reconstruction (checkpoint →
+DataFrame, remove-set anti-join), worth it only past ~10M live files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_delta_log"
+LAST_CHECKPOINT = "_last_checkpoint"
+DEFAULT_CHECKPOINT_INTERVAL = 10
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+class DeltaProtocolError(RuntimeError):
+    """The table requires protocol features this reader does not implement."""
+
+
+class DeltaConcurrentCommit(RuntimeError):
+    """Another writer committed the same version first (put-if-absent lost)."""
+
+
+# ---------------------------------------------------------------------------
+# log primitives
+# ---------------------------------------------------------------------------
+
+
+def _log_dir(table: str) -> str:
+    return os.path.join(table, LOG_DIR)
+
+
+def _commit_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.json")
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
+
+
+def is_delta_table(path: str) -> bool:
+    return os.path.isdir(_log_dir(path))
+
+
+def _list_commit_versions(table: str) -> list[int]:
+    d = _log_dir(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".json") and len(name) == 25:
+            try:
+                out.append(int(name[:20]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_last_checkpoint(table: str) -> dict | None:
+    p = os.path.join(_log_dir(table), LAST_CHECKPOINT)
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # spec: readers must fall back to listing when the pointer is
+        # unreadable (it is replaced non-atomically on some stores)
+        return None
+
+
+def _check_protocol(proto: dict) -> None:
+    if proto.get("minReaderVersion", 1) > 2:
+        raise DeltaProtocolError(
+            f"table requires minReaderVersion="
+            f"{proto['minReaderVersion']}; this reader implements 1-2"
+        )
+    for feat in proto.get("readerFeatures") or []:
+        if feat not in ("timestampNtz", "vacuumProtocolCheck"):
+            raise DeltaProtocolError(
+                f"unsupported reader feature: {feat!r} (deletion vectors, "
+                "column mapping and v2 checkpoints are not implemented)"
+            )
+
+
+def _check_metadata(meta: dict) -> None:
+    conf = meta.get("configuration") or {}
+    cm = conf.get("delta.columnMapping.mode", "none")
+    if cm not in ("none", ""):
+        raise DeltaProtocolError(
+            f"delta.columnMapping.mode={cm!r} is not implemented"
+        )
+    fmt = (meta.get("format") or {}).get("provider", "parquet")
+    if fmt != "parquet":
+        raise DeltaProtocolError(f"non-parquet format provider: {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconstruction
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeltaSnapshot:
+    table: str
+    version: int
+    protocol: dict = field(default_factory=lambda: dict(PROTOCOL))
+    metadata: dict | None = None
+    # live files: relative (url-decoded) path -> add action dict
+    files: dict[str, dict] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> StructType:
+        assert self.metadata is not None
+        return StructType.fromJson(json.loads(self.metadata["schemaString"]))
+
+    @property
+    def partition_columns(self) -> list[str]:
+        assert self.metadata is not None
+        return list(self.metadata.get("partitionColumns") or [])
+
+
+def _maybe_tuplelist_to_dict(v) -> dict:
+    """Checkpoint ``partitionValues`` maps read back from pyarrow as
+    list-of-(key, value) tuples; JSON commits carry plain dicts."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return {k: val for k, val in v}
+
+
+def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
+    if "metaData" in action and action["metaData"] is not None:
+        meta = dict(action["metaData"])
+        # checkpoint map columns read back as [(k, v), ...] via pyarrow
+        meta["configuration"] = _maybe_tuplelist_to_dict(
+            meta.get("configuration")
+        )
+        if meta.get("format"):
+            fmt = dict(meta["format"])
+            fmt["options"] = _maybe_tuplelist_to_dict(fmt.get("options"))
+            meta["format"] = fmt
+        snap.metadata = meta
+    elif "protocol" in action and action["protocol"] is not None:
+        snap.protocol = action["protocol"]
+        _check_protocol(snap.protocol)
+    elif "add" in action and action["add"] is not None:
+        add = dict(action["add"])
+        add["partitionValues"] = _maybe_tuplelist_to_dict(
+            add.get("partitionValues")
+        )
+        snap.files[unquote(add["path"])] = add
+    elif "remove" in action and action["remove"] is not None:
+        snap.files.pop(unquote(action["remove"]["path"]), None)
+    # txn / commitInfo / cdc / domainMetadata: no effect on file state
+
+
+def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
+    import pyarrow.parquet as pq
+
+    path = _checkpoint_path(snap.table, cp_version)
+    if not os.path.isfile(path):
+        raise DeltaProtocolError(
+            f"_last_checkpoint points at missing {path} (multi-part "
+            "checkpoints are not implemented)"
+        )
+    pf = pq.ParquetFile(path)
+    cols = [
+        c
+        for c in ("protocol", "metaData", "add", "remove")
+        if c in pf.schema_arrow.names
+    ]
+    # stream record batches so a million-file checkpoint never needs the
+    # whole table in memory at once
+    for batch in pf.iter_batches(columns=cols):
+        for row in batch.to_pylist():
+            for key in cols:
+                if row.get(key) is not None:
+                    _apply_action(snap, {key: row[key]})
+
+
+def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
+    """Reconstruct table state at ``version`` (latest when None)."""
+    versions = _list_commit_versions(table)
+    cp = _read_last_checkpoint(table)
+    latest = max(versions) if versions else (cp["version"] if cp else None)
+    if latest is None:
+        raise FileNotFoundError(f"not a Delta table (no log): {table}")
+    target = latest if version is None else int(version)
+    if target > latest or target < 0:
+        raise ValueError(
+            f"version {target} out of range (table is at {latest})"
+        )
+
+    snap = DeltaSnapshot(table=table, version=target)
+    start = 0
+    if cp and cp.get("version", -1) <= target and cp.get("parts") is None:
+        _load_checkpoint(snap, cp["version"])
+        start = cp["version"] + 1
+    for v in range(start, target + 1):
+        p = _commit_path(table, v)
+        if not os.path.isfile(p):
+            if v in versions or v > start:
+                raise DeltaProtocolError(f"log has a gap at version {v}")
+            continue
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    _apply_action(snap, json.loads(line))
+    if snap.metadata is None:
+        raise DeltaProtocolError(f"no metaData action found in log: {table}")
+    _check_protocol(snap.protocol)
+    _check_metadata(snap.metadata)
+    return snap
+
+
+def _commit_timestamp(table: str, version: int) -> float:
+    """Commit time in epoch seconds: commitInfo.timestamp when present,
+    else the log file's mtime (both allowed by the spec)."""
+    p = _commit_path(table, version)
+    try:
+        with open(p) as f:
+            first = f.readline()
+        action = json.loads(first)
+        ci = action.get("commitInfo")
+        if ci and "timestamp" in ci:
+            return ci["timestamp"] / 1000.0
+    except (OSError, json.JSONDecodeError):
+        pass
+    return os.path.getmtime(p)
+
+
+def resolve_timestamp(table: str, ts) -> int:
+    """Delta time travel rule: the LATEST version committed at-or-before
+    ``ts`` (epoch seconds or datetime). Contrast: TimeFly's as-of rule is
+    first-snapshot-AFTER (SURVEY §7.3.4); the bridge documents the
+    difference rather than papering over it."""
+    if hasattr(ts, "timestamp"):
+        ts = ts.timestamp()
+    best = None
+    for v in _list_commit_versions(table):
+        if _commit_timestamp(table, v) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before {ts}; earliest is version 0"
+        )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+
+
+_CMP = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a is not None and a < b,
+    "<=": lambda a, b: a is not None and a <= b,
+    ">": lambda a, b: a is not None and a > b,
+    ">=": lambda a, b: a is not None and a >= b,
+    "in": lambda a, b: a in b,
+}
+
+
+def _typed_partition_value(raw: str | None, dtype: str):
+    """Protocol stores partitionValues as strings (null = None); compare
+    in the column's type so numeric filters do not lex-compare."""
+    if raw is None:
+        return None
+    if dtype in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if dtype in ("float", "double"):
+        return float(raw)
+    if dtype == "boolean":
+        return raw == "true"
+    return raw
+
+
+def _prune_files(
+    snap: DeltaSnapshot, partition_filters: list[tuple] | None
+) -> dict[str, dict]:
+    if not partition_filters:
+        return snap.files
+    types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+    pcols = set(snap.partition_columns)
+    for col, _, _ in partition_filters:
+        if col not in pcols:
+            raise ValueError(
+                f"{col!r} is not a partition column {sorted(pcols)}"
+            )
+    out = {}
+    for path, add in snap.files.items():
+        ok = True
+        for col, op, val in partition_filters:
+            pv = _typed_partition_value(
+                add["partitionValues"].get(col), types.get(col, "string")
+            )
+            if not _CMP[op](pv, val):
+                ok = False
+                break
+        if ok:
+            out[path] = add
+    return out
+
+
+def _is_hive_layout(files: dict[str, dict], pcols: list[str]) -> bool:
+    """True when every live file sits under the ``col=value/`` directory
+    chain its ``partitionValues`` describe — then one basePath-ed scan
+    serves the whole snapshot and Spark derives partition columns from
+    the directories the log itself vouches for."""
+    for path, add in files.items():
+        parts = path.split("/")[:-1]
+        if len(parts) < len(pcols):
+            return False
+        for i, c in enumerate(pcols):
+            want = add["partitionValues"].get(c)
+            seg = parts[i]
+            if not seg.startswith(c + "="):
+                return False
+            got = unquote(seg[len(c) + 1 :])
+            if got == "__HIVE_DEFAULT_PARTITION__":
+                got = None
+            if (want or None) != (got or None):
+                return False
+    return True
+
+
+def read_delta(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp=None,
+    partition_filters: list[tuple] | None = None,
+) -> DataFrame:
+    """Read a Delta table snapshot as a DataFrame.
+
+    ``partition_filters``: ``[(col, op, value), ...]`` with op in
+    ``= != < <= > >= in`` — applied to the LOG's partitionValues before
+    any parquet footer is opened (the at-scale point of the format), and
+    re-applied on the DataFrame so semantics are exact even for foreign
+    logs with lying directory names.
+    """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = resolve_timestamp(table, timestamp)
+    snap = snapshot(table, version)
+    files = _prune_files(snap, partition_filters)
+    schema = snap.schema
+    pcols = snap.partition_columns
+
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    paths = [os.path.join(table, p) for p in files]
+    if not pcols:
+        df = spark.read.schema(schema).parquet(*paths)
+    elif _is_hive_layout(files, pcols):
+        # one scan node; partition dirs (log-verified) carry the values
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", table)
+            .parquet(*paths)
+        )
+    else:
+        # foreign layout: group files by partitionValues and attach the
+        # log's values as literals — unions are bounded by the number of
+        # DISTINCT live partitions, not files
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in pcols]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        for path, add in files.items():
+            key = tuple(add["partitionValues"].get(c) for c in pcols)
+            groups.setdefault(key, []).append(os.path.join(table, path))
+        parts = []
+        for key, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            part = spark.read.schema(data_schema).parquet(*grp)
+            for c, raw in zip(pcols, key):
+                part = part.withColumn(
+                    c, F.lit(raw).cast(types[c])
+                )
+            parts.append(part.select([f.name for f in schema.fields]))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+
+    df = df.select([f.name for f in schema.fields])
+    if partition_filters:
+        for col, op, val in partition_filters:
+            c = F.col(col)
+            if op == "in":
+                cond = c.isin(list(val))
+            elif op == "=":
+                cond = c == val
+            elif op == "!=":
+                cond = c != val
+            elif op == "<":
+                cond = c < val
+            elif op == "<=":
+                cond = c <= val
+            elif op == ">":
+                cond = c > val
+            else:
+                cond = c >= val
+            df = df.filter(cond)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# write
+# ---------------------------------------------------------------------------
+
+
+def _atomic_put(tmp: str, dst: str) -> None:
+    """Put-if-absent: hard-link is atomic on POSIX and fails when dst
+    exists — the property optimistic concurrency needs. EXDEV/link-less
+    filesystems fall back to O_EXCL create+copy (atomic enough locally;
+    real object stores use their native conditional put)."""
+    try:
+        os.link(tmp, dst)
+    except FileExistsError:
+        raise DeltaConcurrentCommit(
+            f"version file already exists: {dst}"
+        ) from None
+    except OSError:
+        flags = os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        try:
+            fd = os.open(dst, flags)
+        except FileExistsError:
+            raise DeltaConcurrentCommit(
+                f"version file already exists: {dst}"
+            ) from None
+        with os.fdopen(fd, "wb") as out, open(tmp, "rb") as src:
+            shutil.copyfileobj(src, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _write_commit(table: str, version: int, actions: list[dict]) -> None:
+    d = _log_dir(table)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+    _atomic_put(tmp, _commit_path(table, version))
+
+
+def _schema_key(schema: StructType) -> list[tuple[str, str]]:
+    # nullability is advisory for append-compat (parquet writers vary)
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def _collect_staged_files(staging: str, pcols: list[str]) -> list[tuple]:
+    """(relative hive path with a fresh uuid name, partitionValues, local
+    src path) for every part file Spark staged."""
+    out = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if not name.endswith(".parquet") or name.startswith((".", "_")):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            comps = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pvals: dict[str, str | None] = {}
+            for comp in comps:
+                k, _, v = comp.partition("=")
+                v = unquote(v)
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            missing = [c for c in pcols if c not in pvals]
+            if missing:
+                raise DeltaProtocolError(
+                    f"staged file {src} lacks partition dirs {missing}"
+                )
+            fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = "/".join(comps + [fname]) if comps else fname
+            out.append((rel, pvals, src))
+    return out
+
+
+def _num_records(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def write_delta(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    checkpoint_interval: int = DEFAULT_CHECKPOINT_INTERVAL,
+    overwrite_schema: bool = False,
+    configuration: dict | None = None,
+    user_metadata: dict | None = None,
+    _assume_version: int | None = None,
+) -> int:
+    """Write ``df`` as one Delta commit; returns the committed version.
+
+    The data files are written by Spark executors (``partitionBy`` hive
+    layout, partition columns stripped from the files exactly as the
+    protocol's ``partitionValues`` model expects) into a staging dir,
+    then moved into the table and committed as ``add`` actions with
+    ``numRecords`` stats. Concurrency: the commit is put-if-absent on
+    the version file; losing the race raises :class:`DeltaConcurrentCommit`
+    (use :func:`append_with_retry` for blind appends).
+    """
+    if mode not in ("append", "overwrite", "error", "ignore"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    exists = is_delta_table(table) and bool(_list_commit_versions(table))
+    if exists and mode == "error":
+        raise FileExistsError(f"Delta table already exists: {table}")
+    if exists and mode == "ignore":
+        return snapshot(table).version
+
+    prev = snapshot(table) if exists else None
+    pcols = list(partition_by or (prev.partition_columns if prev else []))
+    if prev is not None and partition_by is not None:
+        if list(partition_by) != prev.partition_columns:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table's "
+                f"{prev.partition_columns}"
+            )
+    if prev is not None and mode == "append":
+        if _schema_key(df.schema) != _schema_key(prev.schema):
+            raise ValueError(
+                "append schema mismatch (schema evolution requires "
+                f"overwrite with overwrite_schema=True):\n  df:    "
+                f"{_schema_key(df.schema)}\n  table: "
+                f"{_schema_key(prev.schema)}"
+            )
+    if (
+        prev is not None
+        and mode == "overwrite"
+        and not overwrite_schema
+        and _schema_key(df.schema) != _schema_key(prev.schema)
+    ):
+        raise ValueError(
+            "overwrite schema mismatch; pass overwrite_schema=True to "
+            "evolve"
+        )
+    if (
+        prev is not None
+        and mode == "overwrite"
+        and (prev.metadata.get("configuration") or {}).get(
+            "delta.appendOnly"
+        )
+        == "true"
+    ):
+        raise DeltaProtocolError(
+            "table is delta.appendOnly=true; overwrite is forbidden"
+        )
+    bad = [c for c in pcols if c not in df.columns]
+    if bad:
+        raise ValueError(f"partition_by columns missing from df: {bad}")
+
+    os.makedirs(table, exist_ok=True)
+    staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+    try:
+        w = df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(staging)
+        staged = _collect_staged_files(staging, pcols)
+
+        now_ms = int(time.time() * 1000)
+        adds = []
+        for rel, pvals, src in staged:
+            dst = os.path.join(table, *rel.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            adds.append(
+                {
+                    "add": {
+                        # keep = and common filename chars readable —
+                        # delta-spark's URI encoding does the same
+                        "path": quote(rel, safe="/=.-_"),
+                        "partitionValues": {
+                            c: pvals.get(c) for c in pcols
+                        },
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            {"numRecords": _num_records(dst)}
+                        ),
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    version = (
+        _assume_version
+        if _assume_version is not None
+        else (prev.version + 1 if prev is not None else 0)
+    )
+    op = "WRITE" if prev is None else mode.upper()
+    commit_info = {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": op,
+            "operationParameters": {
+                "mode": mode,
+                "partitionBy": json.dumps(pcols),
+            },
+            "engineInfo": "pydatalake_spark-native-delta",
+        }
+    }
+    if user_metadata:
+        commit_info["commitInfo"]["userMetadata"] = json.dumps(
+            user_metadata
+        )
+    actions: list[dict] = [commit_info]
+    if prev is None:
+        actions.append({"protocol": dict(PROTOCOL)})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": pcols,
+                    "configuration": dict(configuration or {}),
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    elif mode == "overwrite":
+        meta = dict(prev.metadata)
+        if overwrite_schema:
+            meta["schemaString"] = df.schema.json()
+        if configuration is not None:
+            meta["configuration"] = dict(configuration)
+        actions.append({"metaData": meta})
+        for rel, add in prev.files.items():
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": add.get("partitionValues"),
+                        "size": add.get("size"),
+                    }
+                }
+            )
+    actions.extend(adds)
+
+    try:
+        _write_commit(table, version, actions)
+    except DeltaConcurrentCommit:
+        # our data files are orphans now; drop them so losers don't leak
+        for rel, _pv, _src in staged:
+            try:
+                os.unlink(os.path.join(table, *rel.split("/")))
+            except OSError:
+                pass
+        raise
+
+    if (
+        checkpoint_interval
+        and version > 0
+        and version % checkpoint_interval == 0
+    ):
+        write_checkpoint(table, version)
+    return version
+
+
+def append_with_retry(
+    df: DataFrame, table: str, max_retries: int = 10, **kw
+) -> int:
+    """Blind appends never logically conflict — on a lost race, re-read
+    the head and retry at the next version (the protocol's optimistic-
+    concurrency happy path)."""
+    for _ in range(max_retries):
+        head = snapshot(table).version if is_delta_table(table) else None
+        try:
+            return write_delta(
+                df,
+                table,
+                mode="append",
+                _assume_version=None if head is None else head + 1,
+                **kw,
+            )
+        except DeltaConcurrentCommit:
+            continue
+    raise DeltaConcurrentCommit(
+        f"lost the commit race {max_retries} times on {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / history / vacuum
+# ---------------------------------------------------------------------------
+
+
+def write_checkpoint(table: str, version: int | None = None) -> str:
+    """Write a single-part parquet checkpoint + ``_last_checkpoint``.
+
+    One row per action, struct columns per the spec; ``partitionValues``
+    as a string→string map so delta-rs/Spark checkpoints read back the
+    same way ours do."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = snapshot(table, version)
+    pv_type = pa.map_(pa.string(), pa.string())
+    add_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pv_type),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_type = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            (
+                "format",
+                pa.struct(
+                    [
+                        ("provider", pa.string()),
+                        ("options", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_type = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+
+    meta = snap.metadata or {}
+    rows_proto = [snap.protocol] + [None] * (1 + len(snap.files))
+    rows_meta = [
+        None,
+        {
+            "id": meta.get("id"),
+            "name": meta.get("name"),
+            "description": meta.get("description"),
+            "format": {
+                "provider": (meta.get("format") or {}).get(
+                    "provider", "parquet"
+                ),
+                "options": list(
+                    ((meta.get("format") or {}).get("options") or {}).items()
+                ),
+            },
+            "schemaString": meta.get("schemaString"),
+            "partitionColumns": meta.get("partitionColumns") or [],
+            "configuration": list(
+                (meta.get("configuration") or {}).items()
+            ),
+            "createdTime": meta.get("createdTime"),
+        },
+    ] + [None] * len(snap.files)
+    rows_add: list[dict | None] = [None, None]
+    for _rel, add in sorted(snap.files.items()):
+        rows_add.append(
+            {
+                "path": add["path"],
+                "partitionValues": list(
+                    (add.get("partitionValues") or {}).items()
+                ),
+                "size": add.get("size"),
+                "modificationTime": add.get("modificationTime"),
+                "dataChange": False,
+                "stats": add.get("stats"),
+            }
+        )
+    t = pa.table(
+        {
+            "protocol": pa.array(rows_proto, type=proto_type),
+            "metaData": pa.array(rows_meta, type=meta_type),
+            "add": pa.array(rows_add, type=add_type),
+        }
+    )
+    cp = _checkpoint_path(table, snap.version)
+    pq.write_table(t, cp)
+    ptr = os.path.join(_log_dir(table), LAST_CHECKPOINT)
+    tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": snap.version, "size": t.num_rows}, f)
+    os.replace(tmp, ptr)
+    return cp
+
+
+def delta_history(table: str) -> list[dict]:
+    """[{version, timestamp, operation, userMetadata}] oldest-first."""
+    out = []
+    for v in _list_commit_versions(table):
+        rec = {"version": v, "timestamp": _commit_timestamp(table, v)}
+        try:
+            with open(_commit_path(table, v)) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        ci = a["commitInfo"]
+                        rec["operation"] = ci.get("operation")
+                        um = ci.get("userMetadata")
+                        if um:
+                            try:
+                                rec["userMetadata"] = json.loads(um)
+                            except json.JSONDecodeError:
+                                rec["userMetadata"] = um
+                        break
+        except OSError:
+            pass
+        out.append(rec)
+    return out
+
+
+def vacuum_delta(
+    table: str, retention_hours: float = 168.0, dry_run: bool = False
+) -> list[str]:
+    """Delete data files no snapshot can reference anymore: not live at
+    HEAD and older than the retention window (time travel inside the
+    window keeps working, same contract as Delta's VACUUM)."""
+    snap = snapshot(table)
+    live = {os.path.normpath(p) for p in snap.files}
+    cutoff = time.time() - retention_hours * 3600
+    victims = []
+    for root, dirs, names in os.walk(table):
+        if LOG_DIR in root.split(os.sep):
+            continue
+        # skip the log AND in-flight writer staging dirs (all _-prefixed)
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.normpath(os.path.relpath(full, table))
+            if rel in live:
+                continue
+            if os.path.getmtime(full) >= cutoff:
+                continue
+            victims.append(rel)
+            if not dry_run:
+                os.unlink(full)
+    if not dry_run:
+        # prune now-empty partition dirs
+        for root, dirs, names in os.walk(table, topdown=False):
+            if LOG_DIR in root.split(os.sep) or root == table:
+                continue
+            if not os.listdir(root):
+                os.rmdir(root)
+    return sorted(victims)
+
+
+# ---------------------------------------------------------------------------
+# TimeFly bridge
+# ---------------------------------------------------------------------------
+
+
+def export_timefly_to_delta(
+    tf, dest: str, checkpoint_interval: int = DEFAULT_CHECKPOINT_INTERVAL
+) -> list[int]:
+    """Materialize a TimeFly dataset's snapshot history as a Delta table:
+    one OVERWRITE commit per snapshot, oldest-first, each stamped with
+    ``userMetadata={"timefly_snapshot": id}`` so the mapping is exact.
+
+    As-of semantics differ BY DESIGN and are preserved, not translated:
+    Delta time travel resolves latest-commit-at-or-before a timestamp,
+    TimeFly resolves first-snapshot-AFTER (reference ``timefly.py:16-51``,
+    SURVEY §7.3.4). Query the exported table by snapshot id (via
+    :func:`delta_history`) when you need TimeFly-identical reads.
+    """
+    from pydatalake_spark.sources.read import read_dataset
+
+    versions = []
+    for snap_id in tf.snapshots():
+        # read the snapshot's manifest-resolved state directly (the as-of
+        # API takes a timestamp, not an id)
+        df = read_dataset(
+            tf.spark, os.path.join(tf.snapshot_root, snap_id), fmt=tf.fmt
+        )
+        v = write_delta(
+            df,
+            dest,
+            mode="overwrite",
+            checkpoint_interval=checkpoint_interval,
+            user_metadata={"timefly_snapshot": snap_id},
+        )
+        versions.append(v)
+    return versions

@@ -1,0 +1,452 @@
+"""Native Delta Lake protocol: log round-trip, time travel, checkpoints,
+partition pruning, concurrency, vacuum, and the TimeFly bridge.
+
+All behavior is pinned against the PUBLIC Delta protocol spec
+(delta-io PROTOCOL.md) — no delta-spark involved (not installable here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pydatalake_spark.sources import delta as dl
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=int(k), part=str(p), v=float(v)) for k, p, v in rows]
+    ).select("k", "part", "v")
+
+
+@pytest.fixture()
+def table(tmpdir_path):
+    return os.path.join(tmpdir_path, "tbl")
+
+
+def _collect(df):
+    return sorted((r.k, r.part, r.v) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# basic round-trip + modes
+# ---------------------------------------------------------------------------
+
+
+def test_create_append_roundtrip(spark, table):
+    v0 = dl.write_delta(_mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    assert v0 == 0
+    v1 = dl.write_delta(_mkdf(spark, [(3, "a", 3.0)]), table, mode="append")
+    assert v1 == 1
+    got = _collect(dl.read_delta(spark, table))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+    # the log is spec-shaped newline-JSON with protocol+metaData at v0
+    with open(dl._commit_path(table, 0)) as f:
+        actions = [json.loads(x) for x in f if x.strip()]
+    kinds = {next(iter(a)) for a in actions}
+    assert {"commitInfo", "protocol", "metaData", "add"} <= kinds
+
+
+def test_overwrite_removes_previous_files(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl.write_delta(
+        _mkdf(spark, [(9, "z", 9.0)]), table, mode="overwrite"
+    )
+    assert _collect(dl.read_delta(spark, table)) == [(9, "z", 9.0)]
+    snap = dl.snapshot(table)
+    assert snap.version == 1 and len(snap.files) >= 1
+    # v1 carries remove actions for every v0 file
+    with open(dl._commit_path(table, 1)) as f:
+        removes = [
+            json.loads(x)["remove"]
+            for x in f
+            if x.strip() and '"remove"' in x
+        ]
+    assert removes and all(r["dataChange"] for r in removes)
+
+
+def test_mode_error_and_ignore(spark, table):
+    df = _mkdf(spark, [(1, "a", 1.0)])
+    dl.write_delta(df, table)
+    with pytest.raises(FileExistsError):
+        dl.write_delta(df, table, mode="error")
+    assert dl.write_delta(df, table, mode="ignore") == 0
+
+
+def test_append_schema_mismatch_raises(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    other = spark.createDataFrame([Row(k=1, extra="x")])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dl.write_delta(other, table, mode="append")
+    # overwrite without overwrite_schema also refuses; with it, evolves
+    with pytest.raises(ValueError, match="overwrite_schema"):
+        dl.write_delta(other, table, mode="overwrite")
+    dl.write_delta(other, table, mode="overwrite", overwrite_schema=True)
+    assert dl.read_delta(spark, table).columns == ["k", "extra"]
+
+
+def test_append_only_table_refuses_overwrite(spark, table):
+    dl.write_delta(
+        _mkdf(spark, [(1, "a", 1.0)]),
+        table,
+        configuration={"delta.appendOnly": "true"},
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        dl.write_delta(
+            _mkdf(spark, [(2, "b", 2.0)]), table, mode="overwrite"
+        )
+
+
+# ---------------------------------------------------------------------------
+# partitioning
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_write_layout_and_read(spark, table):
+    dl.write_delta(
+        _mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]),
+        table,
+        partition_by=["part"],
+    )
+    snap = dl.snapshot(table)
+    assert snap.partition_columns == ["part"]
+    # hive layout on disk, partitionValues in the log, partition col NOT
+    # in the data files (the protocol's storage model)
+    for rel, add in snap.files.items():
+        assert rel.startswith("part=")
+        assert add["partitionValues"]["part"] in ("a", "b")
+        import pyarrow.parquet as pq
+
+        names = pq.ParquetFile(
+            os.path.join(table, rel)
+        ).schema_arrow.names
+        assert "part" not in names
+    got = _collect(dl.read_delta(spark, table))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+
+
+def test_partition_pruning_skips_files_before_scan(spark, table):
+    dl.write_delta(
+        _mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]),
+        table,
+        partition_by=["part"],
+    )
+    snap = dl.snapshot(table)
+    pruned = dl._prune_files(snap, [("part", "in", ("a", "c"))])
+    assert 0 < len(pruned) < len(snap.files)
+    assert all(
+        a["partitionValues"]["part"] in ("a", "c") for a in pruned.values()
+    )
+    got = _collect(
+        dl.read_delta(
+            spark, table, partition_filters=[("part", "in", ("a", "c"))]
+        )
+    )
+    assert got == [(1, "a", 1.0), (3, "c", 3.0)]
+    with pytest.raises(ValueError, match="not a partition column"):
+        dl.read_delta(spark, table, partition_filters=[("v", "=", 1.0)])
+
+
+def test_numeric_partition_pruning_is_typed(spark, table):
+    df = spark.createDataFrame(
+        [Row(k=i, bucket=i % 12) for i in range(24)]
+    )
+    dl.write_delta(df, table, partition_by=["bucket"])
+    got = dl.read_delta(
+        spark, table, partition_filters=[("bucket", ">=", 10)]
+    )
+    assert sorted(r.bucket for r in got.select("bucket").distinct().collect()) == [10, 11]
+
+
+def test_foreign_non_hive_layout_falls_back_to_log_values(spark, table):
+    """A conformant table whose data files are NOT in key=value dirs
+    (allowed by the protocol — partitionValues is authoritative) must
+    still read correctly."""
+    dl.write_delta(
+        _mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        table,
+        partition_by=["part"],
+    )
+    snap = dl.snapshot(table)
+    # flatten: move files out of hive dirs and rewrite the log's paths
+    actions = []
+    for i, (rel, add) in enumerate(sorted(snap.files.items())):
+        flat = f"flat-{i}.parquet"
+        os.replace(os.path.join(table, rel), os.path.join(table, flat))
+        add = dict(add, path=flat)
+        actions.append({"add": add})
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    dl._write_commit(table, snap.version + 1, actions)
+    got = _collect(dl.read_delta(spark, table))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+    got = _collect(
+        dl.read_delta(spark, table, partition_filters=[("part", "=", "b")])
+    )
+    assert got == [(2, "b", 2.0)]
+
+
+# ---------------------------------------------------------------------------
+# time travel
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_by_version(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="append")
+    dl.write_delta(_mkdf(spark, [(9, "z", 9.0)]), table, mode="overwrite")
+    assert _collect(dl.read_delta(spark, table, version=0)) == [
+        (1, "a", 1.0)
+    ]
+    assert _collect(dl.read_delta(spark, table, version=1)) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    assert _collect(dl.read_delta(spark, table)) == [(9, "z", 9.0)]
+    with pytest.raises(ValueError, match="out of range"):
+        dl.read_delta(spark, table, version=7)
+
+
+def test_time_travel_by_timestamp_latest_at_or_before(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    t0 = dl._commit_timestamp(table, 0)
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="append")
+    # pin distinct commit times without sleeping: commitInfo.timestamp is
+    # authoritative (preferred over mtime), so rewrite it in place
+    p1 = dl._commit_path(table, 1)
+    with open(p1) as f:
+        lines = f.readlines()
+    first = json.loads(lines[0])
+    first["commitInfo"]["timestamp"] = int((t0 + 100) * 1000)
+    lines[0] = json.dumps(first) + "\n"
+    with open(p1, "w") as f:
+        f.writelines(lines)
+    assert (
+        dl.resolve_timestamp(table, t0 + 50) == 0
+        and dl.resolve_timestamp(table, t0 + 100) == 1
+    )
+    assert _collect(
+        dl.read_delta(spark, table, timestamp=t0 + 50)
+    ) == [(1, "a", 1.0)]
+    with pytest.raises(ValueError, match="no commit at or before"):
+        dl.resolve_timestamp(table, t0 - 10)
+    with pytest.raises(ValueError, match="not both"):
+        dl.read_delta(spark, table, version=0, timestamp=t0)
+
+
+def test_commit_info_timestamp_preferred_over_mtime(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    with open(dl._commit_path(table, 0)) as f:
+        first = json.loads(f.readline())
+    assert abs(
+        first["commitInfo"]["timestamp"] / 1000.0
+        - dl._commit_timestamp(table, 0)
+    ) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# checkpoints
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_roundtrip(spark, table):
+    for i in range(4):
+        dl.write_delta(
+            _mkdf(spark, [(i, "a", float(i))]),
+            table,
+            mode="append" if i else "error",
+            partition_by=["part"] if i == 0 else None,
+            checkpoint_interval=2,
+        )
+    # checkpoints exist at v2 (interval=2) and the pointer tracks one
+    ptr = dl._read_last_checkpoint(table)
+    assert ptr is not None and ptr["version"] in (2,)
+    assert os.path.isfile(dl._checkpoint_path(table, ptr["version"]))
+    # replay THROUGH the checkpoint equals pure-JSON replay
+    snap_cp = dl.snapshot(table)
+    os.unlink(os.path.join(dl._log_dir(table), dl.LAST_CHECKPOINT))
+    snap_json = dl.snapshot(table)
+    assert snap_cp.version == snap_json.version == 3
+    assert set(snap_cp.files) == set(snap_json.files)
+    assert snap_cp.partition_columns == snap_json.partition_columns
+    assert (
+        snap_cp.schema.jsonValue() == snap_json.schema.jsonValue()
+    )
+
+
+def test_checkpoint_survives_commit_file_loss(spark, table):
+    """The at-scale contract: a snapshot needs only the checkpoint plus
+    commits after it — earlier JSON can be log-retention-cleaned."""
+    for i in range(3):
+        dl.write_delta(
+            _mkdf(spark, [(i, "a", float(i))]),
+            table,
+            mode="append" if i else "error",
+            checkpoint_interval=2,
+        )
+    os.unlink(dl._commit_path(table, 0))
+    os.unlink(dl._commit_path(table, 1))
+    got = _collect(dl.read_delta(spark, table))
+    assert [g[0] for g in got] == [0, 1, 2]
+
+
+def test_corrupt_last_checkpoint_falls_back(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    with open(
+        os.path.join(dl._log_dir(table), dl.LAST_CHECKPOINT), "w"
+    ) as f:
+        f.write("{not json")
+    assert _collect(dl.read_delta(spark, table)) == [(1, "a", 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_put_if_absent_conflict(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    # a competing writer claims version 1 first
+    dl._write_commit(table, 1, [{"commitInfo": {"timestamp": 0}}])
+    with pytest.raises(dl.DeltaConcurrentCommit):
+        dl.write_delta(
+            _mkdf(spark, [(2, "b", 2.0)]),
+            table,
+            mode="append",
+            _assume_version=1,
+        )
+    # the loser's data files were rolled back — log state still readable
+    assert _collect(dl.read_delta(spark, table)) == [(1, "a", 1.0)]
+
+
+def test_append_with_retry_interleaved(spark, table):
+    dl.write_delta(_mkdf(spark, [(0, "a", 0.0)]), table)
+    versions, errs = [], []
+
+    def appender(k):
+        try:
+            versions.append(
+                dl.append_with_retry(
+                    _mkdf(spark, [(k, "b", float(k))]), table
+                )
+            )
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender, args=(k,)) for k in (1, 2, 3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs and sorted(versions) == [1, 2, 3]
+    got = _collect(dl.read_delta(spark, table))
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# protocol guards / vacuum / history
+# ---------------------------------------------------------------------------
+
+
+def test_unsupported_protocol_features_raise(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl._write_commit(
+        table,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            }
+        ],
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="minReaderVersion"):
+        dl.read_delta(spark, table)
+    # version 0 (before the upgrade) still reads
+    assert _collect(dl.read_delta(spark, table, version=0)) == [
+        (1, "a", 1.0)
+    ]
+
+
+def test_column_mapping_mode_raises(spark, table):
+    dl.write_delta(
+        _mkdf(spark, [(1, "a", 1.0)]),
+        table,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
+        dl.read_delta(spark, table)
+
+
+def test_vacuum_deletes_only_expired_unreferenced(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="overwrite")
+    # v0's files are unreferenced at HEAD but inside retention → kept
+    assert dl.vacuum_delta(table, retention_hours=168) == []
+    assert _collect(dl.read_delta(spark, table, version=0)) == [
+        (1, "a", 1.0)
+    ]
+    # expire them → vacuumed, HEAD unaffected, dry_run only reports
+    dry = dl.vacuum_delta(table, retention_hours=0, dry_run=True)
+    assert dry
+    gone = dl.vacuum_delta(table, retention_hours=0)
+    assert gone == dry
+    assert _collect(dl.read_delta(spark, table)) == [(2, "b", 2.0)]
+
+
+def test_history(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl.write_delta(
+        _mkdf(spark, [(2, "b", 2.0)]),
+        table,
+        mode="append",
+        user_metadata={"job": "j1"},
+    )
+    hist = dl.delta_history(table)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["operation"] == "WRITE"
+    assert hist[1]["operation"] == "APPEND"
+    assert hist[1]["userMetadata"] == {"job": "j1"}
+
+
+# ---------------------------------------------------------------------------
+# TimeFly bridge
+# ---------------------------------------------------------------------------
+
+
+def test_export_timefly_to_delta(spark, tmpdir_path):
+    import datetime as dt
+
+    from pydatalake_spark.dataset.timefly import TimeFly
+
+    base = os.path.join(tmpdir_path, "tf")
+    tf = TimeFly(spark, base).init("t")
+    df1 = spark.range(3).withColumn("v", F.col("id") * 2)
+    tf.write(df1, mode="overwrite")
+    s1 = tf.add_snapshot(now=dt.datetime(2030, 1, 1, 0, 0, 0))
+    df2 = spark.range(3, 5).withColumn("v", F.col("id") * 2)
+    tf.write(df2, mode="append")
+    s2 = tf.add_snapshot(now=dt.datetime(2030, 1, 1, 0, 0, 1))
+
+    dest = os.path.join(tmpdir_path, "delta")
+    versions = dl.export_timefly_to_delta(tf, dest)
+    assert versions == [0, 1]
+    hist = dl.delta_history(dest)
+    assert [h["userMetadata"]["timefly_snapshot"] for h in hist] == [s1, s2]
+    assert dl.read_delta(spark, dest, version=0).count() == 3
+    assert dl.read_delta(spark, dest, version=1).count() == 5
