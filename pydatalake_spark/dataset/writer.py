@@ -152,10 +152,11 @@ def write_dataset(
             raise ValueError(
                 "partition_flavor='directory' requires partition_by"
             )
-        if mode == "delta" or fmt == "feather":
+        if mode == "delta" or fmt in ("feather", "delta"):
             raise ValueError(
                 "partition_flavor='directory' supports parquet/csv with "
-                "modes raise/overwrite/append"
+                "modes raise/overwrite/append (the Delta log always owns "
+                "its own hive layout)"
             )
     if fmt == "feather" and mode == "delta":
         # the feather WRITER is driver-edge (reads are distributed since
@@ -183,6 +184,27 @@ def write_dataset(
             df = df.filter(F.col(datetime_column) >= F.lit(start_time))
         if end_time is not None:
             df = df.filter(F.col(datetime_column) < F.lit(end_time))
+
+    if fmt == "delta":
+        # Delta-log sink (sources/delta.py, native protocol): the log owns
+        # layout + atomicity, so the flavor/strip/maxRecords plumbing below
+        # doesn't apply; modes map raise→error, delta→anti-diff+append
+        from pydatalake_spark.sources import delta as _dl
+
+        if mode == "delta" and _dl.is_delta_table(path):
+            df = _delta_diff(
+                df, path, fmt, datetime_column, delta_subset,
+                existing=_dl.read_delta(spark, path),
+            )
+        _dl.write_delta(
+            df,
+            path,
+            mode={"raise": "error", "delta": "append"}.get(mode, mode),
+            partition_by=parts or None,
+            max_records_per_file=max_records_per_file
+            or (batch_size if isinstance(batch_size, int) else None),
+        )
+        return
 
     exists = _has_data(path)
     if mode == "raise" and exists:
@@ -544,6 +566,7 @@ def _delta_diff(
     fmt: str,
     datetime_column: str | None,
     delta_subset: str | Sequence[str] | None,
+    existing: DataFrame | None = None,
 ) -> DataFrame:
     """Anti-diff the incoming batch against existing data (J2,
     ``writer.py:219-249``): keep only genuinely new rows.
@@ -552,10 +575,12 @@ def _delta_diff(
     window on ``datetime_column`` first — this is the reference's pruning
     trick (``writer.py:196-200``) and is what makes delta writes cheap at
     scale: the scan of a years-deep dataset reduces to the few partitions
-    overlapping the batch.
+    overlapping the batch. Pass ``existing`` when the current state needs
+    a non-path reader (Delta-log snapshot).
     """
     spark = df.sparkSession
-    existing = spark.read.format(fmt).load(path)
+    if existing is None:
+        existing = spark.read.format(fmt).load(path)
     if datetime_column and datetime_column in df.columns:
         bounds = df.agg(
             F.min(datetime_column).alias("lo"), F.max(datetime_column).alias("hi")

@@ -90,6 +90,14 @@ def is_delta_table(path: str) -> bool:
     return os.path.isdir(_log_dir(path))
 
 
+def _has_commits(table: str) -> bool:
+    """A table exists if ANY version is reachable — via JSON commits or a
+    checkpoint alone (log-retention may have cleaned the early JSON)."""
+    return bool(_list_commit_versions(table)) or (
+        _read_last_checkpoint(table) is not None
+    )
+
+
 def _list_commit_versions(table: str) -> list[int]:
     d = _log_dir(table)
     if not os.path.isdir(d):
@@ -156,6 +164,8 @@ class DeltaSnapshot:
     metadata: dict | None = None
     # live files: relative (url-decoded) path -> add action dict
     files: dict[str, dict] = field(default_factory=dict)
+    # streaming idempotence: txn appId -> highest committed version
+    txns: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -201,7 +211,12 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
         snap.files[unquote(add["path"])] = add
     elif "remove" in action and action["remove"] is not None:
         snap.files.pop(unquote(action["remove"]["path"]), None)
-    # txn / commitInfo / cdc / domainMetadata: no effect on file state
+    elif "txn" in action and action["txn"] is not None:
+        t = action["txn"]
+        prev = snap.txns.get(t["appId"])
+        if prev is None or t["version"] > prev:
+            snap.txns[t["appId"]] = t["version"]
+    # commitInfo / cdc / domainMetadata: no effect on file state
 
 
 def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
@@ -216,7 +231,7 @@ def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
     pf = pq.ParquetFile(path)
     cols = [
         c
-        for c in ("protocol", "metaData", "add", "remove")
+        for c in ("protocol", "metaData", "add", "remove", "txn")
         if c in pf.schema_arrow.names
     ]
     # stream record batches so a million-file checkpoint never needs the
@@ -548,6 +563,8 @@ def write_delta(
     overwrite_schema: bool = False,
     configuration: dict | None = None,
     user_metadata: dict | None = None,
+    txn: dict | None = None,
+    max_records_per_file: int | None = None,
     _assume_version: int | None = None,
 ) -> int:
     """Write ``df`` as one Delta commit; returns the committed version.
@@ -562,7 +579,7 @@ def write_delta(
     """
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unknown mode: {mode!r}")
-    exists = is_delta_table(table) and bool(_list_commit_versions(table))
+    exists = is_delta_table(table) and _has_commits(table)
     if exists and mode == "error":
         raise FileExistsError(f"Delta table already exists: {table}")
     if exists and mode == "ignore":
@@ -615,6 +632,8 @@ def write_delta(
         w = df.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
         w.parquet(staging)
         staged = _collect_staged_files(staging, pcols)
 
@@ -667,6 +686,16 @@ def write_delta(
             user_metadata
         )
     actions: list[dict] = [commit_info]
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn["appId"]),
+                    "version": int(txn["version"]),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     if prev is None:
         actions.append({"protocol": dict(PROTOCOL)})
         actions.append(
@@ -729,7 +758,11 @@ def append_with_retry(
     the head and retry at the next version (the protocol's optimistic-
     concurrency happy path)."""
     for _ in range(max_retries):
-        head = snapshot(table).version if is_delta_table(table) else None
+        head = (
+            snapshot(table).version
+            if is_delta_table(table) and _has_commits(table)
+            else None
+        )
         try:
             return write_delta(
                 df,
@@ -743,6 +776,65 @@ def append_with_retry(
     raise DeltaConcurrentCommit(
         f"lost the commit race {max_retries} times on {table}"
     )
+
+
+def idempotent_append(
+    df: DataFrame,
+    table: str,
+    app_id: str,
+    version: int,
+    max_retries: int = 10,
+    **kw,
+) -> int | None:
+    """Exactly-once append via the protocol's ``txn`` action: commit the
+    batch together with ``{appId, version}``; a redelivery of the same
+    (or an older) batch finds ``snapshot().txns[app_id] >= version`` and
+    is SKIPPED (returns None). This is the Structured Streaming
+    ``foreachBatch`` sink contract — batchId as the txn version — and it
+    holds across job restarts because the watermark lives in the log
+    itself, not in driver memory. The re-check happens inside every
+    retry, so two racing instances of the same app serialize through
+    put-if-absent and the loser observes the winner's txn."""
+    for _ in range(max_retries):
+        exists = is_delta_table(table) and _has_commits(table)
+        head = snapshot(table) if exists else None
+        if head is not None and head.txns.get(app_id, -1) >= version:
+            return None
+        try:
+            return write_delta(
+                df,
+                table,
+                mode="append",
+                txn={"appId": app_id, "version": version},
+                _assume_version=None if head is None else head.version + 1,
+                **kw,
+            )
+        except DeltaConcurrentCommit:
+            continue
+    raise DeltaConcurrentCommit(
+        f"lost the commit race {max_retries} times on {table}"
+    )
+
+
+def delta_stream_sink(
+    table: str, app_id: str, partition_by: list[str] | None = None, **kw
+):
+    """``foreachBatch`` handler factory: attach with
+    ``df.writeStream.foreachBatch(delta_stream_sink(path, app_id))``.
+    Exactly-once per the ``txn`` watermark (see
+    :func:`idempotent_append`)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(
+            batch_df,
+            table,
+            app_id=app_id,
+            version=int(batch_id),
+            partition_by=partition_by,
+            **kw,
+        )
+
+    return handle
 
 
 # ---------------------------------------------------------------------------
@@ -794,9 +886,17 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
     proto_type = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
+    txn_type = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
 
     meta = snap.metadata or {}
-    rows_proto = [snap.protocol] + [None] * (1 + len(snap.files))
+    n_rows = 2 + len(snap.txns) + len(snap.files)
+    rows_proto = [snap.protocol] + [None] * (n_rows - 1)
     rows_meta = [
         None,
         {
@@ -818,8 +918,14 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
             ),
             "createdTime": meta.get("createdTime"),
         },
-    ] + [None] * len(snap.files)
-    rows_add: list[dict | None] = [None, None]
+    ] + [None] * (n_rows - 2)
+    rows_txn: list[dict | None] = [None, None]
+    for app_id, ver in sorted(snap.txns.items()):
+        rows_txn.append(
+            {"appId": app_id, "version": ver, "lastUpdated": None}
+        )
+    rows_txn += [None] * len(snap.files)
+    rows_add: list[dict | None] = [None] * (2 + len(snap.txns))
     for _rel, add in sorted(snap.files.items()):
         rows_add.append(
             {
@@ -837,6 +943,7 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
         {
             "protocol": pa.array(rows_proto, type=proto_type),
             "metaData": pa.array(rows_meta, type=meta_type),
+            "txn": pa.array(rows_txn, type=txn_type),
             "add": pa.array(rows_add, type=add_type),
         }
     )

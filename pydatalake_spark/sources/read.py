@@ -475,6 +475,22 @@ def read_dataset(
     ``_manifest.json`` is a metadata-only TimeFly snapshot and resolves
     through the manifest's file list.
     """
+    if fmt == "delta" or (
+        os.path.isdir(path) and os.path.isdir(os.path.join(path, "_delta_log"))
+    ):
+        # Delta transaction log present (or requested): the log is the
+        # file listing — never glob the directory (sources/delta.py)
+        from pydatalake_spark.sources.delta import read_delta
+
+        return read_delta(
+            spark,
+            path,
+            **{
+                k: options[k]
+                for k in ("version", "timestamp", "partition_filters")
+                if k in options
+            },
+        )
     if os.path.isdir(path) and os.path.isfile(os.path.join(path, "_manifest.json")):
         return read_manifest(spark, path, fmt=fmt)
     if partition_schema:

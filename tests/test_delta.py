@@ -450,3 +450,87 @@ def test_export_timefly_to_delta(spark, tmpdir_path):
     assert [h["userMetadata"]["timefly_snapshot"] for h in hist] == [s1, s2]
     assert dl.read_delta(spark, dest, version=0).count() == 3
     assert dl.read_delta(spark, dest, version=1).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# txn watermark / streaming sink / dataset dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_idempotent_append_skips_redelivery(spark, table):
+    a = _mkdf(spark, [(1, "a", 1.0)])
+    b = _mkdf(spark, [(2, "b", 2.0)])
+    assert dl.idempotent_append(a, table, app_id="job", version=0) == 0
+    assert dl.idempotent_append(b, table, app_id="job", version=1) == 1
+    # redelivery of batch 1 (and an older batch) is a no-op
+    assert dl.idempotent_append(b, table, app_id="job", version=1) is None
+    assert dl.idempotent_append(a, table, app_id="job", version=0) is None
+    got = _collect(dl.read_delta(spark, table))
+    assert [g[0] for g in got] == [1, 2]
+    # a DIFFERENT app's version counter is independent
+    assert dl.idempotent_append(
+        _mkdf(spark, [(3, "c", 3.0)]), table, app_id="other", version=0
+    ) == 2
+    assert dl.snapshot(table).txns == {"job": 1, "other": 0}
+
+
+def test_txn_watermark_survives_checkpoint(spark, table):
+    dl.idempotent_append(
+        _mkdf(spark, [(1, "a", 1.0)]), table, app_id="job", version=7
+    )
+    dl.write_checkpoint(table)
+    # drop the JSON commit: state must come from the checkpoint alone
+    os.unlink(dl._commit_path(table, 0))
+    snap = dl.snapshot(table)
+    assert snap.txns == {"job": 7}
+    assert (
+        dl.idempotent_append(
+            _mkdf(spark, [(9, "z", 9.0)]), table, app_id="job", version=7
+        )
+        is None
+    )
+
+
+def test_delta_stream_sink_foreachbatch_contract(spark, table):
+    sink = dl.delta_stream_sink(table, app_id="streamq")
+    sink(_mkdf(spark, [(1, "a", 1.0)]), 0)
+    sink(_mkdf(spark, [(2, "b", 2.0)]), 1)
+    sink(_mkdf(spark, [(2, "b", 2.0)]), 1)  # restart redelivery
+    got = _collect(dl.read_delta(spark, table))
+    assert [g[0] for g in got] == [1, 2]
+
+
+def test_write_dataset_delta_fmt_dispatch(spark, table):
+    from pydatalake_spark.dataset.writer import write_dataset
+    from pydatalake_spark.sources.read import read_dataset
+
+    df = _mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    write_dataset(df, table, mode="append", fmt="delta", partition_by="part")
+    assert dl.is_delta_table(table)
+    with pytest.raises(FileExistsError):
+        write_dataset(df, table, mode="raise", fmt="delta")
+    # mode='delta' anti-diffs against the CURRENT snapshot: overlapping
+    # batch adds only the new row
+    batch = _mkdf(spark, [(2, "b", 2.0), (3, "c", 3.0)])
+    write_dataset(batch, table, mode="delta", fmt="delta")
+    got = _collect(read_dataset(spark, table))  # auto-detects _delta_log
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    # re-running the same delta batch is idempotent (0 new rows, but a
+    # commit still lands — same contract as the parquet delta mode)
+    write_dataset(batch, table, mode="delta", fmt="delta")
+    assert _collect(read_dataset(spark, table)) == got
+    # version time travel through the generic reader
+    assert read_dataset(spark, table, fmt="delta", version=0).count() == 2
+
+
+def test_write_dataset_delta_fmt_rejects_directory_flavor(spark, table):
+    from pydatalake_spark.dataset.writer import write_dataset
+
+    with pytest.raises(ValueError, match="Delta log"):
+        write_dataset(
+            _mkdf(spark, [(1, "a", 1.0)]),
+            table,
+            fmt="delta",
+            partition_by="part",
+            partition_flavor="directory",
+        )

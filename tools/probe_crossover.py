@@ -8,7 +8,15 @@ ratio is a toy-scale artifact, not a plan defect.
 
 Run ALONE (bench-window noise policy):
 
-    python tools/probe_crossover.py            # writes BENCH_crossover.json
+    python tools/probe_crossover.py                  # full set, rewrite
+    python tools/probe_crossover.py q18_large_volume_customer  # subset:
+        # re-times ONLY the named queries and MERGES them into the
+        # committed BENCH_crossover.json (r10 VERDICT item 2 — re-pin a
+        # burst-hit point without re-rolling the others)
+
+Env: PROBE_XOVER_MIN_OF (default 3) — timed runs per (query, decade);
+the published number is the min, the per-decade loadavg is recorded so a
+burst-hit window is visible in the artifact itself.
 
 Reuses bench.py's replica builder (key-shifted decorrelated replicas);
 `supplier` is not in PROBE_TABLES (suppliers are shared across replicas —
@@ -46,11 +54,13 @@ TABLES = [
 ]
 
 
+MIN_OF = max(1, int(os.environ.get("PROBE_XOVER_MIN_OF", "3")))
+
+
 def _spark_time(fn, spark, sf_dir) -> float:
     bench._run_timed(fn, spark, sf_dir)  # warm
     return round(
-        min(bench._run_timed(fn, spark, sf_dir),
-            bench._run_timed(fn, spark, sf_dir)),
+        min(bench._run_timed(fn, spark, sf_dir) for _ in range(MIN_OF)),
         4,
     )
 
@@ -58,7 +68,7 @@ def _spark_time(fn, spark, sf_dir) -> float:
 def _duck_time(con, sql) -> float:
     con.execute(sql).fetchall()  # warm
     best = float("inf")
-    for _ in range(2):
+    for _ in range(MIN_OF):
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         best = min(best, time.perf_counter() - t0)
@@ -110,6 +120,12 @@ def main() -> None:
     from pydatalake_spark.queries import QUERIES
     from pydatalake_spark.session import get_spark
 
+    subset = sys.argv[1:]
+    names = subset or QUERIES_UNDER_TEST
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
     spark = get_spark(
         "crossover", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
@@ -117,16 +133,25 @@ def main() -> None:
     for r in REPLICA_FACTORS:
         dirs[r] = _replica_dir(spark, r)
 
-    oracles = entrymod.oracle_sql()
+    artifact = Path(__file__).resolve().parent.parent / "BENCH_crossover.json"
     out = {
         "replica_factors": REPLICA_FACTORS,
         "sf_dir": bench.SF_DIR,
         "queries": {},
     }
-    for name in QUERIES_UNDER_TEST:
+    if subset and artifact.is_file():
+        # subset re-pin: keep the committed numbers for everything else
+        with open(artifact) as f:
+            prior = json.load(f)
+        out["queries"] = prior.get("queries", {})
+
+    out["min_of"] = MIN_OF
+    oracles = entrymod.oracle_sql()
+    for name in names:
         fn = QUERIES[name]
         rec = {}
         for r, d in dirs.items():
+            load0 = os.getloadavg()[0]
             rec[f"spark_x{r}"] = _spark_time(fn, spark, d)
             con = _duck_con(d)
             rec[f"oracle_x{r}"] = _duck_time(con, oracles[name])
@@ -134,12 +159,11 @@ def main() -> None:
             rec[f"ratio_x{r}"] = round(
                 rec[f"spark_x{r}"] / rec[f"oracle_x{r}"], 2
             )
+            rec[f"loadavg_x{r}"] = round(load0, 2)
         out["queries"][name] = rec
         print(name, json.dumps(rec))
 
-    with open(
-        Path(__file__).resolve().parent.parent / "BENCH_crossover.json", "w"
-    ) as f:
+    with open(artifact, "w") as f:
         json.dump(out, f, indent=1)
     spark.stop()
 
