@@ -145,6 +145,13 @@ BENCH_QUERIES = [
     "source_novelty",
     "split_balance_report",
     "decontamination_audit",
+    # Delta-log reads (r11, sources/delta.py): snapshot replay + scan,
+    # version time travel, log-level partition pruning. The one-time
+    # fixture table build (two commits from orders) lands in
+    # cold_first_run, where one-time costs belong.
+    "delta_roundtrip_orders",
+    "delta_time_travel_v0",
+    "delta_partition_prune",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

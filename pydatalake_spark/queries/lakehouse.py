@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from pydatalake_spark.queries.tables import load_table as _t
 from pydatalake_spark.queries.text import _sf_stamp
-from pydatalake_spark.sources.delta import is_delta_table, read_delta, write_delta
+from pydatalake_spark.sources.delta import (
+    is_delta_table,
+    merge_delta,
+    read_delta,
+    write_delta,
+)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -112,6 +117,70 @@ def delta_time_travel_v0(spark: SparkSession, sf: str) -> DataFrame:
     """Version time travel: v0 state (pre-1998 slice) after a later
     append — exercises replay stopping at the requested version."""
     df = read_delta(spark, _orders_delta(spark, sf), version=0)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+@q(
+    "delta_merge_upsert_orders",
+    """
+    WITH merged AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0 AND o_orderstatus = 'P'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS px
+        FROM orders
+        UNION ALL
+        SELECT 'N' AS o_orderstatus, o_totalprice * 2 AS px
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderstatus = 'P'
+    )
+    SELECT o_orderstatus, count(*) AS n_orders, sum(px) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def delta_merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO (upsert) against a dedicated orders Delta table: update
+    every 97th 'P'-status order to doubled price, insert the same rows as
+    new 'N'-status orders (negated keys — guaranteed fresh). Only files
+    whose partitions contain matched keys are rewritten (the scale
+    contract pinned in ``test_merge_updates_inserts_and_touches_only_
+    hit_files``). The source derives from the RAW parquet each call, so
+    the merge is IDEMPOTENT: re-running replaces rows with identical
+    values and the aggregate stays fixed — which is exactly what the
+    oracle recomputes relationally."""
+    key = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), "pydatalake_delta_fixture")
+    table = os.path.join(root, f"orders_merge_{key}")
+    stamp_file = table + ".stamp"
+    stamp = _sf_stamp(sf)
+    fresh = False
+    if stamp is not None and os.path.isfile(stamp_file) and is_delta_table(table):
+        try:
+            with open(stamp_file) as f:
+                fresh = json.load(f) == list(stamp)
+        except (OSError, json.JSONDecodeError):
+            fresh = False
+    orders = _t(spark, sf, "orders")
+    if not fresh:
+        shutil.rmtree(table, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        write_delta(orders, table, partition_by=["o_orderstatus"])
+        if stamp is not None:
+            with open(stamp_file, "w") as f:
+                json.dump(list(stamp), f)
+    matched = orders.filter(
+        (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderstatus") == "P")
+    )
+    updates = matched.withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = updates.withColumn(
+        "o_orderkey", -F.col("o_orderkey")
+    ).withColumn("o_orderstatus", F.lit("N"))
+    source = updates.unionByName(inserts)
+    merge_delta(spark, table, source, on=["o_orderkey"])
+    df = read_delta(spark, table)
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("total_price"),

@@ -838,6 +838,285 @@ def delta_stream_sink(
 
 
 # ---------------------------------------------------------------------------
+# merge (upsert) / compaction
+# ---------------------------------------------------------------------------
+
+
+def merge_delta(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    max_retries: int = 3,
+) -> int:
+    """MERGE INTO (upsert): matched target rows are REPLACED by their
+    source row, unmatched source rows are INSERTED, everything else is
+    untouched.
+
+    The at-scale contract: only data files that actually CONTAIN a
+    matched key are rewritten. Touched files are found with one
+    semi-join over ``input_file_name()`` (ids + file names through the
+    shuffle, never payloads), their surviving rows are re-written
+    together with the source, and the commit removes exactly those files
+    — a merge touching 1% of keys rewrites ~1% of a 100-TB table, not
+    all of it. Non-hive (foreign flat-layout) tables raise: file
+    attribution needs the one-scan basePath read.
+
+    Concurrency: optimistic. The rewrite is validated against the
+    snapshot it read; losing the version race re-reads and retries up to
+    ``max_retries`` (merge conflicts with a concurrent overwrite are NOT
+    auto-resolved — the retry recomputes from the new head, which is the
+    correct semantics for idempotent upsert sources).
+    """
+    for col in on:
+        if col not in source.columns:
+            raise ValueError(f"merge key {col!r} missing from source")
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        snap = snapshot(table)
+        if _schema_key(source.schema) != _schema_key(snap.schema):
+            raise ValueError(
+                "merge source schema must match the table schema:\n"
+                f"  source: {_schema_key(source.schema)}\n"
+                f"  table:  {_schema_key(snap.schema)}"
+            )
+        pcols = snap.partition_columns
+        if pcols and not _is_hive_layout(snap.files, pcols):
+            raise DeltaProtocolError(
+                "merge_delta requires the hive data layout (foreign "
+                "flat-layout tables: rewrite via overwrite instead)"
+            )
+        target = read_delta(spark, table, version=snap.version)
+        src = source.alias("s")
+
+        # one pass: which files hold at least one matched key? ids + file
+        # names only through the join; no static broadcast hint — the
+        # source key set scales with the upsert batch, AQE picks the
+        # build side at runtime
+        tgt_files = target.withColumn("_dl_file", F.input_file_name())
+        hit_rows = tgt_files.join(
+            src.select(*on).distinct(), on=on, how="leftsemi"
+        )
+        hit_files = [
+            r["_dl_file"]
+            for r in hit_rows.select("_dl_file").distinct().collect()
+        ]
+        # normalize to the snapshot's relative paths
+        prefix = "file:"
+        rel_hits = set()
+        for f in hit_files:
+            local = f[len(prefix):] if f.startswith(prefix) else f
+            rel_hits.add(os.path.normpath(os.path.relpath(local, table)))
+        victims = {
+            rel: add for rel, add in snap.files.items()
+            if os.path.normpath(rel) in rel_hits
+        }
+
+        if victims:
+            vic_paths = [os.path.join(table, p) for p in victims]
+            reader = spark.read.schema(snap.schema)
+            if pcols:
+                reader = reader.option("basePath", table)
+            vic_df = reader.parquet(*vic_paths).select(
+                [f.name for f in snap.schema.fields]
+            )
+            kept = vic_df.join(src, on=on, how="left_anti")
+        else:
+            kept = None
+
+        # matched source rows replace; unmatched insert — all matches
+        # live in victim files by construction, so one anti-join against
+        # the victims' keys splits the source correctly
+        new_rows = src.select([f.name for f in snap.schema.fields])
+        out = new_rows if kept is None else kept.unionByName(new_rows)
+
+        # stage + commit: removes for victims, adds for the rewrite
+        staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+        try:
+            w = out.write.mode("overwrite")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(staging)
+            staged = _collect_staged_files(staging, pcols)
+            now_ms = int(time.time() * 1000)
+            actions: list[dict] = [
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "MERGE",
+                        "operationParameters": {
+                            "predicate": json.dumps(on),
+                        },
+                        "engineInfo": "pydatalake_spark-native-delta",
+                    }
+                }
+            ]
+            for rel, add in victims.items():
+                actions.append(
+                    {
+                        "remove": {
+                            "path": add["path"],
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                            "partitionValues": add.get("partitionValues"),
+                            "size": add.get("size"),
+                        }
+                    }
+                )
+            moved = []
+            for rel, pvals, srcf in staged:
+                dst = os.path.join(table, *rel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(srcf, dst)
+                moved.append(rel)
+                actions.append(
+                    {
+                        "add": {
+                            "path": quote(rel, safe="/=.-_"),
+                            "partitionValues": {
+                                c: pvals.get(c) for c in pcols
+                            },
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": json.dumps(
+                                {"numRecords": _num_records(dst)}
+                            ),
+                        }
+                    }
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        try:
+            _write_commit(table, snap.version + 1, actions)
+            return snap.version + 1
+        except DeltaConcurrentCommit as e:
+            for rel in moved:
+                try:
+                    os.unlink(os.path.join(table, *rel.split("/")))
+                except OSError:
+                    pass
+            last_err = e
+            continue
+    raise last_err  # type: ignore[misc]
+
+
+def compact_delta(
+    spark: SparkSession,
+    table: str,
+    target_file_size: int = 128 * 1024 * 1024,
+    partition_filters: list[tuple] | None = None,
+) -> int | None:
+    """OPTIMIZE-style bin-packing compaction: partitions whose live files
+    are smaller than ``target_file_size`` are rewritten into fewer files;
+    the commit is ``dataChange: false`` adds/removes (same bytes, new
+    layout), so downstream incremental consumers can skip it. Operates
+    per-partition (optionally restricted by ``partition_filters``) and
+    leaves already-right-sized files alone. Returns the committed
+    version, or None when nothing needed compaction."""
+    snap = snapshot(table)
+    pcols = snap.partition_columns
+    if pcols and not _is_hive_layout(snap.files, pcols):
+        raise DeltaProtocolError(
+            "compact_delta requires the hive data layout"
+        )
+    candidates = _prune_files(snap, partition_filters)
+    # group by partition; a group needs compaction when >1 file and all
+    # are under target (bin-packing the small tail)
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for rel, add in candidates.items():
+        key = tuple(
+            (add.get("partitionValues") or {}).get(c) for c in pcols
+        )
+        groups.setdefault(key, []).append((rel, add))
+    victims: dict[str, dict] = {}
+    for key, members in groups.items():
+        small = [
+            (rel, add)
+            for rel, add in members
+            if (add.get("size") or 0) < target_file_size
+        ]
+        if len(small) > 1:
+            victims.update(dict(small))
+    if not victims:
+        return None
+
+    vic_paths = [os.path.join(table, p) for p in victims]
+    reader = spark.read.schema(snap.schema)
+    if pcols:
+        reader = reader.option("basePath", table)
+    vic_df = reader.parquet(*vic_paths).select(
+        [f.name for f in snap.schema.fields]
+    )
+    total = sum((a.get("size") or 0) for a in victims.values())
+    n_out = max(1, -(-total // target_file_size))  # ceil
+    vic_df = vic_df.coalesce(int(n_out))
+
+    staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+    moved: list[str] = []
+    try:
+        w = vic_df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(staging)
+        staged = _collect_staged_files(staging, pcols)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetSize": target_file_size
+                    },
+                    "engineInfo": "pydatalake_spark-native-delta",
+                }
+            }
+        ]
+        for rel, add in victims.items():
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                        "partitionValues": add.get("partitionValues"),
+                        "size": add.get("size"),
+                    }
+                }
+            )
+        for rel, pvals, srcf in staged:
+            dst = os.path.join(table, *rel.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(srcf, dst)
+            moved.append(rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": quote(rel, safe="/=.-_"),
+                        "partitionValues": {c: pvals.get(c) for c in pcols},
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now_ms,
+                        "dataChange": False,
+                        "stats": json.dumps({"numRecords": _num_records(dst)}),
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    try:
+        _write_commit(table, snap.version + 1, actions)
+    except DeltaConcurrentCommit:
+        for rel in moved:
+            try:
+                os.unlink(os.path.join(table, *rel.split("/")))
+            except OSError:
+                pass
+        raise
+    return snap.version + 1
+
+
+# ---------------------------------------------------------------------------
 # checkpoint / history / vacuum
 # ---------------------------------------------------------------------------
 

@@ -534,3 +534,135 @@ def test_write_dataset_delta_fmt_rejects_directory_flavor(spark, table):
             partition_by="part",
             partition_flavor="directory",
         )
+
+
+# ---------------------------------------------------------------------------
+# merge (upsert) / compaction
+# ---------------------------------------------------------------------------
+
+
+def test_merge_updates_inserts_and_touches_only_hit_files(spark, table):
+    dl.write_delta(
+        _mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]),
+        table,
+        partition_by=["part"],
+    )
+    before = dl.snapshot(table)
+    # update k=2 (in part=b), insert k=9 (new part=z)
+    src = _mkdf(spark, [(2, "b", 20.0), (9, "z", 9.0)])
+    v = dl.merge_delta(spark, table, src, on=["k"])
+    assert v == 1
+    got = _collect(dl.read_delta(spark, table))
+    assert got == [(1, "a", 1.0), (2, "b", 20.0), (3, "c", 3.0), (9, "z", 9.0)]
+    # files for untouched partitions a and c survive IDENTICALLY
+    after = dl.snapshot(table)
+    untouched_before = {
+        r for r in before.files if not r.startswith("part=b")
+    }
+    assert untouched_before <= set(after.files)
+    # the b-partition file was rewritten (old one removed)
+    assert not any(
+        r in after.files
+        for r in before.files
+        if r.startswith("part=b")
+    )
+    assert dl.delta_history(table)[-1]["operation"] == "MERGE"
+
+
+def test_merge_pure_insert_no_rewrites(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    before = set(dl.snapshot(table).files)
+    dl.merge_delta(spark, table, _mkdf(spark, [(5, "e", 5.0)]), on=["k"])
+    after = dl.snapshot(table)
+    assert before <= set(after.files)  # nothing removed
+    assert _collect(dl.read_delta(spark, table)) == [
+        (1, "a", 1.0),
+        (5, "e", 5.0),
+    ]
+
+
+def test_merge_schema_and_key_validation(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    with pytest.raises(ValueError, match="missing from source"):
+        dl.merge_delta(
+            spark, table, _mkdf(spark, [(1, "a", 1.0)]), on=["nope"]
+        )
+    from pyspark.sql import Row as R
+
+    with pytest.raises(ValueError, match="schema"):
+        dl.merge_delta(
+            spark, table, spark.createDataFrame([R(k=1)]), on=["k"]
+        )
+
+
+def test_merge_time_travel_preserves_premerge_state(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    dl.merge_delta(spark, table, _mkdf(spark, [(2, "b", 22.0)]), on=["k"])
+    assert _collect(dl.read_delta(spark, table, version=0)) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    assert _collect(dl.read_delta(spark, table)) == [
+        (1, "a", 1.0),
+        (2, "b", 22.0),
+    ]
+
+
+def test_compact_bin_packs_small_files_datachange_false(spark, table):
+    # 6 tiny files in one unpartitioned table via 3 appends x 2 tasks
+    for i in range(3):
+        dl.write_delta(
+            _mkdf(spark, [(2 * i, "a", 1.0), (2 * i + 1, "b", 1.0)])
+            .repartition(2),
+            table,
+            mode="append" if i else "error",
+        )
+    before = dl.snapshot(table)
+    assert len(before.files) >= 3
+    v = dl.compact_delta(spark, table, target_file_size=1 << 20)
+    assert v == before.version + 1
+    after = dl.snapshot(table)
+    assert len(after.files) == 1
+    # same rows, and the commit is dataChange: false throughout
+    assert _collect(dl.read_delta(spark, table)) == _collect(
+        dl.read_delta(spark, table, version=before.version)
+    )
+    with open(dl._commit_path(table, v)) as f:
+        acts = [json.loads(x) for x in f if x.strip()]
+    flags = [
+        a["add"]["dataChange"] if "add" in a else a["remove"]["dataChange"]
+        for a in acts
+        if "add" in a or "remove" in a
+    ]
+    assert flags and not any(flags)
+    # idempotent: nothing left to compact
+    assert dl.compact_delta(spark, table, target_file_size=1 << 20) is None
+
+
+def test_compact_respects_partition_filter(spark, table):
+    dl.write_delta(
+        _mkdf(
+            spark,
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+        ).repartition(4),
+        table,
+        partition_by=["part"],
+    )
+    before = dl.snapshot(table)
+    b_files_before = {r for r in before.files if r.startswith("part=b")}
+    v = dl.compact_delta(
+        spark,
+        table,
+        target_file_size=1 << 20,
+        partition_filters=[("part", "=", "a")],
+    )
+    assert v is not None
+    after = dl.snapshot(table)
+    assert {r for r in after.files if r.startswith("part=b")} == b_files_before
+    assert len([r for r in after.files if r.startswith("part=a")]) == 1
+    assert _collect(dl.read_delta(spark, table)) == [
+        (1, "a", 1.0),
+        (2, "a", 2.0),
+        (3, "b", 3.0),
+        (4, "b", 4.0),
+    ]
