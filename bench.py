@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     # cold_first_run, where one-time costs belong.
     "delta_roundtrip_orders",
     "delta_time_travel_v0",
+    "delta_stats_skip",
     "delta_partition_prune",
 ]
 

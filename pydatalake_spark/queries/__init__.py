@@ -63,7 +63,7 @@ _GATE_FRONT = [
     "q18_large_volume_customer",
     "rp_distortion",
     "rp_ann_recall",
-    # (c) stalest r08 rows (alphabetical prefix, 16 of 48; rest in r12)
+    # (c) stalest r08 rows (alphabetical prefix, 15 of 48; rest in r12)
     "agg_min_max",
     "ann_lsh_buckets",
     "ann_multiprobe_candidates",
@@ -79,17 +79,17 @@ _GATE_FRONT = [
     "embedding_outlier_screen",
     "embedding_stats",
     "except_keys",
-    "hard_triplet_mining",
     # (d) NEW this round (r11): the native Delta-protocol reader/writer
     # (sources/delta.py — VERDICT item 8, dependency-blocked no more:
     # implemented from the public PROTOCOL.md instead of delta-spark).
     # New queries have no green row yet, so they MUST front. Displaces
-    # four (c) pulls (incremental_near_dup, intersect_keys,
-    # interval_arith, lsh_recall_eval — r08-green, fresh until r12's
-    # forced set, which stays ≤50).
+    # five (c) pulls (hard_triplet_mining, incremental_near_dup,
+    # intersect_keys, interval_arith, lsh_recall_eval — r08-green, fresh
+    # until r12's forced set, which stays ≤50).
     "delta_roundtrip_orders",
     "delta_time_travel_v0",
     "delta_merge_upsert_orders",
+    "delta_stats_skip",
     "delta_partition_prune",
 ]
 

@@ -50,6 +50,8 @@ def q(name: str, sql: str | None = None):
 
 
 _CUT = "1998-01-01 00:00:00"
+# bump when the fixture layout/stats format changes so stale tables rebuild
+_FIXTURE_GEN = "gen2-stats"
 
 
 def _orders_delta(spark: SparkSession, sf: str) -> str:
@@ -64,7 +66,7 @@ def _orders_delta(spark: SparkSession, sf: str) -> str:
     if stamp is not None and os.path.isfile(stamp_file) and is_delta_table(table):
         try:
             with open(stamp_file) as f:
-                if json.load(f) == list(stamp):
+                if json.load(f) == list(stamp) + [_FIXTURE_GEN]:
                     return table
         except (OSError, json.JSONDecodeError):
             pass
@@ -82,7 +84,7 @@ def _orders_delta(spark: SparkSession, sf: str) -> str:
     )
     if stamp is not None:
         with open(stamp_file, "w") as f:
-            json.dump(list(stamp), f)
+            json.dump(list(stamp) + [_FIXTURE_GEN], f)
     return table
 
 
@@ -158,7 +160,7 @@ def delta_merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
     if stamp is not None and os.path.isfile(stamp_file) and is_delta_table(table):
         try:
             with open(stamp_file) as f:
-                fresh = json.load(f) == list(stamp)
+                fresh = json.load(f) == list(stamp) + [_FIXTURE_GEN]
         except (OSError, json.JSONDecodeError):
             fresh = False
     orders = _t(spark, sf, "orders")
@@ -168,7 +170,7 @@ def delta_merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
         write_delta(orders, table, partition_by=["o_orderstatus"])
         if stamp is not None:
             with open(stamp_file, "w") as f:
-                json.dump(list(stamp), f)
+                json.dump(list(stamp) + [_FIXTURE_GEN], f)
     matched = orders.filter(
         (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderstatus") == "P")
     )
@@ -184,6 +186,35 @@ def delta_merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+@q(
+    "delta_stats_skip",
+    f"""
+    SELECT count(*) AS n_orders, sum(o_totalprice) AS total_price,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT}'
+    """,
+)
+def delta_stats_skip(spark: SparkSession, sf: str) -> DataFrame:
+    """Stats-based file skipping on the LATEST snapshot: the fixture's
+    v1 files hold only orders at/after the cut, so a ``data_filters``
+    predicate below it is refuted by every v1 file's per-file
+    minValues.o_orderdate and those files never reach the scan — the
+    aggregate must still equal the raw-parquet WHERE (files are pruned
+    by PROOF, rows re-filtered exactly)."""
+    import datetime as _dt
+
+    df = read_delta(
+        spark,
+        _orders_delta(spark, sf),
+        data_filters=[("o_orderdate", "<", _dt.datetime(1998, 1, 1))],
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
     )
 
 

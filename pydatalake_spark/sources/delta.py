@@ -21,8 +21,13 @@ Feature level
 * writer: ``minWriterVersion`` 2 shape — ``delta.appendOnly`` honored,
   schema fixed per table (append with a different schema raises;
   ``overwrite_schema=True`` on overwrite evolves it), hive-layout data
-  files, per-file ``numRecords`` stats, parquet checkpoint every
-  ``checkpoint_interval`` commits.
+  files, per-file stats (``numRecords`` + min/max/nullCount for
+  numeric/temporal/bool columns, aggregated from parquet footers) that
+  power ``read_delta(data_filters=...)`` file skipping, parquet
+  checkpoint every ``checkpoint_interval`` commits. ``merge_delta``
+  (upsert rewriting only matched files), ``compact_delta`` (OPTIMIZE,
+  optionally ``zorder_by`` Morton re-clustering), ``idempotent_append``
+  (txn-action exactly-once).
 
 Why this matters at 100 TB
 --------------------------
@@ -370,6 +375,79 @@ def _prune_files(
     return out
 
 
+def _prune_data_files(
+    snap: DeltaSnapshot, files: dict[str, dict],
+    data_filters: list[tuple] | None,
+) -> dict[str, dict]:
+    """Stats-based file skipping: drop files whose log ``stats``
+    (minValues/maxValues) PROVE no row can satisfy every filter. Files
+    without stats for a referenced column are always kept (absent stats
+    are never license to skip), so the pruning is sound on foreign
+    tables too. Comparisons with a NULL column can't be satisfied, so an
+    all-null file (min/max absent, nullCount == numRecords) is skippable
+    for any comparison filter — that case falls out of "no min/max
+    recorded but nullCount present"."""
+    if not data_filters:
+        return files
+    types = {f.name: f.dataType.typeName() for f in snap.schema.fields}
+    pcols = set(snap.partition_columns)
+    for col, _, _ in data_filters:
+        if col not in types:
+            raise ValueError(f"unknown column in data_filters: {col!r}")
+        if col in pcols:
+            raise ValueError(
+                f"{col!r} is a partition column — use partition_filters"
+            )
+    out = {}
+    for path, add in files.items():
+        try:
+            stats = json.loads(add.get("stats") or "{}")
+        except (TypeError, json.JSONDecodeError):
+            stats = {}
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        nulls = stats.get("nullCount") or {}
+        n = stats.get("numRecords")
+        keep = True
+        for col, op, val in data_filters:
+            dtype = types[col]
+            mn = _parse_stat(mins.get(col), dtype)
+            mx = _parse_stat(maxs.get(col), dtype)
+            if mn is None or mx is None:
+                # no usable min/max; the only sound skip is the
+                # provably-all-null file vs a comparison predicate
+                if (
+                    n is not None
+                    and nulls.get(col) is not None
+                    and nulls[col] == n
+                ):
+                    keep = False
+                    break
+                continue
+            vals = list(val) if op == "in" else [val]
+            vals = [_parse_stat(_json_stat(v), dtype) for v in vals]
+            if any(v is None for v in vals):
+                continue
+            if op in ("=", "in"):
+                possible = any(mn <= v <= mx for v in vals)
+            elif op == "<":
+                possible = mn < vals[0]
+            elif op == "<=":
+                possible = mn <= vals[0]
+            elif op == ">":
+                possible = mx > vals[0]
+            elif op == ">=":
+                possible = mx >= vals[0]
+            else:  # != can only be refuted by a constant file; min==max
+                possible = not (mn == mx == vals[0])
+            if not possible:
+                keep = False
+                break
+        if keep:
+            out[path] = add
+    return out
+
+
 def _is_hive_layout(files: dict[str, dict], pcols: list[str]) -> bool:
     """True when every live file sits under the ``col=value/`` directory
     chain its ``partitionValues`` describe — then one basePath-ed scan
@@ -398,6 +476,7 @@ def read_delta(
     version: int | None = None,
     timestamp=None,
     partition_filters: list[tuple] | None = None,
+    data_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table snapshot as a DataFrame.
 
@@ -406,6 +485,13 @@ def read_delta(
     any parquet footer is opened (the at-scale point of the format), and
     re-applied on the DataFrame so semantics are exact even for foreign
     logs with lying directory names.
+
+    ``data_filters``: same triple shape over NON-partition columns —
+    stats-based file skipping from the log's per-file minValues/maxValues
+    (files without stats are kept), then re-applied exactly on the
+    DataFrame. With z-ordered layout (``compact_delta(zorder_by=...)``)
+    this drops most files for a selective predicate on ANY clustered
+    column before Spark opens a single footer.
     """
     if timestamp is not None:
         if version is not None:
@@ -413,6 +499,7 @@ def read_delta(
         version = resolve_timestamp(table, timestamp)
     snap = snapshot(table, version)
     files = _prune_files(snap, partition_filters)
+    files = _prune_data_files(snap, files, data_filters)
     schema = snap.schema
     pcols = snap.partition_columns
 
@@ -454,24 +541,23 @@ def read_delta(
             df = df.unionByName(p)
 
     df = df.select([f.name for f in schema.fields])
-    if partition_filters:
-        for col, op, val in partition_filters:
-            c = F.col(col)
-            if op == "in":
-                cond = c.isin(list(val))
-            elif op == "=":
-                cond = c == val
-            elif op == "!=":
-                cond = c != val
-            elif op == "<":
-                cond = c < val
-            elif op == "<=":
-                cond = c <= val
-            elif op == ">":
-                cond = c > val
-            else:
-                cond = c >= val
-            df = df.filter(cond)
+    for col, op, val in (partition_filters or []) + (data_filters or []):
+        c = F.col(col)
+        if op == "in":
+            cond = c.isin(list(val))
+        elif op == "=":
+            cond = c == val
+        elif op == "!=":
+            cond = c != val
+        elif op == "<":
+            cond = c < val
+        elif op == "<=":
+            cond = c <= val
+        elif op == ">":
+            cond = c > val
+        else:
+            cond = c >= val
+        df = df.filter(cond)
     return df
 
 
@@ -554,6 +640,135 @@ def _num_records(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _staged_write(
+    df: DataFrame,
+    staging: str,
+    pcols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Stage data files with Spark. Timestamps are pinned to
+    TIMESTAMP_MICROS for the write: the INT96 default carries NO usable
+    parquet min/max statistics (its sort order is undefined), which
+    would silently disable ``data_filters`` skipping on every timestamp
+    column. Runtime-settable conf, saved and restored around the job."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        w = df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        w.parquet(staging)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+# stats are written only for types whose parquet min/max round-trip
+# exactly through JSON; strings are EXCLUDED on purpose (parquet writers
+# may truncate long string stats, and a truncated max would make skipping
+# unsound — absent stats just mean "never skip this file on that column")
+_STATS_TYPES = (
+    "byte", "short", "integer", "long", "float", "double",
+    "boolean", "date", "timestamp", "timestamp_ntz",
+)
+
+
+def _json_stat(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _parse_stat(raw, dtype: str):
+    """JSON stat value -> comparable python value for ``dtype``."""
+    if raw is None:
+        return None
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        import datetime as _dt
+
+        if isinstance(raw, str):
+            s = raw.replace("Z", "+00:00")
+            try:
+                v = (
+                    _dt.date.fromisoformat(s)
+                    if dtype == "date"
+                    else _dt.datetime.fromisoformat(s)
+                )
+            except ValueError:
+                return None
+            if getattr(v, "tzinfo", None) is not None:
+                v = v.replace(tzinfo=None)
+            return v
+        return raw
+    if dtype in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if dtype in ("float", "double"):
+        return float(raw)
+    return raw
+
+
+def _file_stats(path: str, schema: StructType, pcols: list[str]) -> str:
+    """Protocol ``stats`` JSON for one data file: numRecords plus
+    min/max/nullCount per eligible top-level column, aggregated across
+    row groups from the parquet FOOTER (a bounded metadata read — the
+    bytes never load)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    eligible = {
+        f.name: f.dataType.typeName()
+        for f in schema.fields
+        if f.name not in pcols and f.dataType.typeName() in _STATS_TYPES
+    }
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    complete = dict.fromkeys(eligible, True)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in eligible:
+                continue
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                nulls[name] = None
+            elif nulls.get(name, 0) is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st is None or not st.has_min_max:
+                # a row group without min/max (e.g. all-null chunk with
+                # some writers) leaves the column's stats usable only if
+                # every OTHER group has them AND this one is all-null
+                if st is not None and st.has_null_count and (
+                    st.null_count == col.num_values + st.null_count
+                    or col.num_values == 0
+                ):
+                    continue
+                complete[name] = False
+                continue
+            mn, mx = st.min, st.max
+            if name not in mins or (mn is not None and mn < mins[name]):
+                mins[name] = mn
+            if name not in maxs or (mx is not None and mx > maxs[name]):
+                maxs[name] = mx
+    out = {"numRecords": md.num_rows, "minValues": {}, "maxValues": {},
+           "nullCount": {}}
+    for name in eligible:
+        if complete[name] and name in mins:
+            out["minValues"][name] = _json_stat(mins[name])
+            out["maxValues"][name] = _json_stat(maxs[name])
+        if nulls.get(name) is not None:
+            out["nullCount"][name] = nulls[name]
+    return json.dumps(out, default=str)
+
+
 def write_delta(
     df: DataFrame,
     table: str,
@@ -629,12 +844,7 @@ def write_delta(
     os.makedirs(table, exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     try:
-        w = df.write.mode("overwrite")
-        if pcols:
-            w = w.partitionBy(*pcols)
-        if max_records_per_file:
-            w = w.option("maxRecordsPerFile", str(max_records_per_file))
-        w.parquet(staging)
+        _staged_write(df, staging, pcols, max_records_per_file)
         staged = _collect_staged_files(staging, pcols)
 
         now_ms = int(time.time() * 1000)
@@ -655,9 +865,7 @@ def write_delta(
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
                         "dataChange": True,
-                        "stats": json.dumps(
-                            {"numRecords": _num_records(dst)}
-                        ),
+                        "stats": _file_stats(dst, df.schema, pcols),
                     }
                 }
             )
@@ -933,10 +1141,7 @@ def merge_delta(
         # stage + commit: removes for victims, adds for the rewrite
         staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
         try:
-            w = out.write.mode("overwrite")
-            if pcols:
-                w = w.partitionBy(*pcols)
-            w.parquet(staging)
+            _staged_write(out, staging, pcols)
             staged = _collect_staged_files(staging, pcols)
             now_ms = int(time.time() * 1000)
             actions: list[dict] = [
@@ -979,8 +1184,8 @@ def merge_delta(
                             "size": os.path.getsize(dst),
                             "modificationTime": now_ms,
                             "dataChange": True,
-                            "stats": json.dumps(
-                                {"numRecords": _num_records(dst)}
+                            "stats": _file_stats(
+                                dst, snap.schema, pcols
                             ),
                         }
                     }
@@ -1006,23 +1211,40 @@ def compact_delta(
     table: str,
     target_file_size: int = 128 * 1024 * 1024,
     partition_filters: list[tuple] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
-    """OPTIMIZE-style bin-packing compaction: partitions whose live files
-    are smaller than ``target_file_size`` are rewritten into fewer files;
-    the commit is ``dataChange: false`` adds/removes (same bytes, new
-    layout), so downstream incremental consumers can skip it. Operates
-    per-partition (optionally restricted by ``partition_filters``) and
-    leaves already-right-sized files alone. Returns the committed
-    version, or None when nothing needed compaction."""
+    """OPTIMIZE-style compaction: small files are bin-packed into fewer
+    right-sized ones; with ``zorder_by`` the selected partitions are
+    REWRITTEN in Morton-curve order (``OPTIMIZE ZORDER BY``) so every
+    output file covers a narrow hyper-rectangle of the clustered columns
+    — per-file minValues/maxValues stay tight on EVERY z-column and
+    :func:`read_delta`'s ``data_filters`` skipping drops most files for
+    a selective predicate on any of them. The commit is ``dataChange:
+    false`` adds/removes (same bytes, new layout), so downstream
+    incremental consumers can skip it. Returns the committed version, or
+    None when nothing qualifies."""
     snap = snapshot(table)
     pcols = snap.partition_columns
     if pcols and not _is_hive_layout(snap.files, pcols):
         raise DeltaProtocolError(
             "compact_delta requires the hive data layout"
         )
+    if zorder_by:
+        bad = [
+            c
+            for c in zorder_by
+            if c in pcols
+            or c not in [f.name for f in snap.schema.fields]
+        ]
+        if bad:
+            raise ValueError(
+                f"zorder_by columns must be non-partition table columns; "
+                f"bad: {bad}"
+            )
     candidates = _prune_files(snap, partition_filters)
-    # group by partition; a group needs compaction when >1 file and all
-    # are under target (bin-packing the small tail)
+    # group by partition; plain compaction packs the >1 small-file tail,
+    # zorder rewrites every selected group with >=1 file (re-clustering
+    # right-sized files is the point of OPTIMIZE ZORDER BY)
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, add in candidates.items():
         key = tuple(
@@ -1031,6 +1253,9 @@ def compact_delta(
         groups.setdefault(key, []).append((rel, add))
     victims: dict[str, dict] = {}
     for key, members in groups.items():
+        if zorder_by:
+            victims.update(dict(members))
+            continue
         small = [
             (rel, add)
             for rel, add in members
@@ -1050,15 +1275,23 @@ def compact_delta(
     )
     total = sum((a.get("size") or 0) for a in victims.values())
     n_out = max(1, -(-total // target_file_size))  # ceil
-    vic_df = vic_df.coalesce(int(n_out))
+    if zorder_by:
+        from pydatalake_spark.dataset.zorder import zorder_key
+
+        z = zorder_key(vic_df, zorder_by)
+        vic_df = (
+            vic_df.withColumn("_z", z)
+            .repartitionByRange(int(n_out), "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        vic_df = vic_df.coalesce(int(n_out))
 
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     moved: list[str] = []
     try:
-        w = vic_df.write.mode("overwrite")
-        if pcols:
-            w = w.partitionBy(*pcols)
-        w.parquet(staging)
+        _staged_write(vic_df, staging, pcols)
         staged = _collect_staged_files(staging, pcols)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -1098,7 +1331,7 @@ def compact_delta(
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
                         "dataChange": False,
-                        "stats": json.dumps({"numRecords": _num_records(dst)}),
+                        "stats": _file_stats(dst, snap.schema, pcols),
                     }
                 }
             )

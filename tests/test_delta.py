@@ -666,3 +666,138 @@ def test_compact_respects_partition_filter(spark, table):
         (3, "b", 3.0),
         (4, "b", 4.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# per-file stats / data skipping / zorder
+# ---------------------------------------------------------------------------
+
+
+def test_add_actions_carry_minmax_stats(spark, table):
+    df = spark.createDataFrame(
+        [Row(k=i, part="a", v=float(i)) for i in range(100)]
+    ).select("k", "part", "v")
+    dl.write_delta(df, table, max_records_per_file=25)
+    snap = dl.snapshot(table)
+    assert len(snap.files) >= 2
+    for add in snap.files.values():
+        st = json.loads(add["stats"])
+        assert st["numRecords"] > 0
+        assert set(st["minValues"]) == {"k", "v"}  # part is a string col
+        assert st["minValues"]["k"] <= st["maxValues"]["k"]
+        assert st["nullCount"]["k"] == 0
+
+
+def test_data_filters_skip_files_and_stay_exact(spark, table):
+    # k sorted ascending, 4 files of 25 rows: k ranges [0,24],[25,49],...
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(100)]
+    ).coalesce(1).sortWithinPartitions("k")
+    dl.write_delta(df, table, max_records_per_file=25)
+    snap = dl.snapshot(table)
+    assert len(snap.files) == 4
+    pruned = dl._prune_data_files(
+        snap, snap.files, [("k", "=", 30)]
+    )
+    assert len(pruned) == 1
+    got = dl.read_delta(spark, table, data_filters=[("k", "=", 30)])
+    assert [r.k for r in got.collect()] == [30]
+    # range op
+    pruned = dl._prune_data_files(snap, snap.files, [("k", ">=", 75)])
+    assert len(pruned) == 1
+    got = dl.read_delta(spark, table, data_filters=[("k", "<", 25)])
+    assert got.count() == 25
+    # partition column refused; unknown column refused
+    with pytest.raises(ValueError, match="unknown column"):
+        dl.read_delta(spark, table, data_filters=[("nope", "=", 1)])
+
+
+def test_data_filters_all_null_file_skipped_missing_stats_kept(spark, table):
+    dl.write_delta(
+        spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]), table
+    )
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(k=None, v=3.0)],
+            schema=dl.snapshot(table).schema,
+        ),
+        table,
+        mode="append",
+    )
+    snap = dl.snapshot(table)
+    # the all-null-k file is refuted for any comparison on k
+    pruned = dl._prune_data_files(snap, snap.files, [("k", ">=", 0)])
+    assert len(pruned) == len(snap.files) - 1
+    # strip stats from the log (foreign minimal table): nothing skips,
+    # values stay exact
+    nostats = {
+        rel: {k2: v2 for k2, v2 in add.items() if k2 != "stats"}
+        for rel, add in snap.files.items()
+    }
+    assert dl._prune_data_files(snap, nostats, [("k", "=", 1)]) == nostats
+    got = dl.read_delta(spark, table, data_filters=[("k", "=", 1)])
+    assert [(r.k, r.v) for r in got.collect()] == [(1, 1.0)]
+
+
+def test_timestamp_stats_skip(spark, table):
+    import datetime as dt
+
+    rows = [
+        Row(ts=dt.datetime(2020, 1, 1) + dt.timedelta(days=i), v=float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows).coalesce(1).sortWithinPartitions("ts")
+    dl.write_delta(df, table, max_records_per_file=10)
+    snap = dl.snapshot(table)
+    assert len(snap.files) == 4
+    cut = dt.datetime(2020, 1, 11)  # first file covers days 0-9
+    pruned = dl._prune_data_files(snap, snap.files, [("ts", "<", cut)])
+    assert len(pruned) == 1
+    got = dl.read_delta(spark, table, data_filters=[("ts", "<", cut)])
+    assert got.count() == 10
+
+
+def test_zorder_compact_tightens_skipping_on_both_columns(spark, table):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(x=rng.randrange(1000), y=rng.randrange(1000), v=float(i))
+        for i in range(4000)
+    ]
+    # row-order layout: every file spans nearly the full x and y range
+    dl.write_delta(
+        spark.createDataFrame(rows).coalesce(1), table,
+        max_records_per_file=500,
+    )
+    before = dl.snapshot(table)
+    assert len(before.files) >= 4
+    total = sum(a["size"] for a in before.files.values())
+    v = dl.compact_delta(
+        spark, table, target_file_size=max(1, total // 8),
+        zorder_by=["x", "y"],
+    )
+    assert v is not None
+    after = dl.snapshot(table)
+    assert len(after.files) >= 4
+    # same data
+    assert dl.read_delta(spark, table).count() == 4000
+    assert (
+        dl.read_delta(spark, table).agg(F.sum("v")).first()[0]
+        == sum(r.v for r in rows)
+    )
+    # skipping on BOTH clustered columns beats the row-order layout,
+    # where every file spanned the whole domain (0 skippable)
+    n_before = len(before.files)
+    for col in ("x", "y"):
+        f = [(col, "<", 100)]
+        kept_before = len(
+            dl._prune_data_files(before, before.files, f)
+        )
+        kept_after = len(dl._prune_data_files(after, after.files, f))
+        assert kept_before == n_before  # row-order: nothing skippable
+        assert kept_after < len(after.files)
+        got = dl.read_delta(spark, table, data_filters=f)
+        want = sum(1 for r in rows if getattr(r, col) < 100)
+        assert got.count() == want
+    assert dl.delta_history(table)[-1]["operation"] == "OPTIMIZE"
