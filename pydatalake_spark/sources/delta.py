@@ -1045,6 +1045,99 @@ def delta_stream_sink(
     return handle
 
 
+def read_delta_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption: rows ADDED in versions
+    ``(from_version, to_version]`` — append-style change feed from the
+    log alone (no CDC files needed for append-mostly pipelines).
+
+    Only ``add`` actions with ``dataChange: true`` count, so an
+    OPTIMIZE/ZORDER rewrite (``dataChange: false``) contributes NOTHING —
+    incremental consumers don't re-see compacted rows. Commits that
+    REMOVE data with ``dataChange: true`` (overwrite, merge rewrites)
+    raise: their row-level deltas are not representable as pure appends,
+    and silently returning the adds would double-count rewritten rows —
+    the caller must re-read the snapshot across such a boundary (this is
+    the same contract as Delta's CDF-less ``readChangeFeed=false``
+    streaming source)."""
+    snap = snapshot(table)  # metadata/schema + protocol checks at HEAD
+    end = snap.version if to_version is None else int(to_version)
+    if from_version > end:
+        raise ValueError(
+            f"from_version {from_version} > to_version {end}"
+        )
+    schema = snap.schema
+    pcols = snap.partition_columns
+    adds: dict[str, dict] = {}
+    for v in range(from_version + 1, end + 1):
+        p = _commit_path(table, v)
+        if not os.path.isfile(p):
+            raise DeltaProtocolError(
+                f"commit {v} is missing (log-cleaned); incremental read "
+                "must restart from a full snapshot"
+            )
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("remove") and a["remove"].get("dataChange", True):
+                    raise DeltaProtocolError(
+                        f"version {v} rewrites data (remove with "
+                        "dataChange=true); re-read the snapshot instead "
+                        "of consuming it incrementally"
+                    )
+                if a.get("add") and a["add"].get("dataChange", True):
+                    add = dict(a["add"])
+                    add["partitionValues"] = _maybe_tuplelist_to_dict(
+                        add.get("partitionValues")
+                    )
+                    adds[unquote(add["path"])] = add
+    if not adds:
+        return spark.createDataFrame([], schema)
+    sub = DeltaSnapshot(
+        table=table, version=end, protocol=snap.protocol,
+        metadata=snap.metadata, files=adds,
+    )
+    # reuse the snapshot read path on the synthetic file set
+    files = sub.files
+    paths = [os.path.join(table, p) for p in files]
+    if not pcols:
+        return spark.read.schema(schema).parquet(*paths).select(
+            [f.name for f in schema.fields]
+        )
+    if _is_hive_layout(files, pcols):
+        return (
+            spark.read.schema(schema)
+            .option("basePath", table)
+            .parquet(*paths)
+            .select([f.name for f in schema.fields])
+        )
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    types = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for path, add in files.items():
+        key = tuple(add["partitionValues"].get(c) for c in pcols)
+        groups.setdefault(key, []).append(os.path.join(table, path))
+    parts = []
+    for key, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        part = spark.read.schema(data_schema).parquet(*grp)
+        for c, raw in zip(pcols, key):
+            part = part.withColumn(c, F.lit(raw).cast(types[c]))
+        parts.append(part.select([f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # merge (upsert) / compaction
 # ---------------------------------------------------------------------------

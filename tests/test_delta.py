@@ -801,3 +801,67 @@ def test_zorder_compact_tightens_skipping_on_both_columns(spark, table):
         want = sum(1 for r in rows if getattr(r, col) < 100)
         assert got.count() == want
     assert dl.delta_history(table)[-1]["operation"] == "OPTIMIZE"
+
+
+def test_scan_reads_only_pruned_files(spark, table):
+    """inputFiles() pins that pruning happens at the SCAN, not post-hoc:
+    partition_filters and data_filters shrink the actual file list Spark
+    opens, before any footer/row is read."""
+    df = spark.createDataFrame(
+        [Row(k=i, part=str(i % 3), v=float(i)) for i in range(90)]
+    ).select("k", "part", "v").sortWithinPartitions("k")
+    dl.write_delta(df, table, partition_by=["part"], max_records_per_file=10)
+    base = dl.read_delta(spark, table)
+    n_all = len(base.inputFiles())
+    assert n_all >= 6
+    part_pruned = dl.read_delta(
+        spark, table, partition_filters=[("part", "=", "1")]
+    )
+    assert 0 < len(part_pruned.inputFiles()) < n_all
+    data_pruned = dl.read_delta(
+        spark, table, data_filters=[("k", "<", 10)]
+    )
+    assert 0 < len(data_pruned.inputFiles()) < n_all
+
+
+def test_read_delta_changes_incremental(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="append")
+    dl.write_delta(_mkdf(spark, [(3, "c", 3.0)]), table, mode="append")
+    # changes since v0 = the two appended rows
+    got = _collect(dl.read_delta_changes(spark, table, from_version=0))
+    assert got == [(2, "b", 2.0), (3, "c", 3.0)]
+    # bounded range
+    got = _collect(
+        dl.read_delta_changes(spark, table, from_version=0, to_version=1)
+    )
+    assert got == [(2, "b", 2.0)]
+    # empty range (from == HEAD) -> empty df with the table schema
+    empty = dl.read_delta_changes(spark, table, from_version=2)
+    assert empty.count() == 0 and empty.columns == ["k", "part", "v"]
+    with pytest.raises(ValueError, match="from_version"):
+        dl.read_delta_changes(spark, table, from_version=9)
+
+
+def test_read_delta_changes_skips_compaction_refuses_rewrites(spark, table):
+    for i in range(3):
+        dl.write_delta(
+            _mkdf(spark, [(i, "a", float(i))]),
+            table,
+            mode="append" if i else "error",
+        )
+    v_opt = dl.compact_delta(spark, table, target_file_size=1 << 20)
+    assert v_opt is not None
+    # the OPTIMIZE commit contributes nothing to the change feed
+    got = dl.read_delta_changes(spark, table, from_version=2)
+    assert got.count() == 0
+    # a data rewrite (overwrite) across the range refuses loudly
+    dl.write_delta(_mkdf(spark, [(9, "z", 9.0)]), table, mode="overwrite")
+    with pytest.raises(dl.DeltaProtocolError, match="rewrites data"):
+        dl.read_delta_changes(spark, table, from_version=2)
+    # but a range strictly after the rewrite works again
+    dl.write_delta(_mkdf(spark, [(10, "y", 10.0)]), table, mode="append")
+    got = _collect(
+        dl.read_delta_changes(spark, table, from_version=v_opt + 1)
+    )
+    assert got == [(10, "y", 10.0)]

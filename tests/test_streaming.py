@@ -418,3 +418,55 @@ def test_stream_quality_screen_rejects_half_triple(spark, tmpdir_path):
         stream_quality_screen(
             spark, tmpdir_path, schema, {0: 1}, bloom_hashes=5
         )
+
+
+def test_stream_delta_sink_exactly_once(spark, events, tmpdir_path):
+    """Structured Streaming -> Delta table through delta_stream_sink
+    (foreachBatch + txn watermark): the streamed table equals the batch
+    write, and RE-RUNNING the stream from a FRESH checkpoint (Spark
+    redelivers every batch with the same batchIds) appends nothing —
+    the exactly-once watermark lives in the Delta log, not in the
+    stream's checkpoint."""
+    import shutil as _sh
+
+    from pydatalake_spark.sources import delta as dl
+
+    src_dir = os.path.join(tmpdir_path, "delta_src")
+    data = events.select("user_id", "ts", "value").limit(400)
+    data.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    table = os.path.join(tmpdir_path, "delta_tbl")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                dl.delta_stream_sink(table, app_id="evt_ingest")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(os.path.join(tmpdir_path, "ckpt1"))
+    n_batch = data.count()
+    assert dl.read_delta(spark, table).count() == n_batch
+    v_after = dl.snapshot(table).version
+
+    # fresh checkpoint -> full redelivery; txn watermark rejects it all
+    run(os.path.join(tmpdir_path, "ckpt2"))
+    assert dl.read_delta(spark, table).count() == n_batch
+    assert dl.snapshot(table).version == v_after
+    # values, not just counts
+    a = sorted(
+        (r.user_id, r.ts, r.value)
+        for r in dl.read_delta(spark, table).collect()
+    )
+    b = sorted((r.user_id, r.ts, r.value) for r in data.collect())
+    assert a == b
