@@ -224,7 +224,38 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
     # commitInfo / cdc / domainMetadata: no effect on file state
 
 
+def _decode_map_column(arr) -> list[dict | None]:
+    """MapArray -> list of dicts via flat offsets — ~10x cheaper than
+    ``to_pylist()``'s per-row tuple lists on 100k-row checkpoints."""
+    try:
+        out: list[dict | None] = []
+        for chunk in getattr(arr, "chunks", [arr]):
+            offsets = chunk.offsets.to_pylist()
+            keys = chunk.keys.to_pylist()
+            items = chunk.items.to_pylist()
+            valid = chunk.is_valid().to_pylist()
+            for i in range(len(chunk)):
+                if not valid[i]:
+                    out.append(None)
+                    continue
+                lo, hi = offsets[i], offsets[i + 1]
+                out.append(
+                    {keys[j]: items[j] for j in range(lo, hi)}
+                    if hi > lo
+                    else {}
+                )
+        return out
+    except (AttributeError, TypeError):
+        # foreign checkpoints may encode this as list<struct> instead of
+        # map — fall back to the generic decoder
+        return [
+            _maybe_tuplelist_to_dict(v) if v is not None else None
+            for v in arr.to_pylist()
+        ]
+
+
 def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     path = _checkpoint_path(snap.table, cp_version)
@@ -239,13 +270,58 @@ def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
         for c in ("protocol", "metaData", "add", "remove", "txn")
         if c in pf.schema_arrow.names
     ]
-    # stream record batches so a million-file checkpoint never needs the
-    # whole table in memory at once
+    # Stream record batches so a million-file checkpoint never holds the
+    # whole table at once. The hot column (add) is decoded COLUMN-WISE —
+    # row-wise batch.to_pylist() built a nested dict per row across every
+    # action column (mostly nulls) and was ~5x SLOWER than raw JSON
+    # replay at 100k files (caught by tools/probe_delta_log.py).
     for batch in pf.iter_batches(columns=cols):
-        for row in batch.to_pylist():
-            for key in cols:
-                if row.get(key) is not None:
-                    _apply_action(snap, {key: row[key]})
+        for key in ("protocol", "metaData", "remove", "txn"):
+            if key not in cols:
+                continue
+            col = batch.column(batch.schema.get_field_index(key))
+            if col.null_count == len(col):
+                continue
+            # filter-first: decoding 100k complex NULLs row-wise costs
+            # ~250ms/batch; decoding the ~1 real row costs ~1ms
+            for row in col.filter(col.is_valid()).to_pylist():
+                if row is not None:
+                    _apply_action(snap, {key: row})
+        if "add" in cols:
+            add = batch.column(batch.schema.get_field_index("add"))
+            if add.null_count == len(add):
+                continue
+            present = {f.name for f in add.type}
+            fields = {
+                name: pc.struct_field(add, name).to_pylist()
+                for name in (
+                    "path", "size", "modificationTime", "dataChange",
+                    "stats",
+                )
+                if name in present
+            }
+            paths = fields.get("path", [])
+            pvals = (
+                _decode_map_column(pc.struct_field(add, "partitionValues"))
+                if "partitionValues" in present
+                else [None] * len(paths)
+            )
+            sizes = fields.get("size", [None] * len(paths))
+            mods = fields.get("modificationTime", [None] * len(paths))
+            dcs = fields.get("dataChange", [None] * len(paths))
+            stats = fields.get("stats", [None] * len(paths))
+            vmask = add.is_valid().to_pylist()
+            for i, ok in enumerate(vmask):
+                if not ok or paths[i] is None:
+                    continue
+                snap.files[unquote(paths[i])] = {
+                    "path": paths[i],
+                    "partitionValues": pvals[i] or {},
+                    "size": sizes[i],
+                    "modificationTime": mods[i],
+                    "dataChange": dcs[i],
+                    "stats": stats[i],
+                }
 
 
 def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:

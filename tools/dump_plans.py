@@ -118,6 +118,13 @@ PICKS = {
         "map-side over the cached (cell, codes) index; the only "
         "exchange is the per-query rank window"
     ),
+    "delta_stats_skip": (
+        "r11: Delta-log data skipping — the FileScan's file list comes "
+        "from the transaction log with every v1 file refuted by its "
+        "logged minValues BEFORE the scan (3 of 6 files at sf0.01; no "
+        "directory LIST anywhere); the residual date filter is pushed "
+        "into the remaining scan, then one partial-combined aggregate"
+    ),
 }
 
 
