@@ -1638,6 +1638,31 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
     return cp
 
 
+def cleanup_delta_log(
+    table: str, retention_hours: float = 720.0
+) -> list[int]:
+    """Log retention: delete JSON commits that are (a) at or before the
+    last checkpoint — the checkpoint supersedes them — AND (b) older
+    than the retention window. Time travel to a cleaned version stops
+    working (same contract as delta.logRetentionDuration); the current
+    snapshot and everything after the checkpoint are untouched. Returns
+    the versions removed."""
+    cp = _read_last_checkpoint(table)
+    if cp is None:
+        return []
+    cutoff = time.time() - retention_hours * 3600
+    removed = []
+    for v in _list_commit_versions(table):
+        if v > cp["version"]:
+            break
+        p = _commit_path(table, v)
+        if _commit_timestamp(table, v) >= cutoff:
+            continue
+        os.unlink(p)
+        removed.append(v)
+    return removed
+
+
 def delta_history(table: str) -> list[dict]:
     """[{version, timestamp, operation, userMetadata}] oldest-first."""
     out = []

@@ -865,3 +865,26 @@ def test_read_delta_changes_skips_compaction_refuses_rewrites(spark, table):
         dl.read_delta_changes(spark, table, from_version=v_opt + 1)
     )
     assert got == [(10, "y", 10.0)]
+
+
+def test_cleanup_delta_log_retention(spark, table):
+    for i in range(4):
+        dl.write_delta(
+            _mkdf(spark, [(i, "a", float(i))]),
+            table,
+            mode="append" if i else "error",
+            checkpoint_interval=2,
+        )
+    # no checkpoint pointer -> nothing may be cleaned
+    assert dl._read_last_checkpoint(table)["version"] == 2
+    # inside retention -> nothing removed
+    assert dl.cleanup_delta_log(table, retention_hours=1) == []
+    removed = dl.cleanup_delta_log(table, retention_hours=0)
+    assert removed == [0, 1, 2]
+    # current snapshot unharmed (checkpoint + v3)
+    got = _collect(dl.read_delta(spark, table))
+    assert [g[0] for g in got] == [0, 1, 2, 3]
+    # time travel BEFORE the checkpoint is gone, at/after it still works
+    with pytest.raises(dl.DeltaProtocolError):
+        dl.read_delta(spark, table, version=1)
+    assert dl.read_delta(spark, table, version=3).count() == 4
