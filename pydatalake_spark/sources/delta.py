@@ -451,6 +451,16 @@ def _prune_files(
     return out
 
 
+def _resolve_path(table: str, rel: str) -> str:
+    """add.path may be table-relative (normal) or absolute (the spec
+    allows it, e.g. shallow-cloned tables)."""
+    if rel.startswith("file://"):
+        return rel[len("file://"):]
+    if rel.startswith("/") or "://" in rel:
+        return rel
+    return os.path.join(table, rel)
+
+
 def _prune_data_files(
     snap: DeltaSnapshot, files: dict[str, dict],
     data_filters: list[tuple] | None,
@@ -582,7 +592,7 @@ def read_delta(
     if not files:
         return spark.createDataFrame([], schema)
 
-    paths = [os.path.join(table, p) for p in files]
+    paths = [_resolve_path(table, p) for p in files]
     if not pcols:
         df = spark.read.schema(schema).parquet(*paths)
     elif _is_hive_layout(files, pcols):
@@ -603,7 +613,7 @@ def read_delta(
         groups: dict[tuple, list[str]] = {}
         for path, add in files.items():
             key = tuple(add["partitionValues"].get(c) for c in pcols)
-            groups.setdefault(key, []).append(os.path.join(table, path))
+            groups.setdefault(key, []).append(_resolve_path(table, path))
         parts = []
         for key, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
             part = spark.read.schema(data_schema).parquet(*grp)
@@ -1182,7 +1192,7 @@ def read_delta_changes(
     )
     # reuse the snapshot read path on the synthetic file set
     files = sub.files
-    paths = [os.path.join(table, p) for p in files]
+    paths = [_resolve_path(table, p) for p in files]
     if not pcols:
         return spark.read.schema(schema).parquet(*paths).select(
             [f.name for f in schema.fields]
@@ -1201,7 +1211,7 @@ def read_delta_changes(
     groups: dict[tuple, list[str]] = {}
     for path, add in files.items():
         key = tuple(add["partitionValues"].get(c) for c in pcols)
-        groups.setdefault(key, []).append(os.path.join(table, path))
+        groups.setdefault(key, []).append(_resolve_path(table, path))
     parts = []
     for key, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
         part = spark.read.schema(data_schema).parquet(*grp)
@@ -1290,7 +1300,7 @@ def merge_delta(
         }
 
         if victims:
-            vic_paths = [os.path.join(table, p) for p in victims]
+            vic_paths = [_resolve_path(table, p) for p in victims]
             reader = spark.read.schema(snap.schema)
             if pcols:
                 reader = reader.option("basePath", table)
@@ -1363,6 +1373,10 @@ def merge_delta(
             shutil.rmtree(staging, ignore_errors=True)
         try:
             _write_commit(table, snap.version + 1, actions)
+            if (snap.version + 1) % DEFAULT_CHECKPOINT_INTERVAL == 0:
+                # long-lived upsert targets keep replay bounded the same
+                # way the append path does
+                write_checkpoint(table, snap.version + 1)
             return snap.version + 1
         except DeltaConcurrentCommit as e:
             for rel in moved:
@@ -1435,7 +1449,7 @@ def compact_delta(
     if not victims:
         return None
 
-    vic_paths = [os.path.join(table, p) for p in victims]
+    vic_paths = [_resolve_path(table, p) for p in victims]
     reader = spark.read.schema(snap.schema)
     if pcols:
         reader = reader.option("basePath", table)
@@ -1515,6 +1529,8 @@ def compact_delta(
             except OSError:
                 pass
         raise
+    if (snap.version + 1) % DEFAULT_CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(table, snap.version + 1)
     return snap.version + 1
 
 

@@ -888,3 +888,32 @@ def test_cleanup_delta_log_retention(spark, table):
     with pytest.raises(dl.DeltaProtocolError):
         dl.read_delta(spark, table, version=1)
     assert dl.read_delta(spark, table, version=3).count() == 4
+
+
+def test_absolute_path_add_actions_read(spark, table, tmpdir_path):
+    """The spec allows absolute add.path (e.g. shallow clones): files
+    living OUTSIDE the table dir must resolve and read."""
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    ext = os.path.join(tmpdir_path, "external.parquet")
+    _mkdf(spark, [(2, "b", 2.0)]).coalesce(1).write.parquet(ext + ".dir")
+    part = next(
+        f for f in os.listdir(ext + ".dir") if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(ext + ".dir", part), ext)
+    dl._write_commit(
+        table,
+        1,
+        [
+            {
+                "add": {
+                    "path": "file://" + ext,
+                    "partitionValues": {},
+                    "size": os.path.getsize(ext),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        ],
+    )
+    got = _collect(dl.read_delta(spark, table))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
