@@ -866,6 +866,7 @@ def write_delta(
     user_metadata: dict | None = None,
     txn: dict | None = None,
     max_records_per_file: int | None = None,
+    merge_schema: bool = False,
     _assume_version: int | None = None,
 ) -> int:
     """Write ``df`` as one Delta commit; returns the committed version.
@@ -894,13 +895,53 @@ def write_delta(
                 f"partition_by {list(partition_by)} != table's "
                 f"{prev.partition_columns}"
             )
+    evolved_schema: StructType | None = None
     if prev is not None and mode == "append":
         if _schema_key(df.schema) != _schema_key(prev.schema):
-            raise ValueError(
-                "append schema mismatch (schema evolution requires "
-                f"overwrite with overwrite_schema=True):\n  df:    "
-                f"{_schema_key(df.schema)}\n  table: "
-                f"{_schema_key(prev.schema)}"
+            if not merge_schema:
+                raise ValueError(
+                    "append schema mismatch (pass merge_schema=True for "
+                    "additive evolution, or overwrite with "
+                    f"overwrite_schema=True):\n  df:    "
+                    f"{_schema_key(df.schema)}\n  table: "
+                    f"{_schema_key(prev.schema)}"
+                )
+            # ADDITIVE evolution only (Delta's mergeSchema happy path):
+            # new nullable columns appended; columns present on both
+            # sides must have identical types — silent type promotion
+            # would require old files to upcast at read, which the
+            # vectorized parquet reader refuses for several pairs
+            t_types = dict(_schema_key(prev.schema))
+            d_types = dict(_schema_key(df.schema))
+            clash = [
+                c
+                for c in t_types
+                if c in d_types and d_types[c] != t_types[c]
+            ]
+            if clash:
+                raise ValueError(
+                    f"merge_schema is additive-only; type changes on "
+                    f"{clash} require overwrite with overwrite_schema"
+                )
+            from pyspark.sql.types import StructField
+
+            evolved_schema = StructType(
+                list(prev.schema.fields)
+                + [
+                    StructField(f.name, f.dataType, True)
+                    for f in df.schema.fields
+                    if f.name not in t_types
+                ]
+            )
+            # align the batch to the evolved schema (missing table
+            # columns -> typed nulls, column order fixed)
+            df = df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in d_types
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in evolved_schema.fields
+                ]
             )
     if (
         prev is not None
@@ -1004,6 +1045,10 @@ def write_delta(
                 }
             }
         )
+    elif evolved_schema is not None:
+        meta = dict(prev.metadata)
+        meta["schemaString"] = evolved_schema.json()
+        actions.append({"metaData": meta})
     elif mode == "overwrite":
         meta = dict(prev.metadata)
         if overwrite_schema:
@@ -1652,6 +1697,82 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
         json.dump({"version": snap.version, "size": t.num_rows}, f)
     os.replace(tmp, ptr)
     return cp
+
+
+def restore_delta(table: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF: one METADATA-ONLY commit that
+    re-adds the target snapshot's files and removes the current ones —
+    no data bytes move, and the restore itself is time-travelable /
+    revertible like any other commit. Raises if vacuum already deleted
+    any file the target snapshot references."""
+    old = snapshot(table, version)
+    head = snapshot(table)
+    if version == head.version:
+        return head.version
+    missing = [
+        rel
+        for rel in old.files
+        if not os.path.isfile(_resolve_path(table, rel))
+    ]
+    if missing:
+        raise DeltaProtocolError(
+            f"cannot restore to version {version}: {len(missing)} file(s) "
+            f"were vacuumed, e.g. {missing[0]!r}"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "engineInfo": "pydatalake_spark-native-delta",
+            }
+        },
+        {"metaData": old.metadata},
+    ]
+    for rel, add in head.files.items():
+        if rel not in old.files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": add.get("partitionValues"),
+                        "size": add.get("size"),
+                    }
+                }
+            )
+    for rel, add in old.files.items():
+        if rel not in head.files:
+            actions.append({"add": {**add, "dataChange": True}})
+    _write_commit(table, head.version + 1, actions)
+    return head.version + 1
+
+
+def describe_delta(table: str) -> dict:
+    """DESCRIBE DETAIL: bounded scalars from the snapshot — no data
+    read."""
+    snap = snapshot(table)
+    meta = snap.metadata or {}
+    return {
+        "version": snap.version,
+        "numFiles": len(snap.files),
+        "sizeInBytes": sum(
+            (a.get("size") or 0) for a in snap.files.values()
+        ),
+        "numRecords": sum(
+            json.loads(a["stats"]).get("numRecords", 0)
+            for a in snap.files.values()
+            if a.get("stats")
+        ),
+        "partitionColumns": snap.partition_columns,
+        "configuration": meta.get("configuration") or {},
+        "protocol": snap.protocol,
+        "id": meta.get("id"),
+        "createdTime": meta.get("createdTime"),
+    }
 
 
 def cleanup_delta_log(

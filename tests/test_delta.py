@@ -917,3 +917,73 @@ def test_absolute_path_add_actions_read(spark, table, tmpdir_path):
     )
     got = _collect(dl.read_delta(spark, table))
     assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+# ---------------------------------------------------------------------------
+# schema evolution / restore / describe
+# ---------------------------------------------------------------------------
+
+
+def test_merge_schema_additive_append(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    from pyspark.sql import Row as R
+
+    newer = spark.createDataFrame(
+        [R(k=2, part="b", v=2.0, lang="en")]
+    ).select("k", "part", "v", "lang")
+    # without the flag: refused
+    with pytest.raises(ValueError, match="merge_schema"):
+        dl.write_delta(newer, table, mode="append")
+    dl.write_delta(newer, table, mode="append", merge_schema=True)
+    got = dl.read_delta(spark, table)
+    assert got.columns == ["k", "part", "v", "lang"]
+    rows = {r.k: r.lang for r in got.collect()}
+    # old files read NULL for the new column
+    assert rows == {1: None, 2: "en"}
+    # a batch MISSING a table column also aligns (typed nulls)
+    older = spark.createDataFrame([R(k=3, part="c")]).select("k", "part")
+    dl.write_delta(older, table, mode="append", merge_schema=True)
+    r3 = [r for r in dl.read_delta(spark, table).collect() if r.k == 3][0]
+    assert r3.v is None and r3.lang is None
+    # type CHANGES stay refused even with the flag
+    clash = spark.createDataFrame([R(k="x", part="d")]).select("k", "part")
+    with pytest.raises(ValueError, match="additive-only"):
+        dl.write_delta(clash, table, mode="append", merge_schema=True)
+
+
+def test_restore_delta_metadata_only(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="append")
+    dl.write_delta(_mkdf(spark, [(9, "z", 9.0)]), table, mode="overwrite")
+    assert _collect(dl.read_delta(spark, table)) == [(9, "z", 9.0)]
+    v = dl.restore_delta(table, 1)
+    assert v == 3
+    assert _collect(dl.read_delta(spark, table)) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    # the restore is itself a commit: travel back to the overwrite state
+    assert _collect(dl.read_delta(spark, table, version=2)) == [
+        (9, "z", 9.0)
+    ]
+    assert dl.delta_history(table)[-1]["operation"] == "RESTORE"
+    # restoring to a vacuumed version refuses loudly
+    dl.vacuum_delta(table, retention_hours=0)
+    with pytest.raises(dl.DeltaProtocolError, match="vacuumed"):
+        dl.restore_delta(table, 2)
+
+
+def test_describe_delta(spark, table):
+    dl.write_delta(
+        _mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        table,
+        partition_by=["part"],
+        configuration={"delta.appendOnly": "true"},
+    )
+    d = dl.describe_delta(table)
+    assert d["version"] == 0
+    assert d["numFiles"] == 2
+    assert d["numRecords"] == 2
+    assert d["partitionColumns"] == ["part"]
+    assert d["configuration"] == {"delta.appendOnly": "true"}
+    assert d["sizeInBytes"] > 0
