@@ -896,6 +896,13 @@ def write_delta(
                 f"{prev.partition_columns}"
             )
     evolved_schema: StructType | None = None
+    if prev is not None and mode in ("append", "overwrite"):
+        # column ORDER is not identity: same names+types in a different
+        # order align by name to the table's order (unionByName spirit)
+        if _schema_key(df.schema) != _schema_key(prev.schema) and sorted(
+            _schema_key(df.schema)
+        ) == sorted(_schema_key(prev.schema)):
+            df = df.select([f.name for f in prev.schema.fields])
     if prev is not None and mode == "append":
         if _schema_key(df.schema) != _schema_key(prev.schema):
             if not merge_schema:
@@ -1697,6 +1704,108 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
         json.dump({"version": snap.version, "size": t.num_rows}, f)
     os.replace(tmp, ptr)
     return cp
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_schema: StructType | None = None,
+    configuration: dict | None = None,
+) -> int:
+    """CONVERT TO DELTA: adopt an existing parquet dataset in place — a
+    one-time directory walk builds add actions (size, partitionValues
+    from hive dirs, numRecords + min/max stats from each footer) and
+    commits version 0; NO data bytes are rewritten or moved. This is the
+    single LIST the table will ever need: every later read resolves its
+    file list from the log. Hive-partitioned layouts need
+    ``partition_schema`` (a StructType of the partition columns — Spark
+    can no longer infer them once reads go through the log); flat
+    layouts need nothing."""
+    if is_delta_table(path) and _has_commits(path):
+        raise FileExistsError(f"already a Delta table: {path}")
+    pcols = [f.name for f in (partition_schema or StructType([]))]
+    data_files: list[tuple[str, dict]] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in sorted(names):
+            if not name.endswith(".parquet") or name.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, path)
+            comps = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pvals: dict[str, str | None] = {}
+            for comp in comps:
+                k, eq, v = comp.partition("=")
+                if not eq:
+                    raise DeltaProtocolError(
+                        f"non-hive subdirectory {comp!r} under {path}; "
+                        "convert supports flat or key=value layouts"
+                    )
+                v = unquote(v)
+                pvals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
+            if sorted(pvals) != sorted(pcols):
+                raise DeltaProtocolError(
+                    f"file {full!r} has partition dirs {sorted(pvals)} "
+                    f"but partition_schema names {sorted(pcols)} — pass "
+                    "the matching partition_schema"
+                )
+            rel = "/".join(comps + [name]) if comps else name
+            data_files.append((rel, pvals))
+    if not data_files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+
+    # schema from the data files (distributed read of footers), with the
+    # partition columns appended from the caller's declaration
+    sample = spark.read.parquet(
+        *[_resolve_path(path, rel) for rel, _ in data_files[:1]]
+    )
+    data_fields = [f for f in sample.schema.fields if f.name not in pcols]
+    full_schema = StructType(
+        data_fields + list((partition_schema or StructType([])).fields)
+    )
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {"numFiles": len(data_files)},
+                "engineInfo": "pydatalake_spark-native-delta",
+            }
+        },
+        {"protocol": dict(PROTOCOL)},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": full_schema.json(),
+                "partitionColumns": pcols,
+                "configuration": dict(configuration or {}),
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for rel, pvals in data_files:
+        full = _resolve_path(path, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": quote(rel, safe="/=.-_"),
+                    "partitionValues": {c: pvals.get(c) for c in pcols},
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(
+                        os.path.getmtime(full) * 1000
+                    ),
+                    "dataChange": True,
+                    "stats": _file_stats(full, full_schema, pcols),
+                }
+            }
+        )
+    _write_commit(path, 0, actions)
+    return 0
 
 
 def restore_delta(table: str, version: int) -> int:

@@ -987,3 +987,70 @@ def test_describe_delta(spark, table):
     assert d["partitionColumns"] == ["part"]
     assert d["configuration"] == {"delta.appendOnly": "true"}
     assert d["sizeInBytes"] > 0
+
+
+def test_convert_to_delta_in_place(spark, tmpdir_path):
+    """CONVERT TO DELTA adopts an existing hive-partitioned parquet
+    dataset without touching its data files; subsequent reads resolve
+    through the log (time travel, pruning, stats all work)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = os.path.join(tmpdir_path, "plain")
+    df = _mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)])
+    df.write.partitionBy("part").parquet(path)
+    before = {
+        os.path.join(r, n): os.path.getmtime(os.path.join(r, n))
+        for r, _, ns in os.walk(path)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    v = dl.convert_to_delta(
+        spark,
+        path,
+        partition_schema=StructType([StructField("part", StringType())]),
+    )
+    assert v == 0
+    # data untouched (same files, same mtimes)
+    after = {
+        os.path.join(r, n): os.path.getmtime(os.path.join(r, n))
+        for r, _, ns in os.walk(path)
+        for n in ns
+        if n.endswith(".parquet") and dl.LOG_DIR not in r
+    }
+    assert after == before
+    got = _collect(dl.read_delta(spark, path))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+    # pruning works off the adopted log
+    got = _collect(
+        dl.read_delta(spark, path, partition_filters=[("part", "=", "a")])
+    )
+    assert got == [(1, "a", 1.0), (3, "a", 3.0)]
+    # appends continue the log
+    dl.write_delta(_mkdf(spark, [(4, "c", 4.0)]), path, mode="append")
+    assert dl.snapshot(path).version == 1
+    assert dl.read_delta(spark, path).count() == 4
+    # double-convert refused
+    with pytest.raises(FileExistsError):
+        dl.convert_to_delta(spark, path)
+
+
+def test_convert_to_delta_flat_layout(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "flat")
+    _mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(2).write.parquet(
+        path
+    )
+    dl.convert_to_delta(spark, path)
+    snap = dl.snapshot(path)
+    assert snap.partition_columns == []
+    assert all(a.get("stats") for a in snap.files.values())
+    assert _collect(dl.read_delta(spark, path)) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+    ]
+    # partition_schema mismatch on a hive layout is refused
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path2 = os.path.join(tmpdir_path, "hive2")
+    _mkdf(spark, [(1, "a", 1.0)]).write.partitionBy("part").parquet(path2)
+    with pytest.raises(dl.DeltaProtocolError, match="partition_schema"):
+        dl.convert_to_delta(spark, path2)  # forgot the schema
