@@ -455,3 +455,116 @@ def test_feather_dir_mixed_schema_matches_unify_model(spark, files):
         assert got == expected
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Delta stats pruning soundness (pure logic, no Spark needed)
+# ---------------------------------------------------------------------------
+
+_vals = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+_files = st.lists(
+    st.lists(_vals, min_size=0, max_size=6), min_size=1, max_size=6
+)
+_ops = st.sampled_from(["=", "!=", "<", "<=", ">", ">=", "in"])
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(files=_files, op=_ops, val=st.integers(min_value=-6, max_value=6))
+def test_delta_stats_pruning_is_sound(files, op, val):
+    """A file that CONTAINS a matching row is NEVER pruned, for every
+    operator, including all-null files, empty files, and files whose
+    stats are absent. (Soundness only — pruning is allowed to keep
+    non-matching files, never to drop matching ones.)"""
+    import json as _json
+
+    from pydatalake_spark.sources import delta as dl
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    snap = dl.DeltaSnapshot(
+        table="/nonexistent",
+        version=0,
+        metadata={
+            "schemaString": StructType(
+                [StructField("k", LongType())]
+            ).json(),
+            "partitionColumns": [],
+        },
+    )
+    file_map = {}
+    expect_match = {}
+    for i, rows_ in enumerate(files):
+        nonnull = [r for r in rows_ if r is not None]
+        stats = {"numRecords": len(rows_), "nullCount": {"k": len(rows_) - len(nonnull)}}
+        if nonnull:
+            stats["minValues"] = {"k": min(nonnull)}
+            stats["maxValues"] = {"k": max(nonnull)}
+        # every OTHER file gets no stats at all (foreign minimal table)
+        add = {"path": f"f{i}", "partitionValues": {}}
+        if i % 2 == 0:
+            add["stats"] = _json.dumps(stats)
+        file_map[f"f{i}"] = add
+
+        fv = [val, val + 1] if op == "in" else val
+        def match(r, op=op, fv=fv):
+            if r is None:
+                return False  # SQL comparison with NULL is never true
+            if op == "=":
+                return r == fv
+            if op == "!=":
+                return r != fv
+            if op == "<":
+                return r < fv
+            if op == "<=":
+                return r <= fv
+            if op == ">":
+                return r > fv
+            if op == ">=":
+                return r >= fv
+            return r in fv
+        expect_match[f"f{i}"] = any(match(r) for r in rows_)
+
+    fv = (val, val + 1) if op == "in" else val
+    pruned = dl._prune_data_files(snap, file_map, [("k", op, fv)])
+    for name, has_match in expect_match.items():
+        if has_match:
+            assert name in pruned, (
+                f"UNSOUND: file {name} with a matching row was pruned "
+                f"(op={op}, val={fv}, rows={files[int(name[1:])]})"
+            )
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    maps=st.lists(
+        st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.text(min_size=1, max_size=4),
+                st.one_of(st.none(), st.text(max_size=4)),
+                max_size=4,
+            ),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_decode_map_column_matches_to_pylist(maps):
+    """The offsets-based fast map decoder equals pyarrow's row-wise
+    decode for every mix of null rows, empty maps, and null values."""
+    import pyarrow as pa
+
+    from pydatalake_spark.sources.delta import (
+        _decode_map_column,
+        _maybe_tuplelist_to_dict,
+    )
+
+    arr = pa.array(
+        [None if m is None else list(m.items()) for m in maps],
+        type=pa.map_(pa.string(), pa.string()),
+    )
+    fast = _decode_map_column(arr)
+    slow = [
+        None if v is None else _maybe_tuplelist_to_dict(v)
+        for v in arr.to_pylist()
+    ]
+    assert fast == slow
