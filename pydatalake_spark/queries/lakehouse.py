@@ -51,7 +51,7 @@ def q(name: str, sql: str | None = None):
 
 _CUT = "1998-01-01 00:00:00"
 # bump when the fixture layout/stats format changes so stale tables rebuild
-_FIXTURE_GEN = "gen2-stats"
+_FIXTURE_GEN = "gen3-stats-allnull"
 
 
 def _orders_delta(spark: SparkSession, sf: str) -> str:

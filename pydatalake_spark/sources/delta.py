@@ -824,34 +824,43 @@ def _file_stats(path: str, schema: StructType, pcols: list[str]) -> str:
             if name not in eligible:
                 continue
             st = col.statistics
-            if st is None or not st.has_null_count:
-                nulls[name] = None
-            elif nulls.get(name, 0) is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
-            if st is None or not st.has_min_max:
-                # a row group without min/max (e.g. all-null chunk with
-                # some writers) leaves the column's stats usable only if
-                # every OTHER group has them AND this one is all-null
-                if st is not None and st.has_null_count and (
-                    st.null_count == col.num_values + st.null_count
-                    or col.num_values == 0
-                ):
-                    continue
+            # NOTE: col.num_values counts ROWS in the chunk INCLUDING
+            # nulls (an all-null 1-row group reads num_values=1,
+            # null_count=1) — the soundness property test caught the
+            # first version treating it as the non-null count
+            n_rows = col.num_values
+            if st is not None and st.has_null_count:
+                if nulls.get(name, 0) is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+            elif n_rows > 0:
+                nulls[name] = None  # unknown nulls in a non-empty group
+            if st is not None and st.has_min_max:
+                mn, mx = st.min, st.max
+                if name not in mins or (mn is not None and mn < mins[name]):
+                    mins[name] = mn
+                if name not in maxs or (mx is not None and mx > maxs[name]):
+                    maxs[name] = mx
+            elif n_rows == 0 or (
+                st is not None
+                and st.has_null_count
+                and st.null_count == n_rows
+            ):
+                # empty or provably all-null group: contributes nothing
+                # to min/max and doesn't invalidate the other groups'
+                pass
+            else:
                 complete[name] = False
-                continue
-            mn, mx = st.min, st.max
-            if name not in mins or (mn is not None and mn < mins[name]):
-                mins[name] = mn
-            if name not in maxs or (mx is not None and mx > maxs[name]):
-                maxs[name] = mx
     out = {"numRecords": md.num_rows, "minValues": {}, "maxValues": {},
            "nullCount": {}}
     for name in eligible:
         if complete[name] and name in mins:
             out["minValues"][name] = _json_stat(mins[name])
             out["maxValues"][name] = _json_stat(maxs[name])
-        if nulls.get(name) is not None:
-            out["nullCount"][name] = nulls[name]
+        # default 0: a column no group contributed to (zero-row file)
+        # trivially has zero nulls; explicit None = genuinely unknown
+        nc = nulls.get(name, 0)
+        if nc is not None:
+            out["nullCount"][name] = nc
     return json.dumps(out, default=str)
 
 

@@ -725,9 +725,17 @@ def test_data_filters_all_null_file_skipped_missing_stats_kept(spark, table):
         mode="append",
     )
     snap = dl.snapshot(table)
-    # the all-null-k file is refuted for any comparison on k
+    # the all-null-k file is refuted for any comparison on k; empty
+    # part files (numRecords 0) are trivially refutable too — kept
+    # files are exactly those whose stats admit a non-null k
     pruned = dl._prune_data_files(snap, snap.files, [("k", ">=", 0)])
-    assert len(pruned) == len(snap.files) - 1
+    expected = {
+        rel
+        for rel, add in snap.files.items()
+        if json.loads(add["stats"]).get("minValues", {}).get("k")
+        is not None
+    }
+    assert set(pruned) == expected and expected
     # strip stats from the log (foreign minimal table): nothing skips,
     # values stay exact
     nostats = {

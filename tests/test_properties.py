@@ -568,3 +568,43 @@ def test_decode_map_column_matches_to_pylist(maps):
         for v in arr.to_pylist()
     ]
     assert fast == slow
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+        min_size=0,
+        max_size=40,
+    ),
+    row_group_size=st.integers(min_value=1, max_value=10),
+)
+def test_file_stats_match_data(tmp_path_factory, rows, row_group_size):
+    """The footer-aggregated add.stats equal the data's true
+    numRecords/min/max/nullCount for every row-group split, including
+    all-null groups (which must not poison the min/max)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pydatalake_spark.sources.delta import _file_stats
+
+    d = tmp_path_factory.mktemp("stats")
+    path = str(d / "f.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(rows, type=pa.int64())}),
+        path,
+        row_group_size=row_group_size,
+    )
+    schema = StructType([StructField("k", LongType())])
+    st_ = _json.loads(_file_stats(path, schema, []))
+    nonnull = [r for r in rows if r is not None]
+    assert st_["numRecords"] == len(rows)
+    assert st_["nullCount"].get("k") == len(rows) - len(nonnull)
+    if nonnull:
+        assert st_["minValues"].get("k") == min(nonnull)
+        assert st_["maxValues"].get("k") == max(nonnull)
+    else:
+        assert "k" not in st_["minValues"]
