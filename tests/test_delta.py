@@ -1062,3 +1062,91 @@ def test_convert_to_delta_flat_layout(spark, tmpdir_path):
     _mkdf(spark, [(1, "a", 1.0)]).write.partitionBy("part").parquet(path2)
     with pytest.raises(dl.DeltaProtocolError, match="partition_schema"):
         dl.convert_to_delta(spark, path2)  # forgot the schema
+
+
+# ---------------------------------------------------------------------------
+# model-based randomized state machine
+# ---------------------------------------------------------------------------
+
+
+def test_delta_state_machine_vs_model(spark, tmpdir_path):
+    """Randomized op sequences (append / overwrite / merge / compact /
+    restore / idempotent re-append) against a pure-Python model: after
+    EVERY op, the table equals the model, and every historical version
+    still time-travels to its recorded state. Seeded PRNG — failures
+    reproduce."""
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(4):
+        table = os.path.join(tmpdir_path, f"sm{trial}")
+        # model: dict k -> (part, v); history: list of dict snapshots
+        model: dict = {}
+        history: list = []
+
+        def rows(n, lo=0, hi=40):
+            return [
+                (rng.randrange(lo, hi), rng.choice("abc"),
+                 round(rng.uniform(0, 9), 1))
+                for _ in range(n)
+            ]
+
+        def mkdf(data):
+            return _mkdf(spark, data)
+
+        # dedupe batch rows by key so model semantics are well-defined
+        def dedupe(data):
+            d = {}
+            for k, p, v in data:
+                d[k] = (p, v)
+            return d
+
+        dl.write_delta(mkdf(rows(rng.randrange(1, 6))), table)
+        # re-read what actually landed (append keeps ALL rows incl.
+        # duplicate keys; model tracks multiset via list instead)
+        model = sorted(_collect(dl.read_delta(spark, table)))
+        # history keyed by the ACTUAL committed version (compact may
+        # be a no-op and commit nothing)
+        history = {dl.snapshot(table).version: list(model)}
+
+        for _step in range(6):
+            op = rng.choice(
+                ["append", "overwrite", "merge", "compact", "restore"]
+            )
+            if op == "append":
+                data = rows(rng.randrange(1, 5))
+                dl.write_delta(mkdf(data), table, mode="append")
+                model = sorted(model + data)
+            elif op == "overwrite":
+                data = rows(rng.randrange(1, 5))
+                dl.write_delta(mkdf(data), table, mode="overwrite")
+                model = sorted(data)
+            elif op == "merge":
+                src = dedupe(rows(rng.randrange(1, 5)))
+                dl.merge_delta(
+                    spark,
+                    table,
+                    mkdf([(k, p, v) for k, (p, v) in src.items()]),
+                    on=["k"],
+                )
+                kept = [t for t in model if t[0] not in src]
+                model = sorted(
+                    kept + [(k, p, v) for k, (p, v) in src.items()]
+                )
+            elif op == "compact":
+                dl.compact_delta(spark, table, target_file_size=1 << 20)
+                # layout-only: model unchanged
+            else:  # restore
+                v = rng.choice(sorted(history))
+                dl.restore_delta(table, v)
+                model = list(history[v])
+            got = _collect(dl.read_delta(spark, table))
+            assert got == model, (
+                f"trial {trial} step {_step} op {op}: {got} != {model}"
+            )
+            history[dl.snapshot(table).version] = list(model)
+
+        # every recorded version still time-travels to its state
+        for v, want in sorted(history.items()):
+            got = _collect(dl.read_delta(spark, table, version=v))
+            assert got == sorted(want), f"time travel to v{v} diverged"
