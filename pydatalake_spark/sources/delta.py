@@ -799,6 +799,23 @@ def _parse_stat(raw, dtype: str):
     return raw
 
 
+def _file_stats_many(
+    paths: list[str], schema: StructType, pcols: list[str]
+) -> dict[str, str]:
+    """Footer stats for many files, threaded — the read is tiny but
+    latency-bound (one open+footer parse per file), so a wide commit
+    (thousands of staged files) shouldn't serialize it on the driver."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(paths) <= 4:
+        return {p: _file_stats(p, schema, pcols) for p in paths}
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        vals = list(
+            ex.map(lambda p: _file_stats(p, schema, pcols), paths)
+        )
+    return dict(zip(paths, vals))
+
+
 def _file_stats(path: str, schema: StructType, pcols: list[str]) -> str:
     """Protocol ``stats`` JSON for one data file: numRecords plus
     min/max/nullCount per eligible top-level column, aggregated across
@@ -992,10 +1009,14 @@ def write_delta(
 
         now_ms = int(time.time() * 1000)
         adds = []
+        dsts = []
         for rel, pvals, src in staged:
             dst = os.path.join(table, *rel.split("/"))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
+            dsts.append(dst)
+        stats_by_path = _file_stats_many(dsts, df.schema, pcols)
+        for (rel, pvals, _src), dst in zip(staged, dsts):
             adds.append(
                 {
                     "add": {
@@ -1008,7 +1029,7 @@ def write_delta(
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
                         "dataChange": True,
-                        "stats": _file_stats(dst, df.schema, pcols),
+                        "stats": stats_by_path[dst],
                     }
                 }
             )
