@@ -176,6 +176,10 @@ PROBE_QUERIES = [
     "near_dup_clusters",
     "pipeline_decontaminated_corpus",
     "strip_contaminated_spans",
+    # r11: the Delta-log read path — snapshot replay + log-pruned scan
+    # over the replica-built fixture table (the one-time fixture build
+    # lands in the probe's untimed warm run)
+    "delta_roundtrip_orders",
 ]
 PROBE_TABLES = ["lineitem", "orders", "customer", "documents", "embeddings"]
 
