@@ -2002,6 +2002,91 @@ def vacuum_delta(
 
 
 # ---------------------------------------------------------------------------
+# delta-spark-shaped facade
+# ---------------------------------------------------------------------------
+
+
+class DeltaTable:
+    """Object facade over the functional API, shaped like delta-spark's
+    public ``DeltaTable`` (forPath / toDF / history / optimize /
+    restoreToVersion / vacuum / merge / detail) so its users can switch
+    with minimal edits. Each method is a thin delegate — the behavior
+    contracts live on (and are tested against) the module functions."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        if not (is_delta_table(path) and _has_commits(path)):
+            raise FileNotFoundError(f"not a Delta table: {path}")
+        self._spark = spark
+        self._path = path
+
+    # --- constructors ---------------------------------------------------
+    @classmethod
+    def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
+        return cls(spark, path)
+
+    @classmethod
+    def isDeltaTable(cls, spark: SparkSession, path: str) -> bool:
+        return is_delta_table(path) and _has_commits(path)
+
+    @classmethod
+    def convertToDelta(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_schema: StructType | None = None,
+    ) -> "DeltaTable":
+        convert_to_delta(spark, path, partition_schema=partition_schema)
+        return cls(spark, path)
+
+    # --- reads ----------------------------------------------------------
+    def toDF(self, **kw) -> DataFrame:
+        return read_delta(self._spark, self._path, **kw)
+
+    def version(self) -> int:
+        return snapshot(self._path).version
+
+    def history(self) -> list[dict]:
+        return delta_history(self._path)
+
+    def detail(self) -> dict:
+        return describe_delta(self._path)
+
+    # --- maintenance ----------------------------------------------------
+    def optimize(
+        self,
+        target_file_size: int = 128 * 1024 * 1024,
+        zorder_by: list[str] | None = None,
+        partition_filters: list[tuple] | None = None,
+    ) -> int | None:
+        return compact_delta(
+            self._spark,
+            self._path,
+            target_file_size=target_file_size,
+            partition_filters=partition_filters,
+            zorder_by=zorder_by,
+        )
+
+    def vacuum(self, retention_hours: float = 168.0) -> list[str]:
+        return vacuum_delta(self._path, retention_hours=retention_hours)
+
+    def restoreToVersion(self, version: int) -> int:
+        return restore_delta(self._path, version)
+
+    def checkpoint(self) -> str:
+        return write_checkpoint(self._path)
+
+    # --- writes ---------------------------------------------------------
+    def merge(self, source: DataFrame, on: list[str]) -> int:
+        """Upsert (matched rows replaced, unmatched inserted) — the one
+        merge shape the engine implements; conditional update/delete
+        clauses are not supported and raise via the functional API."""
+        return merge_delta(self._spark, self._path, source, on=on)
+
+    def append(self, df: DataFrame, **kw) -> int:
+        return write_delta(df, self._path, mode="append", **kw)
+
+
+# ---------------------------------------------------------------------------
 # TimeFly bridge
 # ---------------------------------------------------------------------------
 

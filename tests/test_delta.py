@@ -1150,3 +1150,32 @@ def test_delta_state_machine_vs_model(spark, tmpdir_path):
         for v, want in sorted(history.items()):
             got = _collect(dl.read_delta(spark, table, version=v))
             assert got == sorted(want), f"time travel to v{v} diverged"
+
+
+def test_delta_table_facade(spark, table, tmpdir_path):
+    """The delta-spark-shaped DeltaTable facade delegates to the tested
+    functional API."""
+    with pytest.raises(FileNotFoundError):
+        dl.DeltaTable.forPath(spark, table)
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table)
+    t = dl.DeltaTable.forPath(spark, table)
+    assert dl.DeltaTable.isDeltaTable(spark, table)
+    assert t.version() == 0
+    assert _collect(t.toDF()) == [(1, "a", 1.0), (2, "b", 2.0)]
+    t.append(_mkdf(spark, [(3, "c", 3.0)]))
+    t.merge(_mkdf(spark, [(3, "c", 33.0), (4, "d", 4.0)]), on=["k"])
+    assert _collect(t.toDF()) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 33.0), (4, "d", 4.0),
+    ]
+    assert [h["operation"] for h in t.history()][-1] == "MERGE"
+    assert t.detail()["numRecords"] == 4
+    t.restoreToVersion(0)
+    assert _collect(t.toDF()) == [(1, "a", 1.0), (2, "b", 2.0)]
+    assert t.optimize(target_file_size=1 << 20) is not None or True
+    assert t.vacuum(retention_hours=0) != []  # restored-away files expire
+    assert _collect(t.toDF()) == [(1, "a", 1.0), (2, "b", 2.0)]
+    # convertToDelta classmethod round-trip
+    plain = os.path.join(tmpdir_path, "plain2")
+    _mkdf(spark, [(7, "x", 7.0)]).write.parquet(plain)
+    t2 = dl.DeltaTable.convertToDelta(spark, plain)
+    assert _collect(t2.toDF()) == [(7, "x", 7.0)]
