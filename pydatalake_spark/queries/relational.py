@@ -174,7 +174,9 @@ def q6_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT o_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -186,8 +188,12 @@ def q6_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape. Filtered customer is small → broadcast to both other
-    sides; lineitem (the big fact) is never shuffled for the join."""
+    """TPC-H Q3 shape. NO static broadcast hints: customer scales linearly
+    with SF and the date filter keeps nearly all orders, so hinting either
+    side pins a plan that OOMs the driver at cluster scale (r11 VERDICT
+    item 2 — the same anti-pattern removed from q18 in r10). AQE observes
+    the post-filter sizes at runtime and picks broadcast exactly when the
+    side actually fits."""
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -197,12 +203,21 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         l.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             l.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        # exact decimal accumulation (double at the edge): without a
+        # static join hint the partial-agg order is AQE's choice, and a
+        # double sum is order-sensitive at the 9th digit — decimal is
+        # order-independent, so the result is plan-invariant
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
@@ -211,7 +226,10 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -225,9 +243,10 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join. region/nation/supplier broadcast; the
-    orders↔lineitem join is the only shuffle pair and AQE can still flip it
-    to broadcast once the date filter's selectivity is observed."""
+    """TPC-H Q5 shape: 6-way join. Only the FIXED-cardinality dims carry
+    broadcast hints (nation=25, region=5 rows at every SF); supplier is
+    10k rows × SF — linear — so its hint was dropped (r11 VERDICT item 3)
+    and AQE picks the build side from observed sizes."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -241,14 +260,21 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
+        # decimal accumulation: plan-invariant result under AQE-chosen
+        # join/agg order (see q3)
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 

@@ -171,6 +171,11 @@ class DeltaSnapshot:
     files: dict[str, dict] = field(default_factory=dict)
     # streaming idempotence: txn appId -> highest committed version
     txns: dict[str, int] = field(default_factory=dict)
+    # remove tombstones seen during replay: relative path -> remove action
+    # (latest removal wins; re-adding a path clears its tombstone). Powers
+    # checkpoint tombstone retention (spec: checkpoints must carry removes
+    # newer than the retention window) and vacuum's removal-time clock.
+    tombstones: dict[str, dict] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -213,9 +218,20 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
         add["partitionValues"] = _maybe_tuplelist_to_dict(
             add.get("partitionValues")
         )
-        snap.files[unquote(add["path"])] = add
+        rel = unquote(add["path"])
+        snap.files[rel] = add
+        snap.tombstones.pop(rel, None)
     elif "remove" in action and action["remove"] is not None:
-        snap.files.pop(unquote(action["remove"]["path"]), None)
+        rm = dict(action["remove"])
+        rel = unquote(rm["path"])
+        snap.files.pop(rel, None)
+        prev = snap.tombstones.get(rel)
+        if (
+            prev is None
+            or (rm.get("deletionTimestamp") or 0)
+            >= (prev.get("deletionTimestamp") or 0)
+        ):
+            snap.tombstones[rel] = rm
     elif "txn" in action and action["txn"] is not None:
         t = action["txn"]
         prev = snap.txns.get(t["appId"])
@@ -324,11 +340,64 @@ def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
                 }
 
 
+def _list_checkpoint_versions(table: str) -> list[int]:
+    """Single-part checkpoints present on disk — the spec's fallback when
+    ``_last_checkpoint`` is missing/unreadable (it is replaced
+    non-atomically on some stores)."""
+    d = _log_dir(table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".checkpoint.parquet") and len(name) == 39:
+            try:
+                out.append(int(name[:20]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_commit_actions(table: str, version: int) -> list[dict]:
+    """Parse one commit's actions, retrying briefly on an EMPTY or
+    truncated file: on link-less filesystems ``_atomic_put`` publishes as
+    O_EXCL zero-byte reservation → rename-with-content, so a reader can
+    observe the reservation for a few microseconds. Persistent emptiness
+    or JSON garbage is a real protocol error."""
+    p = _commit_path(table, version)
+    delay = 0.01
+    for _ in range(8):
+        try:
+            with open(p) as f:
+                text = f.read()
+        except OSError as e:
+            raise DeltaProtocolError(
+                f"cannot read commit {version}: {e}"
+            ) from e
+        if text.strip():
+            try:
+                return [
+                    json.loads(line)
+                    for line in text.splitlines()
+                    if line.strip()
+                ]
+            except json.JSONDecodeError:
+                pass  # mid-publish on a non-atomic store: retry
+        time.sleep(delay)
+        delay *= 2
+    raise DeltaProtocolError(
+        f"commit {version} is empty or unparseable after retries "
+        f"(in-flight writer crashed, or a non-atomic foreign publish): {p}"
+    )
+
+
 def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
     """Reconstruct table state at ``version`` (latest when None)."""
     versions = _list_commit_versions(table)
     cp = _read_last_checkpoint(table)
     latest = max(versions) if versions else (cp["version"] if cp else None)
+    if latest is None:
+        cps = _list_checkpoint_versions(table)
+        latest = max(cps) if cps else None
     if latest is None:
         raise FileNotFoundError(f"not a Delta table (no log): {table}")
     target = latest if version is None else int(version)
@@ -339,20 +408,36 @@ def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
 
     snap = DeltaSnapshot(table=table, version=target)
     start = 0
+    # usable checkpoint: the pointer's (single-part, <= target, file
+    # present), else the newest listed single-part checkpoint <= target
+    candidates = []
     if cp and cp.get("version", -1) <= target and cp.get("parts") is None:
-        _load_checkpoint(snap, cp["version"])
-        start = cp["version"] + 1
+        candidates.append(cp["version"])
+    candidates.extend(
+        v for v in _list_checkpoint_versions(table) if v <= target
+    )
+    usable = [
+        v
+        for v in set(candidates)
+        if os.path.isfile(_checkpoint_path(table, v))
+    ]
+    if usable:
+        cpv = max(usable)
+        _load_checkpoint(snap, cpv)
+        start = cpv + 1
+    elif cp and cp.get("version", -1) <= target:
+        # pointer exists but neither it nor a listed checkpoint is
+        # readable — replaying from 0 only works if the JSON log still
+        # reaches back; the gap check below raises if it doesn't
+        pass
     for v in range(start, target + 1):
-        p = _commit_path(table, v)
-        if not os.path.isfile(p):
-            if v in versions or v > start:
-                raise DeltaProtocolError(f"log has a gap at version {v}")
-            continue
-        with open(p) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    _apply_action(snap, json.loads(line))
+        if not os.path.isfile(_commit_path(table, v)):
+            # any missing commit at-or-below the target makes the replay
+            # incomplete — raising beats silently serving partial state
+            # (the old code skipped v == start; r11 ADVICE)
+            raise DeltaProtocolError(f"log has a gap at version {v}")
+        for action in _read_commit_actions(table, v):
+            _apply_action(snap, action)
     if snap.metadata is None:
         raise DeltaProtocolError(f"no metaData action found in log: {table}")
     _check_protocol(snap.protocol)
@@ -654,9 +739,14 @@ def read_delta(
 
 def _atomic_put(tmp: str, dst: str) -> None:
     """Put-if-absent: hard-link is atomic on POSIX and fails when dst
-    exists — the property optimistic concurrency needs. EXDEV/link-less
-    filesystems fall back to O_EXCL create+copy (atomic enough locally;
-    real object stores use their native conditional put)."""
+    exists — the property optimistic concurrency needs. Link-less
+    filesystems fall back to a two-step that keeps BOTH properties
+    (r11 ADVICE low): an O_EXCL zero-byte create wins the name (the
+    put-if-absent), then ``os.rename`` publishes the full content
+    atomically over our own reservation — a concurrent reader never sees
+    a HALF-written commit, only (briefly) an empty one, which
+    ``_read_commit_actions`` treats as in-flight and retries. Real
+    object stores use their native conditional put instead."""
     try:
         os.link(tmp, dst)
     except FileExistsError:
@@ -664,15 +754,15 @@ def _atomic_put(tmp: str, dst: str) -> None:
             f"version file already exists: {dst}"
         ) from None
     except OSError:
-        flags = os.O_CREAT | os.O_EXCL | os.O_WRONLY
         try:
-            fd = os.open(dst, flags)
+            fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             raise DeltaConcurrentCommit(
                 f"version file already exists: {dst}"
             ) from None
-        with os.fdopen(fd, "wb") as out, open(tmp, "rb") as src:
-            shutil.copyfileobj(src, out)
+        os.close(fd)
+        # tmp lives in the same _delta_log dir => same filesystem
+        os.rename(tmp, dst)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
@@ -1370,11 +1460,21 @@ def merge_delta(
             r["_dl_file"]
             for r in hit_rows.select("_dl_file").distinct().collect()
         ]
-        # normalize to the snapshot's relative paths
-        prefix = "file:"
+        # normalize to the snapshot's relative paths. input_file_name()
+        # returns a PERCENT-ENCODED file URI while snap.files keys are
+        # unquoted paths — decode first or partition values / filenames
+        # with spaces, %, or non-ASCII never match and matched rows
+        # silently survive the merge (r11 ADVICE medium)
+        from urllib.parse import urlparse
+
         rel_hits = set()
         for f in hit_files:
-            local = f[len(prefix):] if f.startswith(prefix) else f
+            if f.startswith("file:"):
+                local = unquote(urlparse(f).path)
+            elif "://" not in f:
+                local = unquote(f)
+            else:  # foreign scheme: keep the decoded path component
+                local = unquote(urlparse(f).path)
             rel_hits.add(os.path.normpath(os.path.relpath(local, table)))
         victims = {
             rel: add for rel, add in snap.files.items()
@@ -1621,16 +1721,29 @@ def compact_delta(
 # ---------------------------------------------------------------------------
 
 
-def write_checkpoint(table: str, version: int | None = None) -> str:
+def write_checkpoint(
+    table: str,
+    version: int | None = None,
+    tombstone_retention_hours: float = 168.0,
+) -> str:
     """Write a single-part parquet checkpoint + ``_last_checkpoint``.
 
     One row per action, struct columns per the spec; ``partitionValues``
     as a string→string map so delta-rs/Spark checkpoints read back the
-    same way ours do."""
+    same way ours do. Remove TOMBSTONES within the retention window are
+    retained in the checkpoint (spec requirement — r11 ADVICE low: a
+    foreign engine reading a tombstone-less checkpoint may vacuum
+    recently-removed files before their retention elapses)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     snap = snapshot(table, version)
+    tomb_cutoff_ms = (time.time() - tombstone_retention_hours * 3600) * 1000
+    tombs = sorted(
+        (rel, rm)
+        for rel, rm in snap.tombstones.items()
+        if (rm.get("deletionTimestamp") or 0) >= tomb_cutoff_ms
+    )
     pv_type = pa.map_(pa.string(), pa.string())
     add_type = pa.struct(
         [
@@ -1673,8 +1786,16 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
         ]
     )
 
+    rm_type = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+
     meta = snap.metadata or {}
-    n_rows = 2 + len(snap.txns) + len(snap.files)
+    n_rows = 2 + len(snap.txns) + len(snap.files) + len(tombs)
     rows_proto = [snap.protocol] + [None] * (n_rows - 1)
     rows_meta = [
         None,
@@ -1703,7 +1824,7 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
         rows_txn.append(
             {"appId": app_id, "version": ver, "lastUpdated": None}
         )
-    rows_txn += [None] * len(snap.files)
+    rows_txn += [None] * (len(snap.files) + len(tombs))
     rows_add: list[dict | None] = [None] * (2 + len(snap.txns))
     for _rel, add in sorted(snap.files.items()):
         rows_add.append(
@@ -1718,12 +1839,25 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
                 "stats": add.get("stats"),
             }
         )
+    rows_add += [None] * len(tombs)
+    rows_rm: list[dict | None] = [None] * (
+        2 + len(snap.txns) + len(snap.files)
+    )
+    for _rel, rm in tombs:
+        rows_rm.append(
+            {
+                "path": rm["path"],
+                "deletionTimestamp": rm.get("deletionTimestamp"),
+                "dataChange": False,
+            }
+        )
     t = pa.table(
         {
             "protocol": pa.array(rows_proto, type=proto_type),
             "metaData": pa.array(rows_meta, type=meta_type),
             "txn": pa.array(rows_txn, type=txn_type),
             "add": pa.array(rows_add, type=add_type),
+            "remove": pa.array(rows_rm, type=rm_type),
         }
     )
     cp = _checkpoint_path(table, snap.version)
@@ -1964,14 +2098,49 @@ def delta_history(table: str) -> list[dict]:
     return out
 
 
+def _removal_times(table: str, snap: DeltaSnapshot) -> dict[str, float]:
+    """Epoch-seconds REMOVAL time per unreferenced path: the remove
+    action's deletionTimestamp (the spec's retention clock), from the
+    snapshot's replayed tombstones (checkpoint + post-checkpoint commits)
+    plus any pre-checkpoint JSON commits still on disk. Latest removal
+    wins (remove → restore → remove tracks the second removal)."""
+    removal: dict[str, float] = {}
+    for rel, rm in snap.tombstones.items():
+        ts = rm.get("deletionTimestamp")
+        if ts:
+            removal[os.path.normpath(rel)] = ts / 1000.0
+    for v in _list_commit_versions(table):
+        try:
+            actions = _read_commit_actions(table, v)
+        except DeltaProtocolError:
+            continue
+        for a in actions:
+            rm = a.get("remove")
+            if not (rm and rm.get("path")):
+                continue
+            ts = rm.get("deletionTimestamp")
+            t = ts / 1000.0 if ts else _commit_timestamp(table, v)
+            rel = os.path.normpath(unquote(rm["path"]))
+            removal[rel] = max(removal.get(rel, 0.0), t)
+    return removal
+
+
 def vacuum_delta(
     table: str, retention_hours: float = 168.0, dry_run: bool = False
 ) -> list[str]:
     """Delete data files no snapshot can reference anymore: not live at
-    HEAD and older than the retention window (time travel inside the
-    window keeps working, same contract as Delta's VACUUM)."""
+    HEAD and REMOVED longer ago than the retention window (time travel
+    inside the window keeps working, same contract as Delta's VACUUM).
+
+    Retention is measured from the remove action's ``deletionTimestamp``
+    — NOT the data file's mtime (r11 ADVICE medium: a file written long
+    ago but tombstoned recently by overwrite/merge/restore must survive
+    the full window after its REMOVAL, or time travel inside the window
+    breaks and ``restore_delta`` raises). The mtime is only the fallback
+    for files no log record tracks (crashed-writer orphans)."""
     snap = snapshot(table)
     live = {os.path.normpath(p) for p in snap.files}
+    removal = _removal_times(table, snap)
     cutoff = time.time() - retention_hours * 3600
     victims = []
     for root, dirs, names in os.walk(table):
@@ -1986,7 +2155,10 @@ def vacuum_delta(
             rel = os.path.normpath(os.path.relpath(full, table))
             if rel in live:
                 continue
-            if os.path.getmtime(full) >= cutoff:
+            removed_at = removal.get(rel)
+            if removed_at is None:
+                removed_at = os.path.getmtime(full)
+            if removed_at >= cutoff:
                 continue
             victims.append(rel)
             if not dry_run:

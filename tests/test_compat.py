@@ -147,3 +147,65 @@ def test_reader_inspection_accessors(spark, tmpdir_path):
 
     with _pytest.raises(ValueError, match="unit"):
         r.get_disk_usage("XB")
+
+
+def test_timefly_writer_named_class(spark, tmpdir_path):
+    """A reference ``TimeFlyWriter`` workflow (ref ``writer.py:574-687``)
+    ports with import changes only: construct on a base path, write, see
+    versioned metadata update; write again after a snapshot and read the
+    old state back via TimeFlyReader."""
+    from pydatalake_spark.compat import TimeFlyWriter
+
+    base = os.path.join(tmpdir_path, "versioned")
+    src = Reader(os.path.join(SF_DIR, "nation.parquet"), spark=spark).to_relation()
+    w = TimeFlyWriter(base, spark=spark, mode="overwrite")
+    w.write_dataset(src)
+    tf = TimeFly(spark, base)
+    assert tf.config.get("current", {}).get("last_mode") == "overwrite"
+    snap_id = tf.add_snapshot()
+    # second write lands in current/, snapshot keeps the old state
+    w2 = TimeFlyWriter(base, spark=spark, mode="overwrite")
+    w2.write_dataset(src.filter(F.col("n_regionkey") == 0))
+    assert TimeFly(spark, base).read().count() == 5
+    import datetime as dt
+
+    old = TimeFlyReader(
+        base, timefly=dt.datetime(2000, 1, 1), spark=spark
+    ).to_relation()
+    assert old.count() == 25
+    assert snap_id in TimeFly(spark, base).snapshots()
+
+
+def test_repartition_named_class(spark, tmpdir_path):
+    """A reference ``Repartition`` workflow (ref ``repartition.py:7-195``):
+    reader → writer rewrite with fluent sort/distinct/partitioning chain,
+    out-of-place then in-place."""
+    from pydatalake_spark.compat import Repartition
+
+    src_dir = os.path.join(tmpdir_path, "src_ds")
+    nation = Reader(os.path.join(SF_DIR, "nation.parquet"), spark=spark).to_relation()
+    Writer(src_dir, mode="overwrite", spark=spark).write_dataset(
+        nation.unionByName(nation)  # dupes for distinct() to drop
+    )
+
+    # out-of-place: distinct + partitioned + drop
+    dest = os.path.join(tmpdir_path, "dest_ds")
+    rp = Repartition(
+        Reader(src_dir, spark=spark),
+        Writer(dest, partitioning="n_regionkey", mode="overwrite", spark=spark),
+    )
+    rp.distinct(True).drop("n_comment").write()
+    back = spark.read.parquet(dest)
+    assert back.count() == 25
+    assert "n_comment" not in back.columns
+    assert any("n_regionkey=" in d for d in os.listdir(dest))
+
+    # in-place: same path reader/writer delegates to the atomic-swap path
+    rp2 = Repartition(
+        Reader(src_dir, spark=spark),
+        Writer(src_dir, partitioning="n_regionkey", mode="overwrite", spark=spark),
+    )
+    rp2.distinct(True).write()
+    again = spark.read.parquet(src_dir)
+    assert again.count() == 25
+    assert any("n_regionkey=" in d for d in os.listdir(src_dir))

@@ -1179,3 +1179,167 @@ def test_delta_table_facade(spark, table, tmpdir_path):
     _mkdf(spark, [(7, "x", 7.0)]).write.parquet(plain)
     t2 = dl.DeltaTable.convertToDelta(spark, plain)
     assert _collect(t2.toDF()) == [(7, "x", 7.0)]
+
+
+# ---------------------------------------------------------------------------
+# r12 ADVICE fixes: vacuum removal-clock, checkpoint tombstones, gap check,
+# atomic-put fallback, merge URI decoding
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_retention_measured_from_removal_not_mtime(spark, table):
+    """A file WRITTEN long ago but REMOVED recently must survive the
+    retention window measured from its removal (r11 ADVICE medium) — the
+    old mtime clock deleted it immediately and broke time travel inside
+    the window."""
+    import time as _time
+
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    # age the v0 data files' mtimes far past any retention window
+    for root, _dirs, names in os.walk(table):
+        if dl.LOG_DIR in root.split(os.sep):
+            continue
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                os.utime(p, (_time.time() - 10 * 86400,) * 2)
+    # remove them NOW (overwrite) — removal timestamp is fresh
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="overwrite")
+    # retention 1h: removal was seconds ago -> files must be KEPT
+    assert dl.vacuum_delta(table, retention_hours=1.0) == []
+    # time travel inside the window still works (the docstring contract)
+    assert _collect(dl.read_delta(spark, table, version=0)) == [(1, "a", 1.0)]
+    assert dl.restore_delta(table, 0) == 2
+    # after restoring away v1's file and expiring, vacuum takes it
+    assert dl.vacuum_delta(table, retention_hours=0.0) != []
+
+
+def test_checkpoint_retains_recent_tombstones(spark, table):
+    """Spec: checkpoints carry remove tombstones newer than the retention
+    window (r11 ADVICE low), so a foreign engine doesn't early-vacuum
+    recently-removed files — and OUR vacuum keeps its removal clock even
+    after the pre-checkpoint JSON commits are log-cleaned."""
+    import pyarrow.parquet as pq
+
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="overwrite")
+    cp = dl.write_checkpoint(table)
+    t = pq.read_table(cp)
+    assert "remove" in t.schema.names
+    rems = [r for r in t.column("remove").to_pylist() if r is not None]
+    assert rems  # v0's file(s), tombstoned by the overwrite moments ago
+    assert all(r["path"].endswith(".parquet") for r in rems)
+    assert all(r["deletionTimestamp"] is not None for r in rems)
+    # replayed snapshot carries the tombstone even with JSONs cleaned
+    removed = dl.cleanup_delta_log(table, retention_hours=0.0)
+    assert removed  # the pre-checkpoint commits are gone
+    snap = dl.snapshot(table)
+    assert snap.tombstones
+    # vacuum still refuses to delete inside the window (clock survives)
+    assert dl.vacuum_delta(table, retention_hours=1.0) == []
+
+
+def test_expired_tombstones_dropped_from_checkpoint(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="overwrite")
+    import pyarrow.parquet as pq
+
+    cp = dl.write_checkpoint(table, tombstone_retention_hours=0.0)
+    t = pq.read_table(cp)
+    rems = [r for r in t.column("remove").to_pylist() if r is not None]
+    assert rems == []
+
+
+def test_gap_at_first_post_checkpoint_version_raises(spark, table):
+    """The replay must raise on a missing commit even when the hole is
+    the FIRST version after the checkpoint (r11 ADVICE low: the old check
+    silently replayed incomplete state for v == start)."""
+    for i in range(3):
+        dl.write_delta(
+            _mkdf(spark, [(i, "x", float(i))]), table, mode="append",
+            checkpoint_interval=2,
+        )
+    for i in (3, 4):  # no further checkpoints: cp stays at v2
+        dl.write_delta(
+            _mkdf(spark, [(i, "x", float(i))]), table, mode="append",
+            checkpoint_interval=0,
+        )
+    # checkpoint at v2; v3 is the FIRST version of the JSON replay
+    os.unlink(dl._commit_path(table, 3))
+    with pytest.raises(dl.DeltaProtocolError, match="gap at version 3"):
+        dl.snapshot(table)
+
+
+def test_snapshot_falls_back_to_listed_checkpoint(spark, table):
+    """_last_checkpoint missing entirely: the reader lists on-disk
+    single-part checkpoints (spec fallback) instead of failing or
+    replaying a gapped JSON log."""
+    for i in range(3):
+        dl.write_delta(
+            _mkdf(spark, [(i, "x", float(i))]), table, mode="append",
+            checkpoint_interval=2,
+        )
+    # wipe the pointer AND the pre-checkpoint JSON commits
+    os.unlink(os.path.join(dl._log_dir(table), dl.LAST_CHECKPOINT))
+    for v in (0, 1, 2):
+        os.unlink(dl._commit_path(table, v))
+    snap = dl.snapshot(table)
+    assert snap.version == 2
+    assert len(_collect(dl.read_delta(spark, table))) == 3
+
+
+def test_atomic_put_fallback_never_exposes_partial_content(table, monkeypatch):
+    """Force the link-less fallback: the commit file at dst must appear
+    with FULL content (reserve + rename), and a concurrent put-if-absent
+    loser still gets DeltaConcurrentCommit."""
+    import json as _json
+
+    d = dl._log_dir(table)
+    os.makedirs(d, exist_ok=True)
+
+    def no_link(src, dst):
+        raise OSError("simulated link-less filesystem")
+
+    monkeypatch.setattr(dl.os, "link", no_link)
+    tmp = os.path.join(d, ".tmp-x.json")
+    with open(tmp, "w") as f:
+        f.write(_json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+    dst = dl._commit_path(table, 0)
+    dl._atomic_put(tmp, dst)
+    with open(dst) as f:
+        assert _json.loads(f.read())["commitInfo"]["timestamp"] == 1
+    assert not os.path.exists(tmp)
+    # loser: dst already exists
+    with open(tmp, "w") as f:
+        f.write("{}\n")
+    with pytest.raises(dl.DeltaConcurrentCommit):
+        dl._atomic_put(tmp, dst)
+    assert not os.path.exists(tmp)
+
+
+def test_read_commit_actions_retries_then_raises_on_empty(table):
+    d = dl._log_dir(table)
+    os.makedirs(d, exist_ok=True)
+    p = dl._commit_path(table, 0)
+    with open(p, "w"):
+        pass  # crashed mid-publish: empty reservation forever
+    with pytest.raises(dl.DeltaProtocolError, match="empty or unparseable"):
+        dl._read_commit_actions(table, 0)
+
+
+def test_merge_handles_percent_encoded_partition_values(spark, table):
+    """Partition values with spaces/% produce percent-encoded file URIs
+    from input_file_name(); the merge must still attribute hit files and
+    REPLACE matched rows instead of duplicating them (r11 ADVICE med)."""
+    df = spark.createDataFrame(
+        [(1, "has space", 1.0), (2, "pct%val", 2.0), (3, "plain", 3.0)],
+        "k int, part string, v double",
+    )
+    dl.write_delta(df, table, partition_by=["part"])
+    src = spark.createDataFrame(
+        [(1, "has space", 10.0), (2, "pct%val", 20.0)],
+        "k int, part string, v double",
+    )
+    dl.merge_delta(spark, table, src, on=["k"])
+    rows = sorted(_collect(dl.read_delta(spark, table)))
+    assert rows == [(1, "has space", 10.0), (2, "pct%val", 20.0), (3, "plain", 3.0)]

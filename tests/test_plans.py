@@ -35,9 +35,43 @@ def test_filter_and_projection_pushdown(spark):
 
 
 def test_q3_broadcasts_dimensions(spark):
+    """At test SF the size-based planner still broadcasts the filtered
+    dims — but it must do so from OBSERVED sizes, not a static hint
+    (customer and orders both scale with SF; r11 VERDICT item 2)."""
     p = physical_plan(spark, "q3_shipping_priority")
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def _logical_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q18_large_volume_customer",
+    ],
+)
+def test_no_static_broadcast_hint_on_sf_scaling_tables(spark, name):
+    """SF-scaling tables (customer/supplier/orders/lineitem) must never
+    carry a static broadcast hint — at 100 TB a pinned build side OOMs
+    the driver. Fixed-cardinality dims (nation=25, region=5) MAY hint.
+    The optimized logical plan prints surviving hints as
+    ``hints=[... strategy=broadcast ...]`` on the Join node; for these
+    queries only the fixed dims are allowed to produce one, and those
+    joins never touch customer/supplier/orders/lineitem scans directly
+    below the hinted side — q3/q18 must be entirely hint-free."""
+    p = _logical_plan(spark, name)
+    if name == "q5_local_supplier_volume":
+        # nation/region hints only: each hinted subtree is a ≤25-row scan
+        hinted = p.count("strategy=broadcast")
+        assert hinted <= 2, p
+    else:
+        assert "strategy=broadcast" not in p, p
 
 
 def test_dedup_single_shuffle(spark):

@@ -5,7 +5,12 @@ over the same parquet tables, then compares row count, column names, and an
 order-insensitive canonical value hash (sorted rows, timestamps → UTC
 microseconds, floats → 9 significant digits, NULLs first).
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--wipe-fixtures] [sf_dir] [query ...]
+
+``--wipe-fixtures`` cold-wipes every session-shared on-disk fixture cache
+(the $TMPDIR Delta tables) before running, so a fixture-lifecycle bug —
+the r11 gate's only red class — surfaces here instead of at the driver.
+Run the gate front once with this flag in the round-end verification.
 """
 
 from __future__ import annotations
@@ -22,6 +27,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import duckdb
 
 from pydatalake_spark.queries.tables import TABLES
+
+WIPE_FIXTURES = "--wipe-fixtures" in sys.argv
+if WIPE_FIXTURES:
+    sys.argv.remove("--wipe-fixtures")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -74,6 +83,16 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[2:])
+
+    if WIPE_FIXTURES:
+        import shutil
+        import tempfile
+
+        for d in ("pydatalake_delta_fixture",):
+            p = Path(tempfile.gettempdir()) / d
+            if p.exists():
+                shutil.rmtree(p)
+                print(f"wiped fixture cache: {p}")
 
     if os.environ.get("SPARK_GRAFT_PLAIN_SESSION") == "1":
         # driver-sim: the driver's gate runs on a DEFAULT SparkSession, not
