@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "delta_time_travel_v0",
     "delta_stats_skip",
     "delta_partition_prune",
+    # r12: merged-table read (the upsert happens ONCE at fixture build;
+    # the commit cost is its own artifact, BENCH_delta_merge.json) and
+    # the deletion-vector-filtered read (reader protocol v3).
+    "delta_merge_upsert_orders",
+    "delta_deletion_vectors",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pydatalake_spark.queries.tables import load_table as _t
 from pydatalake_spark.queries.text import _sf_stamp
 from pydatalake_spark.sources.delta import (
+    delete_rows_dv,
     is_delta_table,
     merge_delta,
     read_delta,
@@ -250,6 +251,43 @@ def delta_merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
     ``BENCH_delta_merge.json``. Value parity vs the oracle's relational
     recomputation proves the merge rewrote exactly the matched rows."""
     df = read_delta(spark, _orders_merged_delta(spark, sf))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+def _orders_dv_delta(spark: SparkSession, sf: str) -> str:
+    """Deletion-vector fixture: one-commit orders table, then every 13th
+    order tombstoned via ``delete_rows_dv`` — per-file Roaring bitmaps,
+    NO file rewrite (the protocol's delete-at-scale path). Built once
+    under the fixture lock; the gated query is a pure DV-filtered read."""
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders")
+        write_delta(orders, tmp, partition_by=["o_orderstatus"])
+        delete_rows_dv(spark, tmp, "o_orderkey % 13 = 0")
+
+    return _fixture(spark, sf, "orders_dv", build)
+
+
+@q(
+    "delta_deletion_vectors",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           sum(o_totalprice) AS total_price
+    FROM orders WHERE o_orderkey % 13 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """Read a deletion-vector-bearing snapshot (reader protocol v3):
+    per-file bitmaps resolved from the log, deleted physical positions
+    dropped via the ``_metadata.row_index`` anti-join. Value parity vs
+    the oracle's relational WHERE proves the bitmaps tombstone exactly
+    the matched rows — a mis-decoded bitmap or row-index misalignment
+    shows up as a value mismatch."""
+    df = read_delta(spark, _orders_dv_delta(spark, sf))
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("total_price"),

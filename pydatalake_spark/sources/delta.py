@@ -14,10 +14,12 @@ column mapping — those raise loudly) read back into Spark DataFrames.
 
 Feature level
 -------------
-* reader: protocol ``minReaderVersion`` 1 (also accepts 2 when
-  ``delta.columnMapping.mode`` is absent/none); JSON commits + parquet
-  checkpoints; version and timestamp time travel; log-level partition
-  pruning.
+* reader: protocol ``minReaderVersion`` 1-3 (v2 when
+  ``delta.columnMapping.mode`` is absent/none; v3 when readerFeatures ⊆
+  {deletionVectors, timestampNtz, vacuumProtocolCheck}); JSON commits +
+  parquet checkpoints; version and timestamp time travel; log-level
+  partition pruning; DELETION VECTORS read via ``_metadata.row_index``
+  anti-join (``sources/dv.py`` implements the Roaring bitmap codec).
 * writer: ``minWriterVersion`` 2 shape — ``delta.appendOnly`` honored,
   schema fixed per table (append with a different schema raises;
   ``overwrite_schema=True`` on overwrite evolves it), hive-layout data
@@ -27,7 +29,9 @@ Feature level
   checkpoint every ``checkpoint_interval`` commits. ``merge_delta``
   (upsert rewriting only matched files), ``compact_delta`` (OPTIMIZE,
   optionally ``zorder_by`` Morton re-clustering), ``idempotent_append``
-  (txn-action exactly-once).
+  (txn-action exactly-once), ``delete_rows_dv`` (DELETE WHERE via
+  deletion vectors — no file rewrite; auto protocol upgrade to
+  reader v3/writer v7), ``rewrite_dv_files`` (REORG APPLY PURGE).
 
 Why this matters at 100 TB
 --------------------------
@@ -130,17 +134,22 @@ def _read_last_checkpoint(table: str) -> dict | None:
         return None
 
 
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "timestampNtz", "vacuumProtocolCheck"}
+)
+
+
 def _check_protocol(proto: dict) -> None:
-    if proto.get("minReaderVersion", 1) > 2:
+    if proto.get("minReaderVersion", 1) > 3:
         raise DeltaProtocolError(
             f"table requires minReaderVersion="
-            f"{proto['minReaderVersion']}; this reader implements 1-2"
+            f"{proto['minReaderVersion']}; this reader implements 1-3"
         )
     for feat in proto.get("readerFeatures") or []:
-        if feat not in ("timestampNtz", "vacuumProtocolCheck"):
+        if feat not in _SUPPORTED_READER_FEATURES:
             raise DeltaProtocolError(
-                f"unsupported reader feature: {feat!r} (deletion vectors, "
-                "column mapping and v2 checkpoints are not implemented)"
+                f"unsupported reader feature: {feat!r} (column mapping "
+                "and v2 checkpoints are not implemented)"
             )
 
 
@@ -326,11 +335,16 @@ def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
             mods = fields.get("modificationTime", [None] * len(paths))
             dcs = fields.get("dataChange", [None] * len(paths))
             stats = fields.get("stats", [None] * len(paths))
+            dvs = (
+                pc.struct_field(add, "deletionVector").to_pylist()
+                if "deletionVector" in present
+                else [None] * len(paths)
+            )
             vmask = add.is_valid().to_pylist()
             for i, ok in enumerate(vmask):
                 if not ok or paths[i] is None:
                     continue
-                snap.files[unquote(paths[i])] = {
+                entry = {
                     "path": paths[i],
                     "partitionValues": pvals[i] or {},
                     "size": sizes[i],
@@ -338,6 +352,9 @@ def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
                     "dataChange": dcs[i],
                     "stats": stats[i],
                 }
+                if dvs[i] is not None and dvs[i].get("storageType"):
+                    entry["deletionVector"] = dvs[i]
+                snap.files[unquote(paths[i])] = entry
 
 
 def _list_checkpoint_versions(table: str) -> list[int]:
@@ -641,6 +658,103 @@ def _is_hive_layout(files: dict[str, dict], pcols: list[str]) -> bool:
     return True
 
 
+def _scan_files(
+    spark: SparkSession,
+    table: str,
+    files: dict[str, dict],
+    schema: StructType,
+    pcols: list[str],
+    with_meta: bool = False,
+) -> DataFrame:
+    """One DataFrame over ``files``. Hive layouts get a single
+    basePath-ed scan (partition dirs the log vouches for); foreign
+    layouts group files by partitionValues and attach the log's values
+    as literals — unions bounded by DISTINCT live partitions, not files.
+    ``with_meta`` appends ``__dv_fn``/``__dv_ri`` (the scan's file name
+    and physical row index) for deletion-vector filtering."""
+    names = [f.name for f in schema.fields]
+    meta = (
+        [
+            F.col("_metadata.file_name").alias("__dv_fn"),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        ]
+        if with_meta
+        else []
+    )
+    paths = [_resolve_path(table, p) for p in files]
+    if not pcols:
+        return spark.read.schema(schema).parquet(*paths).select(
+            *names, *meta
+        )
+    if _is_hive_layout(files, pcols):
+        return (
+            spark.read.schema(schema)
+            .option("basePath", table)
+            .parquet(*paths)
+            .select(*names, *meta)
+        )
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    types = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for path, add in files.items():
+        key = tuple(add["partitionValues"].get(c) for c in pcols)
+        groups.setdefault(key, []).append(_resolve_path(table, path))
+    parts = []
+    for key, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        part = spark.read.schema(data_schema).parquet(*grp)
+        for c, raw in zip(pcols, key):
+            part = part.withColumn(c, F.lit(raw).cast(types[c]))
+        parts.append(part.select(*names, *meta))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _scan_dv_files(
+    spark: SparkSession,
+    table: str,
+    dvf: dict[str, dict],
+    schema: StructType,
+    pcols: list[str],
+) -> DataFrame:
+    """Scan deletion-vector-bearing files with deleted rows filtered out:
+    the scan carries ``_metadata.file_name``/``row_index`` and an
+    anti-join against the resolved (file, row) tombstone set drops
+    exactly the DV-marked positions. The tombstone side is
+    |deleted rows| — bounded by DV cardinality, not table size — and the
+    join is AQE-broadcastable when small. Driver cost: one bounded DV
+    blob read per file (kilobytes each, the format's design point)."""
+    from pydatalake_spark.sources.dv import read_dv_descriptor
+
+    names = [f.name for f in schema.fields]
+    basenames = [os.path.basename(p) for p in dvf]
+    if len(set(basenames)) != len(basenames):
+        raise DeltaProtocolError(
+            "deletion-vector read requires unique data file names in the "
+            "snapshot (collision across partition dirs)"
+        )
+    pairs = []
+    for rel, add in dvf.items():
+        bn = os.path.basename(rel)
+        for ri in read_dv_descriptor(table, add["deletionVector"]):
+            pairs.append((bn, int(ri)))
+    sub = _scan_files(spark, table, dvf, schema, pcols, with_meta=True)
+    if not pairs:  # empty DVs: nothing to drop
+        return sub.select(*names)
+    deleted = spark.createDataFrame(pairs, "__dv_fn string, __dv_ri long")
+    return (
+        sub.join(deleted, on=["__dv_fn", "__dv_ri"], how="left_anti")
+        .select(*names)
+    )
+
+
+def _has_dvs(files: dict[str, dict]) -> bool:
+    return any(a.get("deletionVector") for a in files.values())
+
+
 def read_delta(
     spark: SparkSession,
     table: str,
@@ -677,41 +791,16 @@ def read_delta(
     if not files:
         return spark.createDataFrame([], schema)
 
-    paths = [_resolve_path(table, p) for p in files]
-    if not pcols:
-        df = spark.read.schema(schema).parquet(*paths)
-    elif _is_hive_layout(files, pcols):
-        # one scan node; partition dirs (log-verified) carry the values
-        df = (
-            spark.read.schema(schema)
-            .option("basePath", table)
-            .parquet(*paths)
-        )
-    else:
-        # foreign layout: group files by partitionValues and attach the
-        # log's values as literals — unions are bounded by the number of
-        # DISTINCT live partitions, not files
-        data_schema = StructType(
-            [f for f in schema.fields if f.name not in pcols]
-        )
-        types = {f.name: f.dataType for f in schema.fields}
-        groups: dict[tuple, list[str]] = {}
-        for path, add in files.items():
-            key = tuple(add["partitionValues"].get(c) for c in pcols)
-            groups.setdefault(key, []).append(_resolve_path(table, path))
-        parts = []
-        for key, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            part = spark.read.schema(data_schema).parquet(*grp)
-            for c, raw in zip(pcols, key):
-                part = part.withColumn(
-                    c, F.lit(raw).cast(types[c])
-                )
-            parts.append(part.select([f.name for f in schema.fields]))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-
-    df = df.select([f.name for f in schema.fields])
+    plain = {p: a for p, a in files.items() if not a.get("deletionVector")}
+    dvf = {p: a for p, a in files.items() if a.get("deletionVector")}
+    parts = []
+    if plain:
+        parts.append(_scan_files(spark, table, plain, schema, pcols))
+    if dvf:
+        parts.append(_scan_dv_files(spark, table, dvf, schema, pcols))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     for col, op, val in (partition_filters or []) + (data_filters or []):
         c = F.col(col)
         if op == "in":
@@ -1352,6 +1441,12 @@ def read_delta_changes(
                     )
                 if a.get("add") and a["add"].get("dataChange", True):
                     add = dict(a["add"])
+                    if add.get("deletionVector"):
+                        raise DeltaProtocolError(
+                            f"version {v} adds a deletion-vector file; "
+                            "its row-level delta is not representable as "
+                            "a pure append — re-read the snapshot"
+                        )
                     add["partitionValues"] = _maybe_tuplelist_to_dict(
                         add.get("partitionValues")
                     )
@@ -1444,6 +1539,13 @@ def merge_delta(
             raise DeltaProtocolError(
                 "merge_delta requires the hive data layout (foreign "
                 "flat-layout tables: rewrite via overwrite instead)"
+            )
+        if _has_dvs(snap.files):
+            raise DeltaProtocolError(
+                "merge_delta on a deletion-vector-bearing table is not "
+                "implemented (the victim rewrite would resurrect "
+                "DV-deleted rows); compact the DVs away first via "
+                "rewrite_dv_files"
             )
         target = read_delta(spark, table, version=snap.version)
         src = source.alias("s")
@@ -1594,6 +1696,12 @@ def compact_delta(
         raise DeltaProtocolError(
             "compact_delta requires the hive data layout"
         )
+    if _has_dvs(snap.files):
+        raise DeltaProtocolError(
+            "compact_delta on a deletion-vector-bearing table is not "
+            "implemented (bin-packing victim files would resurrect "
+            "DV-deleted rows); run rewrite_dv_files first"
+        )
     if zorder_by:
         bad = [
             c
@@ -1717,6 +1825,258 @@ def compact_delta(
 
 
 # ---------------------------------------------------------------------------
+# deletion vectors: delete-without-rewrite + purge
+# ---------------------------------------------------------------------------
+
+
+DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
+def delete_rows_dv(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    max_retries: int = 3,
+) -> tuple[int | None, int]:
+    """``DELETE FROM table WHERE predicate`` via deletion vectors: rows
+    matching ``predicate`` (a Column or SQL string) are tombstoned in
+    per-file Roaring bitmaps — NO data file is rewritten. Returns
+    ``(committed version | None when nothing matched, rows deleted)``.
+
+    The at-scale contract: deleting 0.1% of a 100-TB table writes
+    kilobytes of bitmap and one commit, instead of rewriting every hit
+    file (what :func:`merge_delta`-style copy-on-write would do). Files
+    already carrying a DV get a MERGED bitmap (old ∪ new positions) —
+    the spec requires one DV per file, and re-deleting an already-dead
+    row is a no-op. The commit upgrades the table protocol to
+    reader v3 / writer v7 with the ``deletionVectors`` feature the first
+    time, exactly like delta-spark's automatic feature enablement.
+
+    Driver memory: the matched (file, row-index) positions materialize
+    on the driver to build the bitmaps — bounded by rows DELETED, not
+    table size (~16 B/row; 10M deletes ≈ 160 MB). For bulk deletes of a
+    partition, prefer a partition overwrite.
+    """
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        snap = snapshot(table)
+        pcols = snap.partition_columns
+        if pcols and not _is_hive_layout(snap.files, pcols):
+            raise DeltaProtocolError(
+                "delete_rows_dv requires the hive data layout"
+            )
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        # visible rows only: filter existing DV tombstones first so the
+        # new bitmaps never double-count (merging makes it idempotent
+        # anyway, but the returned count must be the VISIBLE hits)
+        plain = {
+            p: a for p, a in snap.files.items()
+            if not a.get("deletionVector")
+        }
+        dvf = {
+            p: a for p, a in snap.files.items() if a.get("deletionVector")
+        }
+        scans = []
+        if plain:
+            scans.append(
+                _scan_files(
+                    spark, table, plain, snap.schema, pcols, with_meta=True
+                )
+            )
+        if dvf:
+            from pydatalake_spark.sources.dv import read_dv_descriptor
+
+            sub = _scan_files(
+                spark, table, dvf, snap.schema, pcols, with_meta=True
+            )
+            pairs = []
+            for rel, add in dvf.items():
+                bn = os.path.basename(rel)
+                for ri in read_dv_descriptor(table, add["deletionVector"]):
+                    pairs.append((bn, int(ri)))
+            if pairs:
+                dele = spark.createDataFrame(
+                    pairs, "__dv_fn string, __dv_ri long"
+                )
+                sub = sub.join(
+                    dele, on=["__dv_fn", "__dv_ri"], how="left_anti"
+                )
+            scans.append(sub)
+        allrows = scans[0]
+        for s in scans[1:]:
+            allrows = allrows.unionByName(s)
+        hits = (
+            allrows.filter(cond)
+            .select("__dv_fn", "__dv_ri")
+            .collect()
+        )
+        if not hits:
+            return None, 0
+        by_name: dict[str, list[int]] = {}
+        for r in hits:
+            by_name.setdefault(r["__dv_fn"], []).append(int(r["__dv_ri"]))
+        basenames = [os.path.basename(p) for p in snap.files]
+        if len(set(basenames)) != len(basenames):
+            raise DeltaProtocolError(
+                "delete_rows_dv requires unique data file names in the "
+                "snapshot"
+            )
+        rel_by_name = {os.path.basename(p): p for p in snap.files}
+
+        from pydatalake_spark.sources.dv import (
+            read_dv_descriptor,
+            write_dv_file,
+        )
+
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": str(predicate)
+                    },
+                    "engineInfo": "pydatalake_spark-native-delta",
+                }
+            }
+        ]
+        if (snap.protocol.get("minReaderVersion", 1) < 3) or (
+            "deletionVectors" not in (snap.protocol.get("readerFeatures") or [])
+        ):
+            actions.append({"protocol": dict(DV_PROTOCOL)})
+        n_deleted = 0
+        for bn, new_rows in sorted(by_name.items()):
+            rel = rel_by_name[bn]
+            add = snap.files[rel]
+            n_deleted += len(set(new_rows))
+            merged = set(new_rows)
+            if add.get("deletionVector"):
+                merged |= set(
+                    read_dv_descriptor(table, add["deletionVector"])
+                )
+            desc = write_dv_file(table, merged)
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": add.get("partitionValues"),
+                        "size": add.get("size"),
+                    }
+                }
+            )
+            new_add = {
+                k: v
+                for k, v in add.items()
+                if k
+                in (
+                    "path",
+                    "partitionValues",
+                    "size",
+                    "modificationTime",
+                    "stats",
+                )
+            }
+            new_add["dataChange"] = True
+            new_add["deletionVector"] = desc
+            actions.append({"add": new_add})
+        try:
+            _write_commit(table, snap.version + 1, actions)
+            return snap.version + 1, n_deleted
+        except DeltaConcurrentCommit as e:
+            last_err = e
+            continue
+    raise last_err  # type: ignore[misc]
+
+
+def rewrite_dv_files(spark: SparkSession, table: str) -> int | None:
+    """REORG-style purge (``REORG TABLE ... APPLY (PURGE)``): rewrite
+    every deletion-vector-bearing file to a plain file holding only its
+    surviving rows, clearing the DVs. The commit is ``dataChange: false``
+    (logical content unchanged — incremental consumers skip it). Returns
+    the committed version, or None when the table carries no DVs.
+
+    This is the maintenance escape hatch the merge/compact guards point
+    at, and the long-term hygiene op: DVs trade write amplification for
+    read-side filtering, and purging rewrites ONLY the DV-bearing files
+    — never the clean ones."""
+    snap = snapshot(table)
+    pcols = snap.partition_columns
+    dvf = {p: a for p, a in snap.files.items() if a.get("deletionVector")}
+    if not dvf:
+        return None
+    if pcols and not _is_hive_layout(snap.files, pcols):
+        raise DeltaProtocolError(
+            "rewrite_dv_files requires the hive data layout"
+        )
+    out = _scan_dv_files(spark, table, dvf, snap.schema, pcols)
+    staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+    moved: list[str] = []
+    try:
+        _staged_write(out, staging, pcols)
+        staged = _collect_staged_files(staging, pcols)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "REORG",
+                    "operationParameters": {"applyPurge": True},
+                    "engineInfo": "pydatalake_spark-native-delta",
+                }
+            }
+        ]
+        for rel, add in dvf.items():
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                        "partitionValues": add.get("partitionValues"),
+                        "size": add.get("size"),
+                    }
+                }
+            )
+        for rel, pvals, srcf in staged:
+            dst = os.path.join(table, *rel.split("/"))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(srcf, dst)
+            moved.append(rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": quote(rel, safe="/=.-_"),
+                        "partitionValues": {c: pvals.get(c) for c in pcols},
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now_ms,
+                        "dataChange": False,
+                        "stats": _file_stats(dst, snap.schema, pcols),
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    try:
+        _write_commit(table, snap.version + 1, actions)
+    except DeltaConcurrentCommit:
+        for rel in moved:
+            try:
+                os.unlink(os.path.join(table, *rel.split("/")))
+            except OSError:
+                pass
+        raise
+    return snap.version + 1
+
+
+# ---------------------------------------------------------------------------
 # checkpoint / history / vacuum
 # ---------------------------------------------------------------------------
 
@@ -1745,6 +2105,15 @@ def write_checkpoint(
         if (rm.get("deletionTimestamp") or 0) >= tomb_cutoff_ms
     )
     pv_type = pa.map_(pa.string(), pa.string())
+    dv_type = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_type = pa.struct(
         [
             ("path", pa.string()),
@@ -1753,6 +2122,7 @@ def write_checkpoint(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_type),
         ]
     )
     meta_type = pa.struct(
@@ -1827,6 +2197,7 @@ def write_checkpoint(
     rows_txn += [None] * (len(snap.files) + len(tombs))
     rows_add: list[dict | None] = [None] * (2 + len(snap.txns))
     for _rel, add in sorted(snap.files.items()):
+        dv = add.get("deletionVector")
         rows_add.append(
             {
                 "path": add["path"],
@@ -1837,6 +2208,17 @@ def write_checkpoint(
                 "modificationTime": add.get("modificationTime"),
                 "dataChange": False,
                 "stats": add.get("stats"),
+                "deletionVector": (
+                    {
+                        "storageType": dv.get("storageType"),
+                        "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                        "offset": dv.get("offset"),
+                        "sizeInBytes": dv.get("sizeInBytes"),
+                        "cardinality": dv.get("cardinality"),
+                    }
+                    if dv
+                    else None
+                ),
             }
         )
     rows_add += [None] * len(tombs)
@@ -1982,10 +2364,21 @@ def restore_delta(table: str, version: int) -> int:
     head = snapshot(table)
     if version == head.version:
         return head.version
+    from pydatalake_spark.sources.dv import _dv_file_path
+
     missing = [
         rel
         for rel in old.files
         if not os.path.isfile(_resolve_path(table, rel))
+    ]
+    missing += [
+        rel
+        for rel, add in old.files.items()
+        if (add.get("deletionVector") or {}).get("storageType")
+        in ("u", "p")
+        and not os.path.isfile(
+            _dv_file_path(table, add["deletionVector"])
+        )
     ]
     if missing:
         raise DeltaProtocolError(
@@ -2035,10 +2428,15 @@ def describe_delta(table: str) -> dict:
         "sizeInBytes": sum(
             (a.get("size") or 0) for a in snap.files.values()
         ),
+        # logical rows: physical footer counts minus DV tombstones
         "numRecords": sum(
             json.loads(a["stats"]).get("numRecords", 0)
             for a in snap.files.values()
             if a.get("stats")
+        )
+        - sum(
+            (a.get("deletionVector") or {}).get("cardinality") or 0
+            for a in snap.files.values()
         ),
         "partitionColumns": snap.partition_columns,
         "configuration": meta.get("configuration") or {},
@@ -2140,6 +2538,18 @@ def vacuum_delta(
     for files no log record tracks (crashed-writer orphans)."""
     snap = snapshot(table)
     live = {os.path.normpath(p) for p in snap.files}
+    # live DV bitmap files (referenced by current adds) must survive too
+    from pydatalake_spark.sources.dv import _dv_file_path
+
+    live_dv = set()
+    for add in snap.files.values():
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            live_dv.add(
+                os.path.normpath(
+                    os.path.relpath(_dv_file_path(table, dv), table)
+                )
+            )
     removal = _removal_times(table, snap)
     cutoff = time.time() - retention_hours * 3600
     victims = []
@@ -2149,14 +2559,19 @@ def vacuum_delta(
         # skip the log AND in-flight writer staging dirs (all _-prefixed)
         dirs[:] = [d for d in dirs if not d.startswith("_")]
         for name in names:
-            if not name.endswith(".parquet"):
+            is_dv_bin = name.startswith("deletion_vector_") and (
+                name.endswith(".bin")
+            )
+            if not (name.endswith(".parquet") or is_dv_bin):
                 continue
             full = os.path.join(root, name)
             rel = os.path.normpath(os.path.relpath(full, table))
-            if rel in live:
+            if rel in live or rel in live_dv:
                 continue
             removed_at = removal.get(rel)
             if removed_at is None:
+                # DV bins are never named in remove actions; orphans age
+                # by mtime (the bitmap is written once, at removal time)
                 removed_at = os.path.getmtime(full)
             if removed_at >= cutoff:
                 continue

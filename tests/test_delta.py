@@ -361,6 +361,9 @@ def test_append_with_retry_interleaved(spark, table):
 
 
 def test_unsupported_protocol_features_raise(spark, table):
+    """Reader v3 is accepted since r12 when its features are implemented
+    (deletionVectors); an UNKNOWN v3 feature still refuses loudly, and
+    v4+ always refuses."""
     dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
     dl._write_commit(
         table,
@@ -370,17 +373,36 @@ def test_unsupported_protocol_features_raise(spark, table):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                 }
             }
         ],
     )
-    with pytest.raises(dl.DeltaProtocolError, match="minReaderVersion"):
+    with pytest.raises(dl.DeltaProtocolError, match="v2Checkpoint"):
         dl.read_delta(spark, table)
     # version 0 (before the upgrade) still reads
     assert _collect(dl.read_delta(spark, table, version=0)) == [
         (1, "a", 1.0)
     ]
+
+
+def test_reader_v3_with_deletion_vectors_feature_reads(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl._write_commit(
+        table, 1, [{"protocol": dict(dl.DV_PROTOCOL)}]
+    )
+    assert _collect(dl.read_delta(spark, table)) == [(1, "a", 1.0)]
+
+
+def test_reader_v4_refuses(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl._write_commit(
+        table,
+        1,
+        [{"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}}],
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="minReaderVersion"):
+        dl.read_delta(spark, table)
 
 
 def test_column_mapping_mode_raises(spark, table):
