@@ -14,12 +14,14 @@ column mapping — those raise loudly) read back into Spark DataFrames.
 
 Feature level
 -------------
-* reader: protocol ``minReaderVersion`` 1-3 (v2 when
-  ``delta.columnMapping.mode`` is absent/none; v3 when readerFeatures ⊆
-  {deletionVectors, timestampNtz, vacuumProtocolCheck}); JSON commits +
-  parquet checkpoints; version and timestamp time travel; log-level
-  partition pruning; DELETION VECTORS read via ``_metadata.row_index``
-  anti-join (``sources/dv.py`` implements the Roaring bitmap codec).
+* reader: protocol ``minReaderVersion`` 1-3 (v3 when readerFeatures ⊆
+  {deletionVectors, columnMapping, timestampNtz, vacuumProtocolCheck});
+  JSON commits + parquet checkpoints; version and timestamp time
+  travel; log-level partition pruning; DELETION VECTORS read via a
+  ``_metadata.row_index`` anti-join (``sources/dv.py`` implements the
+  Roaring bitmap codec); COLUMN MAPPING (mode ``name``/``id``) read by
+  scanning the physical schema and projecting back to logical names
+  (writes to such tables refuse loudly — read-only support).
 * writer: ``minWriterVersion`` 2 shape — ``delta.appendOnly`` honored,
   schema fixed per table (append with a different schema raises;
   ``overwrite_schema=True`` on overwrite evolves it), hive-layout data
@@ -135,7 +137,12 @@ def _read_last_checkpoint(table: str) -> dict | None:
 
 
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "timestampNtz", "vacuumProtocolCheck"}
+    {
+        "deletionVectors",
+        "columnMapping",
+        "timestampNtz",
+        "vacuumProtocolCheck",
+    }
 )
 
 
@@ -148,15 +155,15 @@ def _check_protocol(proto: dict) -> None:
     for feat in proto.get("readerFeatures") or []:
         if feat not in _SUPPORTED_READER_FEATURES:
             raise DeltaProtocolError(
-                f"unsupported reader feature: {feat!r} (column mapping "
-                "and v2 checkpoints are not implemented)"
+                f"unsupported reader feature: {feat!r} "
+                "(v2 checkpoints are not implemented)"
             )
 
 
 def _check_metadata(meta: dict) -> None:
     conf = meta.get("configuration") or {}
     cm = conf.get("delta.columnMapping.mode", "none")
-    if cm not in ("none", ""):
+    if cm not in ("none", "", "name", "id"):
         raise DeltaProtocolError(
             f"delta.columnMapping.mode={cm!r} is not implemented"
         )
@@ -195,6 +202,26 @@ class DeltaSnapshot:
     def partition_columns(self) -> list[str]:
         assert self.metadata is not None
         return list(self.metadata.get("partitionColumns") or [])
+
+    @property
+    def column_mapping(self) -> dict[str, str] | None:
+        """LOGICAL → PHYSICAL top-level name map when
+        ``delta.columnMapping.mode`` is active, else None. Physical names
+        live in each schema field's ``delta.columnMapping.physicalName``
+        metadata; the data files, the add actions' ``partitionValues``
+        keys, and the per-file stats keys all use PHYSICAL names, while
+        ``metadata.partitionColumns`` and the user API stay logical."""
+        assert self.metadata is not None
+        conf = self.metadata.get("configuration") or {}
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode in ("none", ""):
+            return None
+        return {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in self.schema.fields
+        }
 
 
 def _maybe_tuplelist_to_dict(v) -> dict:
@@ -279,17 +306,46 @@ def _decode_map_column(arr) -> list[dict | None]:
         ]
 
 
-def _load_checkpoint(snap: DeltaSnapshot, cp_version: int) -> None:
-    import pyarrow.compute as pc
+def _multipart_checkpoint_paths(
+    table: str, version: int, parts: int
+) -> list[str]:
+    """Spec naming: ``%020d.checkpoint.%010d.%010d.parquet`` (version,
+    part number 1-based, total parts)."""
+    d = _log_dir(table)
+    return [
+        os.path.join(
+            d, f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+        )
+        for i in range(1, parts + 1)
+    ]
+
+
+def _load_checkpoint(
+    snap: DeltaSnapshot, cp_version: int, parts: int | None = None
+) -> None:
     import pyarrow.parquet as pq
 
+    if parts:
+        paths = _multipart_checkpoint_paths(snap.table, cp_version, parts)
+        missing = [p for p in paths if not os.path.isfile(p)]
+        if missing:
+            raise DeltaProtocolError(
+                f"multi-part checkpoint {cp_version} is missing "
+                f"{len(missing)} of {parts} parts, e.g. {missing[0]}"
+            )
+        for p in paths:
+            _load_checkpoint_file(snap, pq.ParquetFile(p))
+        return
     path = _checkpoint_path(snap.table, cp_version)
     if not os.path.isfile(path):
         raise DeltaProtocolError(
-            f"_last_checkpoint points at missing {path} (multi-part "
-            "checkpoints are not implemented)"
+            f"_last_checkpoint points at missing {path}"
         )
-    pf = pq.ParquetFile(path)
+    _load_checkpoint_file(snap, pq.ParquetFile(path))
+
+
+def _load_checkpoint_file(snap: DeltaSnapshot, pf) -> None:
+    import pyarrow.compute as pc
     cols = [
         c
         for c in ("protocol", "metaData", "add", "remove", "txn")
@@ -425,28 +481,37 @@ def snapshot(table: str, version: int | None = None) -> DeltaSnapshot:
 
     snap = DeltaSnapshot(table=table, version=target)
     start = 0
-    # usable checkpoint: the pointer's (single-part, <= target, file
-    # present), else the newest listed single-part checkpoint <= target
+    # usable checkpoint: the pointer's (<= target, all files present —
+    # single- OR multi-part), else the newest listed single-part
+    # checkpoint <= target
     candidates = []
     if cp and cp.get("version", -1) <= target and cp.get("parts") is None:
         candidates.append(cp["version"])
     candidates.extend(
         v for v in _list_checkpoint_versions(table) if v <= target
     )
-    usable = [
+    single = [
         v
         for v in set(candidates)
         if os.path.isfile(_checkpoint_path(table, v))
     ]
-    if usable:
-        cpv = max(usable)
+    multi: tuple[int, int] | None = None
+    if cp and cp.get("version", -1) <= target and cp.get("parts"):
+        mp = _multipart_checkpoint_paths(
+            table, cp["version"], int(cp["parts"])
+        )
+        if all(os.path.isfile(p) for p in mp):
+            multi = (cp["version"], int(cp["parts"]))
+    best_single = max(single) if single else -1
+    if multi is not None and multi[0] >= best_single:
+        _load_checkpoint(snap, multi[0], parts=multi[1])
+        start = multi[0] + 1
+    elif single:
+        cpv = best_single
         _load_checkpoint(snap, cpv)
         start = cpv + 1
-    elif cp and cp.get("version", -1) <= target:
-        # pointer exists but neither it nor a listed checkpoint is
-        # readable — replaying from 0 only works if the JSON log still
-        # reaches back; the gap check below raises if it doesn't
-        pass
+    # otherwise: replay from 0 — only works if the JSON log still
+    # reaches back; the gap check below raises if it doesn't
     for v in range(start, target + 1):
         if not os.path.isfile(_commit_path(table, v)):
             # any missing commit at-or-below the target makes the replay
@@ -526,8 +591,36 @@ def _typed_partition_value(raw: str | None, dtype: str):
     return raw
 
 
+def _physical_type(dt):
+    """Recursively rename struct fields to their columnMapping physical
+    names — the schema the PARQUET FILES actually carry."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if isinstance(dt, StructType):
+        out = []
+        for f in dt.fields:
+            phys = (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            out.append(
+                StructField(phys, _physical_type(f.dataType), f.nullable)
+            )
+        return StructType(out)
+    if isinstance(dt, ArrayType):
+        return ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _prune_files(
-    snap: DeltaSnapshot, partition_filters: list[tuple] | None
+    snap: DeltaSnapshot,
+    partition_filters: list[tuple] | None,
+    mapping: dict[str, str] | None = None,
 ) -> dict[str, dict]:
     if not partition_filters:
         return snap.files
@@ -538,12 +631,14 @@ def _prune_files(
             raise ValueError(
                 f"{col!r} is not a partition column {sorted(pcols)}"
             )
+    phys = mapping or {}
     out = {}
     for path, add in snap.files.items():
         ok = True
         for col, op, val in partition_filters:
             pv = _typed_partition_value(
-                add["partitionValues"].get(col), types.get(col, "string")
+                add["partitionValues"].get(phys.get(col, col)),
+                types.get(col, "string"),
             )
             if not _CMP[op](pv, val):
                 ok = False
@@ -566,6 +661,7 @@ def _resolve_path(table: str, rel: str) -> str:
 def _prune_data_files(
     snap: DeltaSnapshot, files: dict[str, dict],
     data_filters: list[tuple] | None,
+    mapping: dict[str, str] | None = None,
 ) -> dict[str, dict]:
     """Stats-based file skipping: drop files whose log ``stats``
     (minValues/maxValues) PROVE no row can satisfy every filter. Files
@@ -586,6 +682,7 @@ def _prune_data_files(
             raise ValueError(
                 f"{col!r} is a partition column — use partition_filters"
             )
+    phys = mapping or {}
     out = {}
     for path, add in files.items():
         try:
@@ -599,15 +696,16 @@ def _prune_data_files(
         keep = True
         for col, op, val in data_filters:
             dtype = types[col]
-            mn = _parse_stat(mins.get(col), dtype)
-            mx = _parse_stat(maxs.get(col), dtype)
+            pcol = phys.get(col, col)  # stats keys are PHYSICAL names
+            mn = _parse_stat(mins.get(pcol), dtype)
+            mx = _parse_stat(maxs.get(pcol), dtype)
             if mn is None or mx is None:
                 # no usable min/max; the only sound skip is the
                 # provably-all-null file vs a comparison predicate
                 if (
                     n is not None
-                    and nulls.get(col) is not None
-                    and nulls[col] == n
+                    and nulls.get(pcol) is not None
+                    and nulls[pcol] == n
                 ):
                     keep = False
                     break
@@ -783,24 +881,43 @@ def read_delta(
             raise ValueError("pass version OR timestamp, not both")
         version = resolve_timestamp(table, timestamp)
     snap = snapshot(table, version)
-    files = _prune_files(snap, partition_filters)
-    files = _prune_data_files(snap, files, data_filters)
+    mapping = snap.column_mapping
+    files = _prune_files(snap, partition_filters, mapping)
+    files = _prune_data_files(snap, files, data_filters, mapping)
     schema = snap.schema
     pcols = snap.partition_columns
 
     if not files:
         return spark.createDataFrame([], schema)
 
+    # columnMapping tables: the parquet files, partition dirs and stats
+    # all carry PHYSICAL names — scan physically, then project back to
+    # the logical schema (nested renames ride on a positional struct
+    # cast, which only renames since the types are identical)
+    scan_schema = _physical_type(schema) if mapping else schema
+    scan_pcols = [mapping[c] for c in pcols] if mapping else pcols
+
     plain = {p: a for p, a in files.items() if not a.get("deletionVector")}
     dvf = {p: a for p, a in files.items() if a.get("deletionVector")}
     parts = []
     if plain:
-        parts.append(_scan_files(spark, table, plain, schema, pcols))
+        parts.append(
+            _scan_files(spark, table, plain, scan_schema, scan_pcols)
+        )
     if dvf:
-        parts.append(_scan_dv_files(spark, table, dvf, schema, pcols))
+        parts.append(
+            _scan_dv_files(spark, table, dvf, scan_schema, scan_pcols)
+        )
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    if mapping:
+        df = df.select(
+            [
+                F.col(mapping[f.name]).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     for col, op, val in (partition_filters or []) + (data_filters or []):
         c = F.col(col)
         if op == "in":
@@ -1093,6 +1210,22 @@ def write_delta(
         return snapshot(table).version
 
     prev = snapshot(table) if exists else None
+    if prev is not None and prev.column_mapping:
+        raise DeltaProtocolError(
+            "writing to a columnMapping table is not implemented (the "
+            "data files use physical column names); this engine reads "
+            "such tables only"
+        )
+    if (configuration or {}).get("delta.columnMapping.mode") not in (
+        None,
+        "",
+        "none",
+    ):
+        raise DeltaProtocolError(
+            "creating a columnMapping table is not implemented (this "
+            "engine would have to mint physicalName field metadata); "
+            "foreign columnMapping tables are readable"
+        )
     pcols = list(partition_by or (prev.partition_columns if prev else []))
     if prev is not None and partition_by is not None:
         if list(partition_by) != prev.partition_columns:
@@ -1412,6 +1545,11 @@ def read_delta_changes(
     the same contract as Delta's CDF-less ``readChangeFeed=false``
     streaming source)."""
     snap = snapshot(table)  # metadata/schema + protocol checks at HEAD
+    if snap.column_mapping:
+        raise DeltaProtocolError(
+            "read_delta_changes on a columnMapping table is not "
+            "implemented — re-read the snapshot instead"
+        )
     end = snap.version if to_version is None else int(to_version)
     if from_version > end:
         raise ValueError(
@@ -1546,6 +1684,11 @@ def merge_delta(
                 "implemented (the victim rewrite would resurrect "
                 "DV-deleted rows); compact the DVs away first via "
                 "rewrite_dv_files"
+            )
+        if snap.column_mapping:
+            raise DeltaProtocolError(
+                "merge_delta on a columnMapping table is not implemented"
+                " (read-only support)"
             )
         target = read_delta(spark, table, version=snap.version)
         src = source.alias("s")
@@ -1701,6 +1844,11 @@ def compact_delta(
             "compact_delta on a deletion-vector-bearing table is not "
             "implemented (bin-packing victim files would resurrect "
             "DV-deleted rows); run rewrite_dv_files first"
+        )
+    if snap.column_mapping:
+        raise DeltaProtocolError(
+            "compact_delta on a columnMapping table is not implemented"
+            " (read-only support)"
         )
     if zorder_by:
         bad = [
@@ -1866,6 +2014,11 @@ def delete_rows_dv(
     for _ in range(max_retries):
         snap = snapshot(table)
         pcols = snap.partition_columns
+        if snap.column_mapping:
+            raise DeltaProtocolError(
+                "delete_rows_dv on a columnMapping table is not "
+                "implemented (read-only support)"
+            )
         if pcols and not _is_hive_layout(snap.files, pcols):
             raise DeltaProtocolError(
                 "delete_rows_dv requires the hive data layout"
@@ -2015,6 +2168,11 @@ def rewrite_dv_files(spark: SparkSession, table: str) -> int | None:
     if pcols and not _is_hive_layout(snap.files, pcols):
         raise DeltaProtocolError(
             "rewrite_dv_files requires the hive data layout"
+        )
+    if snap.column_mapping:
+        raise DeltaProtocolError(
+            "rewrite_dv_files on a columnMapping table is not "
+            "implemented (read-only support)"
         )
     out = _scan_dv_files(spark, table, dvf, snap.schema, pcols)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")

@@ -405,14 +405,137 @@ def test_reader_v4_refuses(spark, table):
         dl.read_delta(spark, table)
 
 
-def test_column_mapping_mode_raises(spark, table):
-    dl.write_delta(
-        _mkdf(spark, [(1, "a", 1.0)]),
-        table,
-        configuration={"delta.columnMapping.mode": "name"},
-    )
+def test_creating_column_mapping_table_refuses(spark, table):
+    """Since r12 columnMapping tables READ (see test_column_mapping_*);
+    CREATING one still refuses — this engine doesn't mint physicalName
+    metadata, and a half-conformant table would break foreign readers."""
     with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
-        dl.read_delta(spark, table)
+        dl.write_delta(
+            _mkdf(spark, [(1, "a", 1.0)]),
+            table,
+            configuration={"delta.columnMapping.mode": "name"},
+        )
+
+
+def _make_column_mapped_table(spark, table, partitioned=True):
+    """Hand-build a foreign-style columnMapping table: parquet files and
+    partition dirs carry PHYSICAL names (col-xxxx), the log schema maps
+    them to logical names via field metadata — the layout delta-spark
+    produces with delta.columnMapping.mode=name."""
+    import json as _json
+    import time as _time
+
+    phys = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+        "`col-k1` int, `col-p1` string, `col-v1` double",
+    )
+    os.makedirs(table, exist_ok=True)
+    if partitioned:
+        phys.write.partitionBy("col-p1").parquet(
+            os.path.join(table, "data"), mode="overwrite"
+        )
+    else:
+        phys.write.parquet(os.path.join(table, "data"), mode="overwrite")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "k",
+                "type": "integer",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-k1",
+                },
+            },
+            {
+                "name": "part",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-p1",
+                },
+            },
+            {
+                "name": "v",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-v1",
+                },
+            },
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": ["part"] if partitioned else [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "createdTime": int(_time.time() * 1000),
+            }
+        },
+    ]
+    for root, _dirs, names in os.walk(os.path.join(table, "data")):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            rel = os.path.relpath(full, table).replace(os.sep, "/")
+            pvals = {}
+            for comp in rel.split("/")[:-1]:
+                if "=" in comp:
+                    k, _, v = comp.partition("=")
+                    pvals[k] = v
+            stats = {"numRecords": 1, "minValues": {}, "maxValues": {},
+                     "nullCount": {}}
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pvals,  # PHYSICAL keys
+                        "size": os.path.getsize(full),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _json.dumps(stats),
+                    }
+                }
+            )
+    dl._write_commit(table, 0, actions)
+
+
+def test_column_mapping_read_logical_names(spark, table):
+    _make_column_mapped_table(spark, table)
+    df = dl.read_delta(spark, table)
+    assert sorted(df.columns) == ["k", "part", "v"]
+    assert _collect(df) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+
+
+def test_column_mapping_partition_filter_logical(spark, table):
+    _make_column_mapped_table(spark, table)
+    df = dl.read_delta(spark, table, partition_filters=[("part", "=", "a")])
+    assert _collect(df) == [(1, "a", 1.0), (3, "a", 3.0)]
+
+
+def test_column_mapping_flat_layout(spark, table):
+    _make_column_mapped_table(spark, table, partitioned=False)
+    df = dl.read_delta(spark, table)
+    assert _collect(df) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+
+
+def test_column_mapping_writes_refuse(spark, table):
+    _make_column_mapped_table(spark, table)
+    with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
+        dl.write_delta(_mkdf(spark, [(9, "z", 9.0)]), table, mode="append")
+    with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
+        dl.delete_rows_dv(spark, table, "k = 1")
+    with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
+        dl.read_delta_changes(spark, table, from_version=0)
 
 
 def test_vacuum_deletes_only_expired_unreferenced(spark, table):
@@ -1365,3 +1488,61 @@ def test_merge_handles_percent_encoded_partition_values(spark, table):
     dl.merge_delta(spark, table, src, on=["k"])
     rows = sorted(_collect(dl.read_delta(spark, table)))
     assert rows == [(1, "has space", 10.0), (2, "pct%val", 20.0), (3, "plain", 3.0)]
+
+
+def test_multipart_checkpoint_reads(spark, table):
+    """Spec naming %020d.checkpoint.%010d.%010d.parquet with a `parts`
+    field in _last_checkpoint: split a single-part checkpoint into two
+    row slices, clean the JSON log, and replay from the parts alone."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        dl.write_delta(
+            _mkdf(spark, [(i, "x", float(i))]), table, mode="append",
+            checkpoint_interval=0,
+        )
+    cp = dl.write_checkpoint(table)
+    t = pq.read_table(cp)
+    half = t.num_rows // 2
+    d = dl._log_dir(table)
+    v = dl.snapshot(table).version
+    p1 = os.path.join(
+        d, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    )
+    p2 = os.path.join(
+        d, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+    )
+    pq.write_table(t.slice(0, half), p1)
+    pq.write_table(t.slice(half), p2)
+    os.unlink(cp)  # the single-part file is gone; only parts remain
+    with open(os.path.join(d, dl.LAST_CHECKPOINT), "w") as f:
+        _json.dump({"version": v, "size": t.num_rows, "parts": 2}, f)
+    for ver in range(v + 1):
+        os.unlink(dl._commit_path(table, ver))
+    snap = dl.snapshot(table)
+    assert snap.version == v
+    assert len(_collect(dl.read_delta(spark, table))) == 3
+
+
+def test_multipart_checkpoint_missing_part_raises(spark, table):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    cp = dl.write_checkpoint(table)
+    t = pq.read_table(cp)
+    d = dl._log_dir(table)
+    pq.write_table(
+        t, os.path.join(d, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    )
+    os.unlink(cp)
+    with open(os.path.join(d, dl.LAST_CHECKPOINT), "w") as f:
+        _json.dump({"version": 0, "size": t.num_rows, "parts": 2}, f)
+    os.unlink(dl._commit_path(table, 0))
+    # the incomplete part set is unusable and the JSON log no longer
+    # reaches v0 -> the replay refuses rather than serving partial state
+    with pytest.raises(dl.DeltaProtocolError, match="gap at version 0"):
+        dl.snapshot(table)

@@ -48,6 +48,12 @@ QUERIES_UNDER_TEST = [
     "bigram_perplexity",
     "rp_distortion",
     "dup_span_stats",
+    # r12 (r11 VERDICT item 4): the two remaining weak-list members.
+    # Both are sub-second warm standalone at sf0.1 (0.96s / 0.27s on a
+    # quiet window — the r11 bench ratios were adjacency noise); the
+    # probe pins whether the ratio collapses with scale.
+    "minhash_signatures",
+    "bpe_token_stats",
 ]
 TABLES = [
     "lineitem", "orders", "customer", "supplier", "documents", "embeddings",
