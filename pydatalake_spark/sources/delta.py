@@ -33,7 +33,12 @@ Feature level
   optionally ``zorder_by`` Morton re-clustering), ``idempotent_append``
   (txn-action exactly-once), ``delete_rows_dv`` (DELETE WHERE via
   deletion vectors — no file rewrite; auto protocol upgrade to
-  reader v3/writer v7), ``rewrite_dv_files`` (REORG APPLY PURGE).
+  reader v3/writer v7), ``rewrite_dv_files`` (REORG APPLY PURGE),
+  CHECK constraints (``delta.constraints.*`` enforced with a limit(1)
+  probe per batch; create advertises writer v3), and a writer-side
+  protocol capability check (unknown writerFeatures / generated /
+  identity / invariant columns refuse to WRITE while reads keep
+  working).
 
 Why this matters at 100 TB
 --------------------------
@@ -1177,6 +1182,89 @@ def _file_stats(path: str, schema: StructType, pcols: list[str]) -> str:
     return json.dumps(out, default=str)
 
 
+class DeltaConstraintViolation(RuntimeError):
+    """A batch row violates a table CHECK constraint."""
+
+
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly",
+        "checkConstraints",
+        "invariants",
+        "deletionVectors",
+        "columnMapping",  # writes refused separately via column_mapping
+        "timestampNtz",
+        "vacuumProtocolCheck",
+    }
+)
+
+
+def _check_writer_support(snap: "DeltaSnapshot") -> None:
+    """Refuse to WRITE a foreign table whose protocol demands writer
+    behavior this engine doesn't implement — appending blindly would
+    corrupt its invariants (the spec's writer-version contract). Reads
+    are unaffected."""
+    proto = snap.protocol
+    if proto.get("minWriterVersion", 1) == 7:
+        for feat in proto.get("writerFeatures") or []:
+            if feat not in _SUPPORTED_WRITER_FEATURES:
+                raise DeltaProtocolError(
+                    f"unsupported writer feature: {feat!r} — refusing "
+                    "to write (reads still work)"
+                )
+
+    def walk(dt, path):
+        from pyspark.sql.types import ArrayType, MapType
+
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                meta = f.metadata or {}
+                if "delta.invariants" in meta:
+                    raise DeltaProtocolError(
+                        f"column {path + f.name!r} carries a legacy "
+                        "invariant this writer does not enforce — "
+                        "refusing to write"
+                    )
+                if "delta.generationExpression" in meta:
+                    raise DeltaProtocolError(
+                        f"column {path + f.name!r} is a generated column"
+                        " — refusing to write"
+                    )
+                if any(k.startswith("delta.identity.") for k in meta):
+                    raise DeltaProtocolError(
+                        f"column {path + f.name!r} is an identity column"
+                        " — refusing to write"
+                    )
+                walk(f.dataType, path + f.name + ".")
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType, path)
+        elif isinstance(dt, MapType):
+            walk(dt.keyType, path)
+            walk(dt.valueType, path)
+
+    walk(snap.schema, "")
+
+
+def _enforce_check_constraints(df: DataFrame, conf: dict) -> None:
+    """Enforce ``delta.constraints.<name>`` (CHECK constraints, writer v3
+    feature) on a batch before it stages. One ``limit(1)`` probe per
+    constraint: the job aborts on the FIRST violating row found — at
+    100 TB the probe is a pushed-down filter scan of the batch, not a
+    full aggregate, and a clean batch costs one pass per constraint.
+    NULL results don't violate (SQL CHECK semantics)."""
+    for key, expr in sorted((conf or {}).items()):
+        if not key.startswith("delta.constraints."):
+            continue
+        name = key[len("delta.constraints."):]
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
+        rows = bad.collect()
+        if rows:
+            raise DeltaConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
+                f"row {rows[0].asDict()}"
+            )
+
+
 def write_delta(
     df: DataFrame,
     table: str,
@@ -1216,6 +1304,8 @@ def write_delta(
             "data files use physical column names); this engine reads "
             "such tables only"
         )
+    if prev is not None:
+        _check_writer_support(prev)
     if (configuration or {}).get("delta.columnMapping.mode") not in (
         None,
         "",
@@ -1313,6 +1403,18 @@ def write_delta(
     if bad:
         raise ValueError(f"partition_by columns missing from df: {bad}")
 
+    # CHECK constraints (spec: delta.constraints.<name> in the table
+    # configuration; legacy writer v3 feature). Enforced BEFORE staging:
+    # one limit(1) probe per constraint — aborts on the first violating
+    # row without scanning the rest of the batch.
+    eff_conf = dict(
+        (prev.metadata.get("configuration") or {}) if prev else {}
+    )
+    if configuration is not None:
+        if prev is None or mode == "overwrite":
+            eff_conf = dict(configuration)
+    _enforce_check_constraints(df, eff_conf)
+
     os.makedirs(table, exist_ok=True)
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     try:
@@ -1381,7 +1483,15 @@ def write_delta(
             }
         )
     if prev is None:
-        actions.append({"protocol": dict(PROTOCOL)})
+        proto = dict(PROTOCOL)
+        if any(
+            k.startswith("delta.constraints.")
+            for k in (configuration or {})
+        ):
+            # CHECK constraints are a writer-v3 legacy feature: advertise
+            # it so a v2-only foreign writer can't append unchecked rows
+            proto["minWriterVersion"] = max(proto["minWriterVersion"], 3)
+        actions.append({"protocol": proto})
         actions.append(
             {
                 "metaData": {
@@ -1690,6 +1800,10 @@ def merge_delta(
                 "merge_delta on a columnMapping table is not implemented"
                 " (read-only support)"
             )
+        _check_writer_support(snap)
+        _enforce_check_constraints(
+            source, snap.metadata.get("configuration") or {}
+        )
         target = read_delta(spark, table, version=snap.version)
         src = source.alias("s")
 

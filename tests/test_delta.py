@@ -1546,3 +1546,75 @@ def test_multipart_checkpoint_missing_part_raises(spark, table):
     # reaches v0 -> the replay refuses rather than serving partial state
     with pytest.raises(dl.DeltaProtocolError, match="gap at version 0"):
         dl.snapshot(table)
+
+
+def test_check_constraints_enforced(spark, table):
+    """delta.constraints.* (CHECK, writer v3): violating batches refuse
+    before staging, clean batches commit, the protocol advertises
+    writer v3, and NULL results don't violate (SQL CHECK semantics)."""
+    conf = {"delta.constraints.positive_v": "v > 0"}
+    with pytest.raises(dl.DeltaConstraintViolation, match="positive_v"):
+        dl.write_delta(
+            _mkdf(spark, [(1, "a", -1.0)]), table, configuration=conf
+        )
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table, configuration=conf)
+    assert dl.snapshot(table).protocol["minWriterVersion"] >= 3
+    # appends inherit the table's constraints
+    with pytest.raises(dl.DeltaConstraintViolation):
+        dl.write_delta(
+            _mkdf(spark, [(2, "b", -2.0)]), table, mode="append"
+        )
+    dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="append")
+    # NULL constraint result passes (SQL CHECK semantics)
+    from pyspark.sql import Row as _Row
+
+    nulls = spark.createDataFrame(
+        [_Row(k=3, part="c", v=None)], "k long, part string, v double"
+    ).select("k", "part", "v")
+    dl.write_delta(nulls, table, mode="append")
+    assert dl.read_delta(spark, table).count() == 3
+    # merge sources are checked too
+    with pytest.raises(dl.DeltaConstraintViolation):
+        dl.merge_delta(
+            spark, table, _mkdf(spark, [(1, "a", -9.0)]), on=["k"]
+        )
+
+
+def test_writer_refuses_unknown_writer_features(spark, table):
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    dl._write_commit(
+        table,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["generatedColumns"],
+                }
+            }
+        ],
+    )
+    # reads still fine
+    assert _collect(dl.read_delta(spark, table)) == [(1, "a", 1.0)]
+    with pytest.raises(dl.DeltaProtocolError, match="generatedColumns"):
+        dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="append")
+
+
+def test_writer_refuses_generated_column_metadata(spark, table):
+    """Legacy-version tables mark generated/invariant columns in schema
+    field metadata; appending without honoring them corrupts the table."""
+    import json as _json
+
+    dl.write_delta(_mkdf(spark, [(1, "a", 1.0)]), table)
+    snap = dl.snapshot(table)
+    schema = _json.loads(snap.metadata["schemaString"])
+    schema["fields"][2]["metadata"] = {
+        "delta.generationExpression": "k * 2.0"
+    }
+    meta = dict(snap.metadata)
+    meta["schemaString"] = _json.dumps(schema)
+    dl._write_commit(table, 1, [{"metaData": meta}])
+    assert dl.read_delta(spark, table).count() == 1
+    with pytest.raises(dl.DeltaProtocolError, match="generated column"):
+        dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="append")
