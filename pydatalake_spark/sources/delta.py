@@ -827,9 +827,11 @@ def _scan_dv_files(
     the scan carries ``_metadata.file_name``/``row_index`` and an
     anti-join against the resolved (file, row) tombstone set drops
     exactly the DV-marked positions. The tombstone side is
-    |deleted rows| — bounded by DV cardinality, not table size — and the
-    join is AQE-broadcastable when small. Driver cost: one bounded DV
-    blob read per file (kilobytes each, the format's design point)."""
+    |deleted rows| — bounded by DV cardinality, not table size — and is
+    broadcast-hinted when it provably fits (we hold its exact length on
+    the driver; a stats-less local relation would otherwise sort-merge
+    and shuffle the whole scan). Driver cost: one bounded DV blob read
+    per file (kilobytes each, the format's design point)."""
     from pydatalake_spark.sources.dv import read_dv_descriptor
 
     names = [f.name for f in schema.fields]
@@ -848,6 +850,12 @@ def _scan_dv_files(
     if not pairs:  # empty DVs: nothing to drop
         return sub.select(*names)
     deleted = spark.createDataFrame(pairs, "__dv_fn string, __dv_ri long")
+    # the tombstone side is a stats-less local relation, so the static
+    # planner would sort-merge — shuffling the WHOLE DV-bearing scan.
+    # We know |pairs| exactly (it was built on the driver): broadcast
+    # when it genuinely fits, keep the shuffle fallback for huge DV sets
+    if len(pairs) <= 2_000_000:
+        deleted = F.broadcast(deleted)
     return (
         sub.join(deleted, on=["__dv_fn", "__dv_ri"], how="left_anti")
         .select(*names)
@@ -2170,6 +2178,8 @@ def delete_rows_dv(
                 dele = spark.createDataFrame(
                     pairs, "__dv_fn string, __dv_ri long"
                 )
+                if len(pairs) <= 2_000_000:
+                    dele = F.broadcast(dele)
                 sub = sub.join(
                     dele, on=["__dv_fn", "__dv_ri"], how="left_anti"
                 )

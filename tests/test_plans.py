@@ -699,3 +699,34 @@ def test_semantic_dedup_fused_assignment_no_corpus_rejoin(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("MapInPandas") == 1          # the assignment
     assert p.count("FlatMapGroupsInPandas") == 1  # the verify
+
+
+def test_dv_read_broadcasts_tombstones_no_scan_shuffle(spark, tmp_path_factory):
+    """Deletion-vector read: the tombstone anti-join must broadcast the
+    (file, row_index) side — a stats-less local relation would
+    sort-merge and shuffle the ENTIRE DV-bearing scan (the 100-TB
+    killer). Pinned on the physical plan: BroadcastHashJoin LeftAnti,
+    and no Exchange between the parquet scan and the join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pydatalake_spark.sources import delta as dl
+
+    table = os.path.join(str(tmp_path_factory.mktemp("dvplan")), "t")
+    df = spark.range(1000).withColumn("v", F.col("id").cast("double"))
+    dl.write_delta(df, table)
+    dl.delete_rows_dv(spark, table, "id % 10 = 0")
+    p = (
+        dl.read_delta(spark, table)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # the scan side feeds the join without an exchange
+    scan_idx = p.index("FileScan parquet")
+    join_idx = p.index("BroadcastHashJoin")
+    assert "Exchange hashpartitioning" not in p[join_idx:scan_idx], p

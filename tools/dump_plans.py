@@ -14,7 +14,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 PICKS = {
     "q3_shipping_priority": (
-        "dimensions broadcast; fact scan filtered+pruned at source"
+        "NO static broadcast hints (r12): AQE sizes the build side; "
+        "fact scan filtered+pruned at source; decimal-exact revenue sum"
+    ),
+    "delta_deletion_vectors": (
+        "DV read (r12): parquet scan of the log-resolved file list + "
+        "BROADCAST left_anti against the (file,row_index) tombstones — "
+        "the build side is |deleted rows| (hinted: its exact length is "
+        "known on the driver), so the scan never shuffles"
     ),
     "near_dup_pairs": (
         "LSH band self-join = hash equi-join; shingle arrays never shuffle"
