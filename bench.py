@@ -154,10 +154,12 @@ BENCH_QUERIES = [
     "delta_stats_skip",
     "delta_partition_prune",
     # r12: merged-table read (the upsert happens ONCE at fixture build;
-    # the commit cost is its own artifact, BENCH_delta_merge.json) and
-    # the deletion-vector-filtered read (reader protocol v3).
+    # the commit cost is its own artifact, BENCH_delta_merge.json), the
+    # deletion-vector-filtered read (reader protocol v3), and the
+    # column-mapping read (physical-schema scan + logical projection).
     "delta_merge_upsert_orders",
     "delta_deletion_vectors",
+    "delta_column_mapping",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

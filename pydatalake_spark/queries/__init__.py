@@ -37,11 +37,13 @@ for _mod in (relational, text, similarity, lakehouse):
 #       r12 changes).
 _GATE_FRONT = [
     # (a) the native-Delta protocol queries (3 never driver-green; the
-    # NEW deletion-vector query has no green row by definition)
+    # NEW deletion-vector and column-mapping queries have no green row
+    # by definition)
     "delta_roundtrip_orders",
     "delta_stats_skip",
     "delta_partition_prune",
     "delta_deletion_vectors",
+    "delta_column_mapping",
     "delta_time_travel_v0",
     "delta_merge_upsert_orders",
     # (b) implementation changed this round (r12)
@@ -80,7 +82,7 @@ _GATE_FRONT = [
     "train_test_split",
     "union_by_name",
     "zscore_outliers",
-    # (d) fill: stalest r09 rows (alphabetical prefix, 10 of 46)
+    # (d) fill: stalest r09 rows (alphabetical prefix, 9 of 46)
     "ann_bucket_candidates",
     "array_functions",
     "bigram_perplexity",
@@ -90,7 +92,6 @@ _GATE_FRONT = [
     "char_entropy",
     "cms_heavy_hitters",
     "cohort_retention",
-    "corpus_datacard",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

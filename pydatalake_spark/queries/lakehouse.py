@@ -294,6 +294,120 @@ def delta_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _orders_cm_delta(spark: SparkSession, sf: str) -> str:
+    """Column-mapping fixture: a FOREIGN-style table whose parquet files
+    and partition dirs carry physical ``col-N`` names, with the log's
+    schemaString mapping them to the logical orders columns
+    (``delta.columnMapping.mode=name``, reader protocol v2 — the layout
+    delta-spark produces). Built by hand because this engine refuses to
+    WRITE CM tables; reading it proves the logical→physical translation
+    on schema, partition values and filters."""
+
+    def build(tmp: str) -> None:
+        import json as _json
+        import time as _time
+
+        orders = _t(spark, sf, "orders")
+        logical = orders.schema
+        phys_names = {
+            f.name: f"col-{i + 1}" for i, f in enumerate(logical.fields)
+        }
+        phys_df = orders.select(
+            *[F.col(n).alias(phys_names[n]) for n in orders.columns]
+        )
+        os.makedirs(tmp, exist_ok=True)
+        data_dir = os.path.join(tmp, "data")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        phys_df.write.partitionBy(phys_names["o_orderstatus"]).parquet(
+            data_dir, mode="overwrite"
+        )
+        fields = []
+        for i, f in enumerate(logical.fields):
+            fields.append(
+                {
+                    "name": f.name,
+                    "type": f.dataType.jsonValue(),
+                    "nullable": f.nullable,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": phys_names[
+                            f.name
+                        ],
+                    },
+                }
+            )
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm-fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": ["o_orderstatus"],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                    "createdTime": int(_time.time() * 1000),
+                }
+            },
+        ]
+        from pydatalake_spark.sources.delta import _write_commit
+
+        for root, _dirs, names in os.walk(data_dir):
+            for n in sorted(names):
+                if not n.endswith(".parquet") or n.startswith(("_", ".")):
+                    continue
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, tmp).replace(os.sep, "/")
+                pvals = {}
+                for comp in rel.split("/")[:-1]:
+                    if "=" in comp:
+                        k, _, v = comp.partition("=")
+                        pvals[k] = v
+                actions.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": pvals,  # PHYSICAL keys
+                            "size": os.path.getsize(full),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                            "stats": None,
+                        }
+                    }
+                )
+        _write_commit(tmp, 0, actions)
+
+    return _fixture(spark, sf, "orders_cm", build)
+
+
+@q(
+    "delta_column_mapping",
+    """
+    SELECT count(*) AS n_orders, sum(o_totalprice) AS total_price,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def delta_column_mapping(spark: SparkSession, sf: str) -> DataFrame:
+    """Read a columnMapping (mode=name) table with a LOGICAL-name
+    partition filter: the engine translates it to the physical
+    partitionValues keys, scans the physical schema, and projects back —
+    value parity vs the raw-parquet WHERE proves both translations."""
+    df = read_delta(
+        spark,
+        _orders_cm_delta(spark, sf),
+        partition_filters=[("o_orderstatus", "=", "F")],
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
 @q(
     "delta_stats_skip",
     f"""
