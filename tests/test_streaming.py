@@ -470,3 +470,127 @@ def test_stream_delta_sink_exactly_once(spark, events, tmpdir_path):
     )
     b = sorted((r.user_id, r.ts, r.value) for r in data.collect())
     assert a == b
+
+
+def test_pydelta_stream_source_exactly_once_across_restart(
+    spark, tmpdir_path
+):
+    """spark.readStream.format('pydelta'): version-based offsets ride
+    Spark's checkpoint, so a restarted stream serves ONLY commits after
+    the last committed batch — end-to-end exactly-once with zero
+    source-side state."""
+    from pydatalake_spark.sources import delta as dl
+    from pydatalake_spark.streaming.delta_source import register
+
+    register(spark)
+    table = os.path.join(tmpdir_path, "t")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    df = (
+        spark.range(10)
+        .withColumn("part", (F.col("id") % 2).cast("string"))
+        .withColumn("v", F.col("id").cast("double"))
+    )
+    dl.write_delta(df, table, partition_by=["part"])
+    dl.write_delta(df.withColumn("id", F.col("id") + 10), table, mode="append")
+
+    got: list[tuple] = []
+
+    def sink(b, i):
+        got.append((i, sorted(r["id"] for r in b.select("id").collect())))
+
+    q = (
+        spark.readStream.format("pydelta")
+        .option("path", table)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(x for _, ids in got for x in ids) == list(range(20))
+    # partition column values came from the LOG, typed
+    # (string cast of id % 2)
+    dl.write_delta(df.withColumn("id", F.col("id") + 20), table, mode="append")
+    got2: list[int] = []
+    q2 = (
+        spark.readStream.format("pydelta")
+        .option("path", table)
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got2.extend(r["id"] for r in b.select("id").collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(got2) == list(range(20, 30))
+
+
+def test_pydelta_stream_source_refuses_rewrites(spark, tmpdir_path):
+    """A commit that removes data with dataChange=true is not an append;
+    the source raises rather than silently double-serving rows."""
+    from pydatalake_spark.sources import delta as dl
+    from pydatalake_spark.streaming.delta_source import register
+
+    register(spark)
+    table = os.path.join(tmpdir_path, "t")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    df = spark.range(5).withColumn("v", F.col("id").cast("double"))
+    dl.write_delta(df, table)
+    dl.write_delta(df, table, mode="overwrite")  # v1 rewrites
+    q = (
+        spark.readStream.format("pydelta")
+        .option("path", table)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="rewrites data|restart"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+
+def test_pydelta_source_roundtrip_matches_batch_read(spark, tmpdir_path):
+    """Full-stream content == read_delta snapshot (same rows, partition
+    values typed from the log)."""
+    from pydatalake_spark.sources import delta as dl
+    from pydatalake_spark.streaming.delta_source import register
+
+    register(spark)
+    table = os.path.join(tmpdir_path, "t")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    sink_dir = os.path.join(tmpdir_path, "out")
+    df = (
+        spark.range(100)
+        .withColumn("part", (F.col("id") % 3).cast("string"))
+        .withColumn("v", F.col("id").cast("double"))
+    )
+    dl.write_delta(df, table, partition_by=["part"])
+    q = (
+        spark.readStream.format("pydelta")
+        .option("path", table)
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    a = sorted(
+        (r["id"], r["part"], r["v"])
+        for r in spark.read.parquet(sink_dir).collect()
+    )
+    b = sorted(
+        (r["id"], r["part"], r["v"])
+        for r in dl.read_delta(spark, table).collect()
+    )
+    assert a == b
