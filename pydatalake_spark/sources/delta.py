@@ -20,8 +20,9 @@ Feature level
   travel; log-level partition pruning; DELETION VECTORS read via a
   ``_metadata.row_index`` anti-join (``sources/dv.py`` implements the
   Roaring bitmap codec); COLUMN MAPPING (mode ``name``/``id``) read by
-  scanning the physical schema and projecting back to logical names
-  (writes to such tables refuse loudly — read-only support).
+  scanning the physical schema and projecting back to logical names;
+  append/overwrite to CM tables stage under physical names (schema
+  evolution / merge / DV-delete on them refuse loudly).
 * writer: ``minWriterVersion`` 2 shape — ``delta.appendOnly`` honored,
   schema fixed per table (append with a different schema raises;
   ``overwrite_schema=True`` on overwrite evolves it), hive-layout data
@@ -1306,11 +1307,19 @@ def write_delta(
         return snapshot(table).version
 
     prev = snapshot(table) if exists else None
-    if prev is not None and prev.column_mapping:
+    cm = prev.column_mapping if prev is not None else None
+    if cm and (merge_schema or overwrite_schema):
         raise DeltaProtocolError(
-            "writing to a columnMapping table is not implemented (the "
-            "data files use physical column names); this engine reads "
-            "such tables only"
+            "schema evolution on a columnMapping table is not "
+            "implemented (it requires minting columnMapping ids / "
+            "physical names); append or overwrite with the existing "
+            "schema instead"
+        )
+    if cm and configuration is not None:
+        raise DeltaProtocolError(
+            "changing configuration on a columnMapping table is not "
+            "implemented (dropping/altering the mapping mode would "
+            "orphan the physical file names)"
         )
     if prev is not None:
         _check_writer_support(prev)
@@ -1424,10 +1433,21 @@ def write_delta(
     _enforce_check_constraints(df, eff_conf)
 
     os.makedirs(table, exist_ok=True)
+    # columnMapping tables: stage and commit under PHYSICAL names (the
+    # caller's df stays logical; partitionValues keys, hive dirs and
+    # stats keys must all be physical — the protocol's on-disk contract)
+    if cm:
+        stage_df = df.select(
+            [F.col(f.name).alias(cm[f.name]) for f in prev.schema.fields]
+        )
+        stage_pcols = [cm[c] for c in pcols]
+        stage_schema = _physical_type(prev.schema)
+    else:
+        stage_df, stage_pcols, stage_schema = df, pcols, df.schema
     staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
     try:
-        _staged_write(df, staging, pcols, max_records_per_file)
-        staged = _collect_staged_files(staging, pcols)
+        _staged_write(stage_df, staging, stage_pcols, max_records_per_file)
+        staged = _collect_staged_files(staging, stage_pcols)
 
         now_ms = int(time.time() * 1000)
         adds = []
@@ -1437,7 +1457,7 @@ def write_delta(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
             dsts.append(dst)
-        stats_by_path = _file_stats_many(dsts, df.schema, pcols)
+        stats_by_path = _file_stats_many(dsts, stage_schema, stage_pcols)
         for (rel, pvals, _src), dst in zip(staged, dsts):
             adds.append(
                 {
@@ -1446,7 +1466,7 @@ def write_delta(
                         # delta-spark's URI encoding does the same
                         "path": quote(rel, safe="/=.-_"),
                         "partitionValues": {
-                            c: pvals.get(c) for c in pcols
+                            c: pvals.get(c) for c in stage_pcols
                         },
                         "size": os.path.getsize(dst),
                         "modificationTime": now_ms,
@@ -1791,6 +1811,11 @@ def merge_delta(
                 f"  table:  {_schema_key(snap.schema)}"
             )
         pcols = snap.partition_columns
+        if snap.column_mapping:
+            raise DeltaProtocolError(
+                "merge_delta on a columnMapping table is not implemented"
+                " (append/overwrite are; rewrite via overwrite instead)"
+            )
         if pcols and not _is_hive_layout(snap.files, pcols):
             raise DeltaProtocolError(
                 "merge_delta requires the hive data layout (foreign "
@@ -1802,11 +1827,6 @@ def merge_delta(
                 "implemented (the victim rewrite would resurrect "
                 "DV-deleted rows); compact the DVs away first via "
                 "rewrite_dv_files"
-            )
-        if snap.column_mapping:
-            raise DeltaProtocolError(
-                "merge_delta on a columnMapping table is not implemented"
-                " (read-only support)"
             )
         _check_writer_support(snap)
         _enforce_check_constraints(

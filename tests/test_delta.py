@@ -427,7 +427,7 @@ def _make_column_mapped_table(spark, table, partitioned=True):
 
     phys = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
-        "`col-k1` int, `col-p1` string, `col-v1` double",
+        "`col-k1` long, `col-p1` string, `col-v1` double",
     )
     os.makedirs(table, exist_ok=True)
     if partitioned:
@@ -441,7 +441,7 @@ def _make_column_mapped_table(spark, table, partitioned=True):
         "fields": [
             {
                 "name": "k",
-                "type": "integer",
+                "type": "long",
                 "nullable": True,
                 "metadata": {
                     "delta.columnMapping.id": 1,
@@ -528,14 +528,72 @@ def test_column_mapping_flat_layout(spark, table):
     assert _collect(df) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
 
 
-def test_column_mapping_writes_refuse(spark, table):
+def test_column_mapping_append_and_overwrite(spark, table):
+    """Appends/overwrites to a columnMapping table stage under PHYSICAL
+    names (files, hive dirs, partitionValues keys, stats keys) while the
+    caller's DataFrame stays logical — full write interop with
+    delta-spark's modern default tables."""
+    import json as _json
+
     _make_column_mapped_table(spark, table)
-    with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
-        dl.write_delta(_mkdf(spark, [(9, "z", 9.0)]), table, mode="append")
+    dl.write_delta(_mkdf(spark, [(9, "z", 9.0)]), table, mode="append")
+    assert _collect(dl.read_delta(spark, table)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0), (9, "z", 9.0),
+    ]
+    snap = dl.snapshot(table)
+    new_adds = [
+        a
+        for rel, a in snap.files.items()
+        if "col-p1=" in rel and not rel.startswith("data/")
+    ]
+    assert new_adds  # staged under the PHYSICAL hive dir name
+    assert all(
+        set(a["partitionValues"]) == {"col-p1"} for a in new_adds
+    )
+    # stats keyed physically -> data_filters skipping works via the
+    # logical name translation
+    stats = _json.loads(new_adds[0]["stats"])
+    assert "col-k1" in stats["minValues"]
+    df = dl.read_delta(spark, table, data_filters=[("k", ">=", 9)])
+    assert _collect(df) == [(9, "z", 9.0)]
+    # partition filter on the logical name sees old AND new files
+    df2 = dl.read_delta(
+        spark, table, partition_filters=[("part", "=", "z")]
+    )
+    assert _collect(df2) == [(9, "z", 9.0)]
+    # overwrite replaces everything, still physically named
+    dl.write_delta(
+        _mkdf(spark, [(7, "q", 7.0)]), table, mode="overwrite"
+    )
+    assert _collect(dl.read_delta(spark, table)) == [(7, "q", 7.0)]
+
+
+def test_column_mapping_unsupported_writes_refuse(spark, table):
+    _make_column_mapped_table(spark, table)
+    with pytest.raises(dl.DeltaProtocolError, match="columnMapping|evolution"):
+        dl.write_delta(
+            _mkdf(spark, [(9, "z", 9.0)]).withColumn(
+                "extra", F.lit(1)
+            ),
+            table,
+            mode="append",
+            merge_schema=True,
+        )
+    with pytest.raises(dl.DeltaProtocolError, match="configuration"):
+        dl.write_delta(
+            _mkdf(spark, [(9, "z", 9.0)]),
+            table,
+            mode="overwrite",
+            configuration={"foo": "bar"},
+        )
     with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
         dl.delete_rows_dv(spark, table, "k = 1")
     with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
         dl.read_delta_changes(spark, table, from_version=0)
+    with pytest.raises(dl.DeltaProtocolError, match="columnMapping"):
+        dl.merge_delta(
+            spark, table, _mkdf(spark, [(1, "a", 5.0)]), on=["k"]
+        )
 
 
 def test_vacuum_deletes_only_expired_unreferenced(spark, table):
