@@ -2127,103 +2127,129 @@ DV_PROTOCOL = {
 }
 
 
-def delete_rows_dv(
+def _visible_scan_with_meta(
+    spark: SparkSession, table: str, snap: DeltaSnapshot
+) -> DataFrame:
+    """All VISIBLE rows of the snapshot (existing DV tombstones already
+    filtered) with ``__dv_fn``/``__dv_ri`` metadata columns attached —
+    the input both DV mutations (delete/update) plan from."""
+    pcols = snap.partition_columns
+    plain = {
+        p: a for p, a in snap.files.items() if not a.get("deletionVector")
+    }
+    dvf = {p: a for p, a in snap.files.items() if a.get("deletionVector")}
+    scans = []
+    if plain:
+        scans.append(
+            _scan_files(
+                spark, table, plain, snap.schema, pcols, with_meta=True
+            )
+        )
+    if dvf:
+        from pydatalake_spark.sources.dv import read_dv_descriptor
+
+        sub = _scan_files(
+            spark, table, dvf, snap.schema, pcols, with_meta=True
+        )
+        pairs = []
+        for rel, add in dvf.items():
+            bn = os.path.basename(rel)
+            for ri in read_dv_descriptor(table, add["deletionVector"]):
+                pairs.append((bn, int(ri)))
+        if pairs:
+            dele = spark.createDataFrame(
+                pairs, "__dv_fn string, __dv_ri long"
+            )
+            if len(pairs) <= 2_000_000:
+                dele = F.broadcast(dele)
+            sub = sub.join(dele, on=["__dv_fn", "__dv_ri"], how="left_anti")
+        scans.append(sub)
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _dv_mutation_commit(
     spark: SparkSession,
     table: str,
     predicate,
-    max_retries: int = 3,
+    set_exprs: dict | None,
+    max_retries: int,
 ) -> tuple[int | None, int]:
-    """``DELETE FROM table WHERE predicate`` via deletion vectors: rows
-    matching ``predicate`` (a Column or SQL string) are tombstoned in
-    per-file Roaring bitmaps — NO data file is rewritten. Returns
-    ``(committed version | None when nothing matched, rows deleted)``.
-
-    The at-scale contract: deleting 0.1% of a 100-TB table writes
-    kilobytes of bitmap and one commit, instead of rewriting every hit
-    file (what :func:`merge_delta`-style copy-on-write would do). Files
-    already carrying a DV get a MERGED bitmap (old ∪ new positions) —
-    the spec requires one DV per file, and re-deleting an already-dead
-    row is a no-op. The commit upgrades the table protocol to
-    reader v3 / writer v7 with the ``deletionVectors`` feature the first
-    time, exactly like delta-spark's automatic feature enablement.
-
-    Driver memory: the matched (file, row-index) positions materialize
-    on the driver to build the bitmaps — bounded by rows DELETED, not
-    table size (~16 B/row; 10M deletes ≈ 160 MB). For bulk deletes of a
-    partition, prefer a partition overwrite.
-    """
+    """Shared worker for DV DELETE (``set_exprs is None``) and UPDATE:
+    matched visible rows are tombstoned in per-file bitmaps; for UPDATE
+    the same commit also ADDS new files holding the updated rows —
+    one atomic version, no unmatched data rewritten."""
+    op = "DELETE" if set_exprs is None else "UPDATE"
+    fname = "delete_rows_dv" if set_exprs is None else "update_rows_dv"
     last_err: Exception | None = None
     for _ in range(max_retries):
         snap = snapshot(table)
         pcols = snap.partition_columns
         if snap.column_mapping:
             raise DeltaProtocolError(
-                "delete_rows_dv on a columnMapping table is not "
-                "implemented (read-only support)"
+                f"{fname} on a columnMapping table is not implemented"
             )
         if pcols and not _is_hive_layout(snap.files, pcols):
             raise DeltaProtocolError(
-                "delete_rows_dv requires the hive data layout"
+                f"{fname} requires the hive data layout"
             )
+        basenames = [os.path.basename(p) for p in snap.files]
+        if len(set(basenames)) != len(basenames):
+            raise DeltaProtocolError(
+                f"{fname} requires unique data file names in the snapshot"
+            )
+        rel_by_name = {os.path.basename(p): p for p in snap.files}
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-        # visible rows only: filter existing DV tombstones first so the
-        # new bitmaps never double-count (merging makes it idempotent
-        # anyway, but the returned count must be the VISIBLE hits)
-        plain = {
-            p: a for p, a in snap.files.items()
-            if not a.get("deletionVector")
-        }
-        dvf = {
-            p: a for p, a in snap.files.items() if a.get("deletionVector")
-        }
-        scans = []
-        if plain:
-            scans.append(
-                _scan_files(
-                    spark, table, plain, snap.schema, pcols, with_meta=True
-                )
-            )
-        if dvf:
-            from pydatalake_spark.sources.dv import read_dv_descriptor
 
-            sub = _scan_files(
-                spark, table, dvf, snap.schema, pcols, with_meta=True
-            )
-            pairs = []
-            for rel, add in dvf.items():
-                bn = os.path.basename(rel)
-                for ri in read_dv_descriptor(table, add["deletionVector"]):
-                    pairs.append((bn, int(ri)))
-            if pairs:
-                dele = spark.createDataFrame(
-                    pairs, "__dv_fn string, __dv_ri long"
-                )
-                if len(pairs) <= 2_000_000:
-                    dele = F.broadcast(dele)
-                sub = sub.join(
-                    dele, on=["__dv_fn", "__dv_ri"], how="left_anti"
-                )
-            scans.append(sub)
-        allrows = scans[0]
-        for s in scans[1:]:
-            allrows = allrows.unionByName(s)
-        hits = (
-            allrows.filter(cond)
-            .select("__dv_fn", "__dv_ri")
-            .collect()
-        )
+        visible = _visible_scan_with_meta(spark, table, snap)
+        matched = visible.filter(cond)
+        staged: list[tuple] = []
+        staging = None
+        if set_exprs is None:
+            hits = matched.select("__dv_fn", "__dv_ri").collect()
+        else:
+            matched = matched.persist()
+            try:
+                hits = matched.select("__dv_fn", "__dv_ri").collect()
+                if hits:
+                    updated = matched.drop("__dv_fn", "__dv_ri")
+                    for col, expr in set_exprs.items():
+                        if col not in updated.columns:
+                            raise ValueError(
+                                f"update target {col!r} is not a table "
+                                "column"
+                            )
+                        updated = updated.withColumn(
+                            col,
+                            F.expr(expr) if isinstance(expr, str) else expr,
+                        )
+                    # keep types schema-exact after arbitrary expressions
+                    updated = updated.select(
+                        *[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            for f in snap.schema.fields
+                        ]
+                    )
+                    _enforce_check_constraints(
+                        updated,
+                        snap.metadata.get("configuration") or {},
+                    )
+                    staging = os.path.join(
+                        table, f"_staging-{uuid.uuid4().hex}"
+                    )
+                    _staged_write(updated, staging, pcols)
+                    staged = _collect_staged_files(staging, pcols)
+            finally:
+                matched.unpersist()
         if not hits:
+            if staging:
+                shutil.rmtree(staging, ignore_errors=True)
             return None, 0
         by_name: dict[str, list[int]] = {}
         for r in hits:
             by_name.setdefault(r["__dv_fn"], []).append(int(r["__dv_ri"]))
-        basenames = [os.path.basename(p) for p in snap.files]
-        if len(set(basenames)) != len(basenames):
-            raise DeltaProtocolError(
-                "delete_rows_dv requires unique data file names in the "
-                "snapshot"
-            )
-        rel_by_name = {os.path.basename(p): p for p in snap.files}
 
         from pydatalake_spark.sources.dv import (
             read_dv_descriptor,
@@ -2235,23 +2261,22 @@ def delete_rows_dv(
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "DELETE",
-                    "operationParameters": {
-                        "predicate": str(predicate)
-                    },
+                    "operation": op,
+                    "operationParameters": {"predicate": str(predicate)},
                     "engineInfo": "pydatalake_spark-native-delta",
                 }
             }
         ]
         if (snap.protocol.get("minReaderVersion", 1) < 3) or (
-            "deletionVectors" not in (snap.protocol.get("readerFeatures") or [])
+            "deletionVectors"
+            not in (snap.protocol.get("readerFeatures") or [])
         ):
             actions.append({"protocol": dict(DV_PROTOCOL)})
-        n_deleted = 0
+        n_matched = 0
         for bn, new_rows in sorted(by_name.items()):
             rel = rel_by_name[bn]
             add = snap.files[rel]
-            n_deleted += len(set(new_rows))
+            n_matched += len(set(new_rows))
             merged = set(new_rows)
             if add.get("deletionVector"):
                 merged |= set(
@@ -2284,13 +2309,96 @@ def delete_rows_dv(
             new_add["dataChange"] = True
             new_add["deletionVector"] = desc
             actions.append({"add": new_add})
+        moved: list[str] = []
+        try:
+            for rel, pvals, srcf in staged:
+                dst = os.path.join(table, *rel.split("/"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(srcf, dst)
+                moved.append(rel)
+                actions.append(
+                    {
+                        "add": {
+                            "path": quote(rel, safe="/=.-_"),
+                            "partitionValues": {
+                                c: pvals.get(c) for c in pcols
+                            },
+                            "size": os.path.getsize(dst),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": _file_stats(dst, snap.schema, pcols),
+                        }
+                    }
+                )
+        finally:
+            if staging:
+                shutil.rmtree(staging, ignore_errors=True)
         try:
             _write_commit(table, snap.version + 1, actions)
-            return snap.version + 1, n_deleted
+            return snap.version + 1, n_matched
         except DeltaConcurrentCommit as e:
+            for rel in moved:
+                try:
+                    os.unlink(os.path.join(table, *rel.split("/")))
+                except OSError:
+                    pass
             last_err = e
             continue
     raise last_err  # type: ignore[misc]
+
+
+def delete_rows_dv(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    max_retries: int = 3,
+) -> tuple[int | None, int]:
+    """``DELETE FROM table WHERE predicate`` via deletion vectors: rows
+    matching ``predicate`` (a Column or SQL string) are tombstoned in
+    per-file Roaring bitmaps — NO data file is rewritten. Returns
+    ``(committed version | None when nothing matched, rows deleted)``.
+
+    The at-scale contract: deleting 0.1% of a 100-TB table writes
+    kilobytes of bitmap and one commit, instead of rewriting every hit
+    file (what :func:`merge_delta`-style copy-on-write would do). Files
+    already carrying a DV get a MERGED bitmap (old ∪ new positions) —
+    the spec requires one DV per file, and re-deleting an already-dead
+    row is a no-op. The commit upgrades the table protocol to
+    reader v3 / writer v7 with the ``deletionVectors`` feature the first
+    time, exactly like delta-spark's automatic feature enablement.
+
+    Driver memory: the matched (file, row-index) positions materialize
+    on the driver to build the bitmaps — bounded by rows DELETED, not
+    table size (~16 B/row; 10M deletes ≈ 160 MB). For bulk deletes of a
+    partition, prefer a partition overwrite.
+    """
+    return _dv_mutation_commit(spark, table, predicate, None, max_retries)
+
+
+def update_rows_dv(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    set_exprs: dict,
+    max_retries: int = 3,
+) -> tuple[int | None, int]:
+    """``UPDATE table SET col = expr, ... WHERE predicate`` at
+    deletion-vector speed: matched rows are tombstoned in per-file
+    bitmaps and their UPDATED versions land as new files in the SAME
+    atomic commit — unmatched data is never rewritten (updating 0.1% of
+    a 100-TB table touches bitmaps plus 0.1%-worth of new rows, not the
+    hit files wholesale like copy-on-write). ``set_exprs`` maps column
+    name → SQL string or Column (may reference any table column,
+    including partition columns — updated rows re-stage through
+    ``partitionBy`` and move partitions naturally). Updated rows are
+    cast back to the exact table schema and validated against the
+    table's CHECK constraints. Returns ``(version | None, rows
+    updated)``."""
+    if not set_exprs:
+        raise ValueError("update_rows_dv requires a non-empty set_exprs")
+    return _dv_mutation_commit(
+        spark, table, predicate, dict(set_exprs), max_retries
+    )
 
 
 def rewrite_dv_files(spark: SparkSession, table: str) -> int | None:
@@ -2973,6 +3081,22 @@ class DeltaTable:
 
     def append(self, df: DataFrame, **kw) -> int:
         return write_delta(df, self._path, mode="append", **kw)
+
+    def delete(self, predicate) -> tuple[int | None, int]:
+        """``DeltaTable.delete(condition)`` — deletion-vector DELETE (no
+        file rewrite); see :func:`delete_rows_dv`."""
+        return delete_rows_dv(self._spark, self._path, predicate)
+
+    def update(self, predicate, set_exprs: dict) -> tuple[int | None, int]:
+        """``DeltaTable.update(condition, set)`` — deletion-vector
+        UPDATE (tombstone + re-add in one commit); see
+        :func:`update_rows_dv`."""
+        return update_rows_dv(self._spark, self._path, predicate, set_exprs)
+
+    def purge(self) -> int | None:
+        """REORG APPLY PURGE — materialize DV deletes; see
+        :func:`rewrite_dv_files`."""
+        return rewrite_dv_files(self._spark, self._path)
 
 
 # ---------------------------------------------------------------------------

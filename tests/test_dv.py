@@ -274,3 +274,74 @@ def test_foreign_inline_dv_reads(spark, table):
 @pytest.fixture()
 def table(tmpdir_path):
     return os.path.join(tmpdir_path, "tbl")
+
+
+def test_update_rows_dv_end_to_end(spark, table):
+    """UPDATE at DV speed: matched rows tombstoned + updated versions
+    added in ONE commit; unmatched files untouched."""
+    dl.write_delta(_mk(spark), table, partition_by=["part"])
+    before = set(dl.snapshot(table).files)
+    v, n = dl.update_rows_dv(
+        spark, table, "id % 10 = 0", {"v": "v + 1000"}
+    )
+    assert v == 1 and n == 10
+    back = dl.read_delta(spark, table)
+    assert back.count() == 100  # row count unchanged
+    assert back.filter("v >= 1000").count() == 10
+    assert (
+        back.filter("id % 10 = 0").filter("v < 1000").count() == 0
+    )
+    # untouched rows identical
+    assert back.filter("id % 10 != 0").filter("v >= 1000").count() == 0
+    # every pre-existing file survives (tombstoned-in-place, not rewritten)
+    after = dl.snapshot(table).files
+    assert before <= set(after)
+    # history records an UPDATE
+    assert dl.delta_history(table)[-1]["operation"] == "UPDATE"
+
+
+def test_update_rows_dv_moves_partitions(spark, table):
+    """Updating a partition column re-stages the rows through
+    partitionBy — they move to their new hive dir."""
+    dl.write_delta(_mk(spark, 30), table, partition_by=["part"])
+    v, n = dl.update_rows_dv(
+        spark, table, "part = '2'", {"part": "'9'"}
+    )
+    assert n == 10
+    back = dl.read_delta(spark, table)
+    assert back.filter("part = '2'").count() == 0
+    assert back.filter("part = '9'").count() == 10
+    assert any("part=9" in rel for rel in dl.snapshot(table).files)
+
+
+def test_update_rows_dv_respects_check_constraints(spark, table):
+    df = _mk(spark, 10)
+    dl.write_delta(
+        df, table, configuration={"delta.constraints.pos": "v >= 0"}
+    )
+    with pytest.raises(dl.DeltaConstraintViolation):
+        dl.update_rows_dv(spark, table, "id = 1", {"v": "-5.0"})
+    # table unchanged after the refused update
+    assert dl.read_delta(spark, table).filter("v < 0").count() == 0
+    assert dl.snapshot(table).version == 0
+
+
+def test_update_rows_dv_no_match_returns_none(spark, table):
+    dl.write_delta(_mk(spark, 10), table)
+    assert dl.update_rows_dv(spark, table, "id > 99", {"v": "0.0"}) == (
+        None,
+        0,
+    )
+
+
+def test_facade_delete_update_purge(spark, table):
+    dl.write_delta(_mk(spark, 20), table)
+    t = dl.DeltaTable.forPath(spark, table)
+    assert t.delete("id >= 15")[1] == 5
+    assert t.update("id = 0", {"v": "42.0"})[1] == 1
+    df = t.toDF()
+    assert df.count() == 15
+    assert df.filter("v = 42.0").count() == 1
+    assert t.purge() is not None
+    assert not dl._has_dvs(dl.snapshot(table).files)
+    assert t.toDF().count() == 15
