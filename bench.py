@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "delta_merge_upsert_orders",
     "delta_deletion_vectors",
     "delta_column_mapping",
+    "delta_update_dv",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -44,6 +44,7 @@ _GATE_FRONT = [
     "delta_partition_prune",
     "delta_deletion_vectors",
     "delta_column_mapping",
+    "delta_update_dv",
     "delta_time_travel_v0",
     "delta_merge_upsert_orders",
     # (b) implementation changed this round (r12)
@@ -82,7 +83,7 @@ _GATE_FRONT = [
     "train_test_split",
     "union_by_name",
     "zscore_outliers",
-    # (d) fill: stalest r09 rows (alphabetical prefix, 9 of 46)
+    # (d) fill: stalest r09 rows (alphabetical prefix, 8 of 46)
     "ann_bucket_candidates",
     "array_functions",
     "bigram_perplexity",
@@ -91,7 +92,6 @@ _GATE_FRONT = [
     "cast_projection",
     "char_entropy",
     "cms_heavy_hitters",
-    "cohort_retention",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

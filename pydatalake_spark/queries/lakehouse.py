@@ -54,6 +54,7 @@ from pydatalake_spark.sources.delta import (
     is_delta_table,
     merge_delta,
     read_delta,
+    update_rows_dv,
     write_delta,
 )
 
@@ -288,6 +289,48 @@ def delta_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
     the matched rows — a mis-decoded bitmap or row-index misalignment
     shows up as a value mismatch."""
     df = read_delta(spark, _orders_dv_delta(spark, sf))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+def _orders_update_dv_delta(spark: SparkSession, sf: str) -> str:
+    """DV-UPDATE fixture: one-commit orders table, then every 17th
+    order's price is doubled via ``update_rows_dv`` — tombstone + re-add
+    in one commit, no unmatched file rewritten. Built once under the
+    fixture lock; the gated query is a pure DV-filtered read."""
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders")
+        write_delta(orders, tmp, partition_by=["o_orderstatus"])
+        update_rows_dv(
+            spark,
+            tmp,
+            "o_orderkey % 17 = 0",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+
+    return _fixture(spark, sf, "orders_update_dv", build)
+
+
+@q(
+    "delta_update_dv",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           sum(CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_update_dv(spark: SparkSession, sf: str) -> DataFrame:
+    """Read back a deletion-vector UPDATE: matched rows tombstoned,
+    updated versions appended in the same commit. Value parity vs the
+    oracle's CASE recomputation proves the bitmaps hid exactly the old
+    versions and the re-added rows carry the updated values — a
+    double-serve (old+new) or an over-delete shows up as a count or sum
+    mismatch."""
+    df = read_delta(spark, _orders_update_dv_delta(spark, sf))
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("total_price"),
