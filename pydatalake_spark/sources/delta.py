@@ -1201,11 +1201,24 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "checkConstraints",
         "invariants",
         "deletionVectors",
+        "changeDataFeed",
         "columnMapping",  # writes refused separately via column_mapping
         "timestampNtz",
         "vacuumProtocolCheck",
     }
 )
+
+
+CDF_DIR = "_change_data"
+
+
+def _cdf_enabled(meta: dict | None) -> bool:
+    return (
+        ((meta or {}).get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        )
+        == "true"
+    )
 
 
 def _check_writer_support(snap: "DeltaSnapshot") -> None:
@@ -1519,6 +1532,12 @@ def write_delta(
             # CHECK constraints are a writer-v3 legacy feature: advertise
             # it so a v2-only foreign writer can't append unchecked rows
             proto["minWriterVersion"] = max(proto["minWriterVersion"], 3)
+        if (configuration or {}).get(
+            "delta.enableChangeDataFeed"
+        ) == "true":
+            # CDF is the writer-v4 legacy feature: a foreign writer that
+            # doesn't emit cdc files would silently break the feed
+            proto["minWriterVersion"] = max(proto["minWriterVersion"], 4)
         actions.append({"protocol": proto})
         actions.append(
             {
@@ -1886,6 +1905,34 @@ def merge_delta(
         new_rows = src.select([f.name for f in snap.schema.fields])
         out = new_rows if kept is None else kept.unionByName(new_rows)
 
+        # change data feed: matched rows as update pre/post images,
+        # unmatched source rows as inserts — staged as cdc files so
+        # read_delta_cdf serves row-level changes for this commit
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(snap.metadata):
+            names = [f.name for f in snap.schema.fields]
+            if victims:
+                skeys = src.select(*on).distinct()
+                vkeys = vic_df.select(*on).distinct()
+                pre = (
+                    vic_df.join(skeys, on=on, how="leftsemi")
+                    .select(*names)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                )
+                post = (
+                    new_rows.join(vkeys, on=on, how="leftsemi")
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+                ins = new_rows.join(
+                    vkeys, on=on, how="left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                cdc_df = pre.unionByName(post).unionByName(ins)
+            else:
+                cdc_df = new_rows.withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            cdc_actions = _stage_cdc_files(spark, table, cdc_df)
+
         # stage + commit: removes for victims, adds for the rewrite
         staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
         try:
@@ -1940,6 +1987,7 @@ def merge_delta(
                 )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+        actions.extend(cdc_actions)
         try:
             _write_commit(table, snap.version + 1, actions)
             if (snap.version + 1) % DEFAULT_CHECKPOINT_INTERVAL == 0:
@@ -1951,6 +1999,11 @@ def merge_delta(
             for rel in moved:
                 try:
                     os.unlink(os.path.join(table, *rel.split("/")))
+                except OSError:
+                    pass
+            for a in cdc_actions:
+                try:
+                    os.unlink(_resolve_path(table, a["cdc"]["path"]))
                 except OSError:
                     pass
             last_err = e
@@ -2127,6 +2180,131 @@ DV_PROTOCOL = {
 }
 
 
+def _stage_cdc_files(spark: SparkSession, table: str, cdc_df) -> list[dict]:
+    """Stage change rows (table columns + ``_change_type``) as parquet
+    under ``_change_data/`` and return their ``cdc`` actions. cdc files
+    are ``dataChange: false`` by definition and never partition-staged
+    (all columns inline, ``partitionValues`` empty — the spec allows
+    either form). Callers unlink the paths on a lost commit race."""
+    staging = os.path.join(table, f"_staging-{uuid.uuid4().hex}")
+    actions: list[dict] = []
+    try:
+        _staged_write(cdc_df, staging, [])
+        staged = _collect_staged_files(staging, [])
+        os.makedirs(os.path.join(table, CDF_DIR), exist_ok=True)
+        for _rel, _pvals, src in staged:
+            fname = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+            dst = os.path.join(table, CDF_DIR, fname)
+            os.replace(src, dst)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": f"{CDF_DIR}/{fname}",
+                        "partitionValues": {},
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed: row-level changes in ``(from_version,
+    to_version]`` with ``_change_type`` (insert / update_preimage /
+    update_postimage / delete) and ``_commit_version`` columns — the
+    table-valued ``table_changes()`` surface.
+
+    Pure-append commits derive their ``insert`` rows from the add files
+    directly (no cdc files needed — same as Delta); DELETE/UPDATE/MERGE
+    commits made while ``delta.enableChangeDataFeed=true`` read their
+    staged cdc files; a data-changing commit WITHOUT cdc files (CDF was
+    off when it ran) raises rather than under-reporting changes.
+    One bounded scan per version in the range — CDF is for incremental
+    tails, not full-history replays."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    snap = snapshot(table)
+    if snap.column_mapping:
+        raise DeltaProtocolError(
+            "read_delta_cdf on a columnMapping table is not implemented"
+        )
+    end = snap.version if to_version is None else int(to_version)
+    if from_version > end:
+        raise ValueError(f"from_version {from_version} > to_version {end}")
+    schema = snap.schema
+    pcols = snap.partition_columns
+    cdc_schema = StructType(
+        list(schema.fields) + [StructField("_change_type", StringType())]
+    )
+    parts: list[DataFrame] = []
+    for v in range(from_version + 1, end + 1):
+        if not os.path.isfile(_commit_path(table, v)):
+            raise DeltaProtocolError(
+                f"commit {v} is missing (log-cleaned); CDF must restart "
+                "from a full snapshot"
+            )
+        actions = _read_commit_actions(table, v)
+        cdc_paths = [
+            _resolve_path(table, unquote(a["cdc"]["path"]))
+            for a in actions
+            if a.get("cdc")
+        ]
+        adds = [
+            a["add"]
+            for a in actions
+            if a.get("add") and a["add"].get("dataChange", True)
+        ]
+        has_data_removes = any(
+            a.get("remove") and a["remove"].get("dataChange", True)
+            for a in actions
+        )
+        if cdc_paths:
+            df = spark.read.schema(cdc_schema).parquet(*cdc_paths)
+        elif has_data_removes:
+            raise DeltaProtocolError(
+                f"version {v} changed data without cdc files (CDF was "
+                "not enabled when it committed); re-read the snapshot"
+            )
+        elif adds:
+            sub = {
+                unquote(a["path"]): {
+                    **a,
+                    "partitionValues": _maybe_tuplelist_to_dict(
+                        a.get("partitionValues")
+                    ),
+                }
+                for a in adds
+            }
+            df = _scan_files(spark, table, sub, schema, pcols).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        else:
+            continue
+        parts.append(
+            df.withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(cdc_schema.fields)
+                + [StructField("_commit_version", LongType())]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _visible_scan_with_meta(
     spark: SparkSession, table: str, snap: DeltaSnapshot
 ) -> DataFrame:
@@ -2203,46 +2381,58 @@ def _dv_mutation_commit(
         rel_by_name = {os.path.basename(p): p for p in snap.files}
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
 
+        cdf_on = _cdf_enabled(snap.metadata)
         visible = _visible_scan_with_meta(spark, table, snap)
-        matched = visible.filter(cond)
+        matched = visible.filter(cond).persist()
         staged: list[tuple] = []
+        cdc_actions: list[dict] = []
         staging = None
-        if set_exprs is None:
+        try:
             hits = matched.select("__dv_fn", "__dv_ri").collect()
-        else:
-            matched = matched.persist()
-            try:
-                hits = matched.select("__dv_fn", "__dv_ri").collect()
-                if hits:
-                    updated = matched.drop("__dv_fn", "__dv_ri")
-                    for col, expr in set_exprs.items():
-                        if col not in updated.columns:
-                            raise ValueError(
-                                f"update target {col!r} is not a table "
-                                "column"
-                            )
-                        updated = updated.withColumn(
-                            col,
-                            F.expr(expr) if isinstance(expr, str) else expr,
+            if hits and set_exprs is not None:
+                updated = matched.drop("__dv_fn", "__dv_ri")
+                for col, expr in set_exprs.items():
+                    if col not in updated.columns:
+                        raise ValueError(
+                            f"update target {col!r} is not a table column"
                         )
-                    # keep types schema-exact after arbitrary expressions
-                    updated = updated.select(
-                        *[
-                            F.col(f.name).cast(f.dataType).alias(f.name)
-                            for f in snap.schema.fields
-                        ]
+                    updated = updated.withColumn(
+                        col,
+                        F.expr(expr) if isinstance(expr, str) else expr,
                     )
-                    _enforce_check_constraints(
-                        updated,
-                        snap.metadata.get("configuration") or {},
+                # keep types schema-exact after arbitrary expressions
+                updated = updated.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in snap.schema.fields
+                    ]
+                )
+                _enforce_check_constraints(
+                    updated,
+                    snap.metadata.get("configuration") or {},
+                )
+                staging = os.path.join(
+                    table, f"_staging-{uuid.uuid4().hex}"
+                )
+                _staged_write(updated, staging, pcols)
+                staged = _collect_staged_files(staging, pcols)
+            if hits and cdf_on:
+                names = [f.name for f in snap.schema.fields]
+                if set_exprs is None:
+                    cdc_df = matched.select(*names).withColumn(
+                        "_change_type", F.lit("delete")
                     )
-                    staging = os.path.join(
-                        table, f"_staging-{uuid.uuid4().hex}"
+                else:
+                    pre = matched.select(*names).withColumn(
+                        "_change_type", F.lit("update_preimage")
                     )
-                    _staged_write(updated, staging, pcols)
-                    staged = _collect_staged_files(staging, pcols)
-            finally:
-                matched.unpersist()
+                    post = updated.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    cdc_df = pre.unionByName(post)
+                cdc_actions = _stage_cdc_files(spark, table, cdc_df)
+        finally:
+            matched.unpersist()
         if not hits:
             if staging:
                 shutil.rmtree(staging, ignore_errors=True)
@@ -2333,6 +2523,7 @@ def _dv_mutation_commit(
         finally:
             if staging:
                 shutil.rmtree(staging, ignore_errors=True)
+        actions.extend(cdc_actions)
         try:
             _write_commit(table, snap.version + 1, actions)
             return snap.version + 1, n_matched
@@ -2340,6 +2531,11 @@ def _dv_mutation_commit(
             for rel in moved:
                 try:
                     os.unlink(os.path.join(table, *rel.split("/")))
+                except OSError:
+                    pass
+            for a in cdc_actions:
+                try:
+                    os.unlink(_resolve_path(table, a["cdc"]["path"]))
                 except OSError:
                     pass
             last_err = e

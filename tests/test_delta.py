@@ -1676,3 +1676,111 @@ def test_writer_refuses_generated_column_metadata(spark, table):
     assert dl.read_delta(spark, table).count() == 1
     with pytest.raises(dl.DeltaProtocolError, match="generated column"):
         dl.write_delta(_mkdf(spark, [(2, "b", 2.0)]), table, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# change data feed (r12)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_table(spark, table, n=20):
+    df = (
+        spark.range(n)
+        .withColumn("part", (F.col("id") % 2).cast("string"))
+        .withColumn("v", F.col("id").cast("double"))
+    )
+    dl.write_delta(
+        df,
+        table,
+        partition_by=["part"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    return df
+
+
+def _changes(spark, table, frm, to=None):
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in dl.read_delta_cdf(spark, table, frm, to).collect()
+    )
+
+
+def test_cdf_protocol_and_insert_derivation(spark, table):
+    _cdf_table(spark, table)
+    assert dl.snapshot(table).protocol["minWriterVersion"] >= 4
+    # pure appends need no cdc files: inserts derive from add files
+    dl.write_delta(
+        spark.range(20, 25)
+        .withColumn("part", (F.col("id") % 2).cast("string"))
+        .withColumn("v", F.col("id").cast("double")),
+        table,
+        mode="append",
+    )
+    rows = _changes(spark, table, 0)
+    assert [r[2] for r in rows] == [20, 21, 22, 23, 24]
+    assert all(r[1] == "insert" and r[0] == 1 for r in rows)
+
+
+def test_cdf_delete_rows(spark, table):
+    _cdf_table(spark, table)
+    dl.delete_rows_dv(spark, table, "id < 3")
+    rows = _changes(spark, table, 0)
+    assert rows == [
+        (1, "delete", 0, 0.0),
+        (1, "delete", 1, 1.0),
+        (1, "delete", 2, 2.0),
+    ]
+
+
+def test_cdf_update_pre_and_post_images(spark, table):
+    _cdf_table(spark, table)
+    dl.update_rows_dv(spark, table, "id = 5", {"v": "v * 10"})
+    rows = _changes(spark, table, 0)
+    # sorted by change-type string: postimage < preimage lexically
+    assert rows == [
+        (1, "update_postimage", 5, 50.0),
+        (1, "update_preimage", 5, 5.0),
+    ]
+
+
+def test_cdf_merge_pre_post_insert(spark, table):
+    _cdf_table(spark, table, n=10)
+    src = (
+        spark.range(8, 12)
+        .withColumn("part", (F.col("id") % 2).cast("string"))
+        .withColumn("v", (F.col("id") * 100).cast("double"))
+    )
+    dl.merge_delta(spark, table, src, on=["id"])
+    rows = _changes(spark, table, 0)
+    # 8,9 matched (pre+post), 10,11 inserted
+    kinds = [(r[1], r[2]) for r in rows]
+    assert ("update_preimage", 8) in kinds
+    assert ("update_preimage", 9) in kinds
+    assert ("update_postimage", 8) in kinds
+    assert ("insert", 10) in kinds and ("insert", 11) in kinds
+    assert len(rows) == 6
+    pre8 = [r for r in rows if r[1] == "update_preimage" and r[2] == 8]
+    post8 = [r for r in rows if r[1] == "update_postimage" and r[2] == 8]
+    assert pre8[0][3] == 8.0 and post8[0][3] == 800.0
+
+
+def test_cdf_refuses_uncovered_rewrite(spark, table):
+    # table WITHOUT the flag: a DV delete commits no cdc files
+    df = spark.range(5).withColumn("part", F.lit("x")).withColumn(
+        "v", F.col("id").cast("double")
+    )
+    dl.write_delta(df, table)
+    dl.delete_rows_dv(spark, table, "id = 0")
+    with pytest.raises(dl.DeltaProtocolError, match="without cdc"):
+        dl.read_delta_cdf(spark, table, 0)
+
+
+def test_cdf_range_and_version_column(spark, table):
+    _cdf_table(spark, table, n=4)
+    dl.delete_rows_dv(spark, table, "id = 0")  # v1
+    dl.update_rows_dv(spark, table, "id = 1", {"v": "99.0"})  # v2
+    only_v2 = _changes(spark, table, 1, 2)
+    assert {r[0] for r in only_v2} == {2}
+    assert {r[1] for r in only_v2} == {
+        "update_preimage", "update_postimage",
+    }
