@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "delta_deletion_vectors",
     "delta_column_mapping",
     "delta_update_dv",
+    "delta_cdf_changes",
 ]
 
 # scaling probe: one scan-agg, one heavy multi-join agg, one minhash

@@ -45,6 +45,7 @@ _GATE_FRONT = [
     "delta_deletion_vectors",
     "delta_column_mapping",
     "delta_update_dv",
+    "delta_cdf_changes",
     "delta_time_travel_v0",
     "delta_merge_upsert_orders",
     # (b) implementation changed this round (r12)
@@ -83,7 +84,7 @@ _GATE_FRONT = [
     "train_test_split",
     "union_by_name",
     "zscore_outliers",
-    # (d) fill: stalest r09 rows (alphabetical prefix, 8 of 46)
+    # (d) fill: stalest r09 rows (alphabetical prefix, 7 of 46)
     "ann_bucket_candidates",
     "array_functions",
     "bigram_perplexity",
@@ -91,7 +92,6 @@ _GATE_FRONT = [
     "cap_per_source",
     "cast_projection",
     "char_entropy",
-    "cms_heavy_hitters",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

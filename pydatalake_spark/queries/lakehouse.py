@@ -54,6 +54,7 @@ from pydatalake_spark.sources.delta import (
     is_delta_table,
     merge_delta,
     read_delta,
+    read_delta_cdf,
     update_rows_dv,
     write_delta,
 )
@@ -334,6 +335,72 @@ def delta_update_dv(spark: SparkSession, sf: str) -> DataFrame:
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+def _orders_cdf_delta(spark: SparkSession, sf: str) -> str:
+    """Change-data-feed fixture: CDF-enabled orders table, then one
+    UPDATE (every 19th order's price +5%) and one DELETE (every 23rd
+    order with non-zero key mod 19 — disjoint from the update) — both
+    DV-path mutations staging cdc files. Built once under the fixture
+    lock; the gated query reads the FEED, not the table."""
+
+    def build(tmp: str) -> None:
+        orders = _t(spark, sf, "orders")
+        write_delta(
+            orders,
+            tmp,
+            partition_by=["o_orderstatus"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        update_rows_dv(
+            spark,
+            tmp,
+            "o_orderkey % 19 = 0",
+            {"o_totalprice": "o_totalprice * 1.05"},
+        )
+        delete_rows_dv(
+            spark, tmp, "o_orderkey % 23 = 0 AND o_orderkey % 19 != 0"
+        )
+
+    return _fixture(spark, sf, "orders_cdf", build)
+
+
+@q(
+    "delta_cdf_changes",
+    """
+    WITH changes AS (
+        SELECT 1 AS commit_v, 'update_preimage' AS change, o_orderkey,
+               o_totalprice FROM orders WHERE o_orderkey % 19 = 0
+        UNION ALL
+        SELECT 1, 'update_postimage', o_orderkey, o_totalprice * 1.05
+        FROM orders WHERE o_orderkey % 19 = 0
+        UNION ALL
+        SELECT 2, 'delete', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 23 = 0 AND o_orderkey % 19 <> 0
+    )
+    SELECT commit_v, change, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM changes GROUP BY commit_v, change
+    """,
+)
+def delta_cdf_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Read the CHANGE FEED of a mutated table: per (commit, change
+    type), row counts and price sums of the cdc rows. Parity vs the
+    oracle's relational recomputation proves the staged cdc files carry
+    exactly the pre/post images and deletes the mutations produced —
+    a missing image, a double-serve, or a leaked unmatched row shifts a
+    count or a sum."""
+    cdf = read_delta_cdf(spark, _orders_cdf_delta(spark, sf), 0)
+    return cdf.groupBy(
+        F.col("_commit_version").alias("commit_v"),
+        F.col("_change_type").alias("change"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 

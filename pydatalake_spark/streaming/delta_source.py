@@ -63,6 +63,18 @@ from pydatalake_spark.sources.delta import (
 )
 
 
+def _cdf_schema(schema: StructType) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        list(schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+        ]
+    )
+
+
 class DeltaFilePartition(InputPartition):
     def __init__(
         self,
@@ -70,11 +82,19 @@ class DeltaFilePartition(InputPartition):
         partition_values: dict,
         pcols: list[str],
         schema_json: str,
+        change_type: str | None = None,
+        commit_version: int | None = None,
+        is_cdc_file: bool = False,
     ):
         self.path = path
         self.partition_values = partition_values
         self.pcols = pcols
         self.schema_json = schema_json
+        # CDF mode: constant _change_type for add-derived inserts, or
+        # is_cdc_file for staged cdc files (which carry their own column)
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.is_cdc_file = is_cdc_file
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -84,6 +104,9 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError("pydelta source requires .option('path', ...)")
         self._schema = schema
         self._starting = options.get("startingversion")
+        self._cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
 
     # --- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -120,13 +143,34 @@ class DeltaStreamReader(DataSourceStreamReader):
                     f"commit {v} is missing (log-cleaned); restart the "
                     "stream from a fresh snapshot"
                 )
-            for a in _read_commit_actions(self._table, v):
+            actions = _read_commit_actions(self._table, v)
+            cdc = [a["cdc"] for a in actions if a.get("cdc")]
+            if self._cdf and cdc:
+                # mutation commit with CDF coverage: serve the cdc files
+                for c in cdc:
+                    parts.append(
+                        DeltaFilePartition(
+                            _resolve_path(self._table, c["path"]),
+                            {},
+                            pcols,
+                            schema_json,
+                            commit_version=v,
+                            is_cdc_file=True,
+                        )
+                    )
+                continue
+            for a in actions:
                 rm = a.get("remove")
                 if rm and rm.get("dataChange", True):
                     raise DeltaProtocolError(
                         f"version {v} rewrites data (remove with "
-                        "dataChange=true); an append stream cannot "
-                        "represent it — restart from a fresh snapshot"
+                        "dataChange=true) "
+                        + (
+                            "without cdc coverage"
+                            if self._cdf
+                            else "— an append stream cannot represent it"
+                        )
+                        + "; restart from a fresh snapshot"
                     )
                 add = a.get("add")
                 if not add or not add.get("dataChange", True):
@@ -144,6 +188,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                         ),
                         pcols,
                         schema_json,
+                        change_type="insert" if self._cdf else None,
+                        commit_version=v if self._cdf else None,
                     )
                 )
         return parts
@@ -154,24 +200,50 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         schema = StructType.fromJson(json.loads(partition.schema_json))
+        cdf_mode = (
+            partition.is_cdc_file or partition.change_type is not None
+        )
         # build the Arrow schema for the FULL logical row (data columns
-        # from the file + partition columns from the log)
+        # from the file + partition columns from the log, plus the CDF
+        # columns in readChangeFeed mode)
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        arrow_schema = to_arrow_schema(schema)
+        out_schema = to_arrow_schema(
+            _cdf_schema(schema) if cdf_mode else schema
+        )
         pf = pq.ParquetFile(partition.path)
         pvals = partition.partition_values
         for batch in pf.iter_batches():
             cols = []
-            for f in arrow_schema:
-                if f.name in partition.pcols:
+            for f in out_schema:
+                if f.name == "_change_type":
+                    if partition.is_cdc_file:
+                        idx = batch.schema.get_field_index("_change_type")
+                        cols.append(batch.column(idx).cast(f.type))
+                    else:
+                        cols.append(
+                            pa.array(
+                                [partition.change_type] * batch.num_rows,
+                                type=f.type,
+                            )
+                        )
+                elif f.name == "_commit_version":
+                    cols.append(
+                        pa.array(
+                            [partition.commit_version] * batch.num_rows,
+                            type=f.type,
+                        )
+                    )
+                elif f.name in partition.pcols and (
+                    not partition.is_cdc_file
+                ):
                     raw = pvals.get(f.name)
                     arr = pa.array([raw] * batch.num_rows, type=pa.string())
                     cols.append(arr.cast(f.type))
                 else:
                     idx = batch.schema.get_field_index(f.name)
                     cols.append(batch.column(idx).cast(f.type))
-            yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in Spark's checkpoint; the log is immutable
@@ -190,7 +262,12 @@ class DeltaStreamDataSource(DataSource):
         table = self.options.get("path")
         if not table:
             raise ValueError("pydelta source requires .option('path', ...)")
-        return snapshot(table).schema
+        base = snapshot(table).schema
+        if str(
+            self.options.get("readchangefeed", "false")
+        ).lower() == "true":
+            return _cdf_schema(base)
+        return base
 
     def streamReader(self, schema: StructType) -> DeltaStreamReader:
         return DeltaStreamReader(schema, dict(self.options))

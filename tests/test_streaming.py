@@ -594,3 +594,76 @@ def test_pydelta_source_roundtrip_matches_batch_read(spark, tmpdir_path):
         for r in dl.read_delta(spark, table).collect()
     )
     assert a == b
+
+
+def test_pydelta_stream_cdf_mode(spark, tmpdir_path):
+    """readChangeFeed=true: the stream serves row-level changes — cdc
+    files for mutation commits, add-derived inserts for appends — with
+    _change_type/_commit_version columns, incrementally across
+    restarts."""
+    from pydatalake_spark.sources import delta as dl
+    from pydatalake_spark.streaming.delta_source import register
+
+    register(spark)
+    table = os.path.join(tmpdir_path, "t")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    df = (
+        spark.range(10)
+        .withColumn("part", (F.col("id") % 2).cast("string"))
+        .withColumn("v", F.col("id").cast("double"))
+    )
+    dl.write_delta(
+        df,
+        table,
+        partition_by=["part"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dl.update_rows_dv(spark, table, "id = 3", {"v": "33.0"})  # v1
+    dl.delete_rows_dv(spark, table, "id = 4")  # v2
+
+    got: list[tuple] = []
+
+    def sink(b, i):
+        got.extend(
+            (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+            for r in b.collect()
+        )
+
+    q = (
+        spark.readStream.format("pydelta")
+        .option("path", table)
+        .option("startingVersion", "1")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [
+        (1, "update_postimage", 3, 33.0),
+        (1, "update_preimage", 3, 3.0),
+        (2, "delete", 4, 4.0),
+    ]
+    # append lands as insert changes on restart
+    dl.write_delta(
+        df.withColumn("id", F.col("id") + 10), table, mode="append"
+    )
+    got2: list[tuple] = []
+    q2 = (
+        spark.readStream.format("pydelta")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: got2.extend(
+                (r["_change_type"], r["id"]) for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(got2) == [("insert", i) for i in range(10, 20)]
