@@ -93,27 +93,38 @@ def connected_components(
     )
     label_ids: list[int] = []
     for _ in range(max_iter):
-        # min over (own label, neighbors' labels)
+        # min over (own label, neighbors' labels). The self rows are
+        # tagged so the SAME aggregation also emits each node's previous
+        # label (every node has exactly one self row): convergence then
+        # reads a `_changed` flag off the checkpointed result — a
+        # shuffle-free scan of cached blocks — instead of re-joining the
+        # new generation against the old one (r12 optimization: the old
+        # per-round convergence join was a second keyed exchange pair
+        # per iteration; guide §2.4 — remove shuffles outright).
         neighbor = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "cluster_id")
         )
         new_labels, new_ids = _ckpt(
-            labels.unionByName(neighbor)
+            labels.withColumn("_self", F.lit(True))
+            .unionByName(neighbor.withColumn("_self", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("_self"), F.col("cluster_id"))).alias(
+                    "_old"
+                ),
+            )
+            .withColumn(
+                "_changed", F.col("cluster_id") != F.col("_old")
+            )
+            .drop("_old")
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter("_changed").limit(1).count()
         # the changed-count was the last reader of the PREVIOUS label
         # generation — reap its blocks before the next round allocates
         _reap(new_labels, label_ids)
-        labels, label_ids = new_labels, new_ids
+        labels, label_ids = new_labels.drop("_changed"), new_ids
         if changed == 0:
             _reap(labels, edge_ids)
             return labels
@@ -433,18 +444,26 @@ def label_propagation(
         counted = neighbor.groupBy("node", "nl").agg(
             F.count(F.lit(1)).alias("c")
         )
-        # most frequent neighbor label, smallest label on ties: a
-        # per-node row_number ordered (c DESC, nl ASC) — works for ANY
-        # orderable label type (string doc ids included), where the old
-        # max(struct(c, -nl)) argmax needed numeric negation; same
-        # single node-keyed exchange as the groupBy it replaces
-        w = Window.partitionBy("node").orderBy(
-            F.col("c").desc(), F.col("nl").asc()
-        )
+        # most frequent neighbor label, smallest label on ties:
+        # min(struct(-c, nl)) — the count is always numeric so negating
+        # it is safe for ANY orderable label type (the label itself is
+        # never negated), and struct comparison is field-lexicographic,
+        # so the minimum is exactly the row_number()-over-(c DESC, nl
+        # ASC) pick. r12 optimization (guide §2.3/§2.4): the argmax is
+        # a partial-aggregable reduction — map-side combine + no
+        # per-node sort — where the old window form shuffled every
+        # (node, nl, c) row into a node-keyed SORT just to keep rank 1.
         best = (
-            counted.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", F.col("nl").alias("community"))
+            counted.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("_nc"),
+                        F.col("nl").alias("community"),
+                    )
+                ).alias("_m")
+            )
+            .select("node", F.col("_m.community").alias("community"))
         )
         labels, new_ids = _ckpt(best)
         _reap(labels, label_ids)

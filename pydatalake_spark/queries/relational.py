@@ -2262,10 +2262,23 @@ def q21_sole_returned_supplier(spark: SparkSession, sf: str) -> DataFrame:
     # makes the two branches' pushed scan filters identical (the joins imply
     # different isnotnull sets otherwise, which defeats exchange reuse);
     # null keys can't reach the result anyway (inner + semi join).
+    # r12: ONE lineitem exchange for BOTH groupings (guide §2.4 "two
+    # operations keyed the same way can share one exchange"): hash-
+    # partitioning by l_orderkey alone satisfies the clustering
+    # requirement of groupBy(l_orderkey, l_suppkey) AND of the
+    # per-order verdict groupBy(l_orderkey), so the (order, supplier)
+    # reduction and the order-grain verdict both run shuffle-free on top
+    # of it. The old shape exchanged lineitem twice: once at (orderkey,
+    # suppkey) grain — which on TPC-H-shaped data is barely smaller than
+    # the raw rows, so its map-side partial agg saved almost nothing —
+    # and again at orderkey grain. At cluster scale that is 2 full-data
+    # shuffles → 1.
     per_os = (
         l.filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select("l_orderkey", "l_suppkey", is_ret.alias("__is_ret"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.sum(is_ret).alias("n_ret"))
+        .agg(F.sum("__is_ret").alias("n_ret"))
     )
     # r10: single-pass verdict — the solo-returned supplier IS a per-order
     # aggregate (max over the returned suppliers, of which exactly one
@@ -2283,8 +2296,11 @@ def q21_sole_returned_supplier(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
     )
+    # r12: no static broadcast hint on supplier — it scales linearly with
+    # SF (the q3/q5/q18 rationale, r11 VERDICT items 2-3); AQE observes
+    # the verdict side is tiny and picks the build side itself.
     return (
-        per_o.join(F.broadcast(s), per_o.ret_supp == s.s_suppkey, "left_semi")
+        per_o.join(s, per_o.ret_supp == s.s_suppkey, "left_semi")
         .groupBy(F.col("ret_supp").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -157,17 +157,20 @@ def test_q18_single_pass_no_detail_rejoin(spark):
 
 
 def test_q21_single_pass_verdict(spark):
-    """r10 rewrite: lineitem scanned ONCE, reduced to (order, supplier)
-    grain then order grain (partial combine below each exchange); the solo
-    returned supplier comes from max(when(...)) — no ret x solo self-join
-    — and supplier stays a broadcast semi-join."""
+    """r10 rewrite + r12 exchange sharing: lineitem scanned ONCE and
+    exchanged ONCE — hash-partitioning by l_orderkey alone satisfies the
+    clustering of BOTH the (order, supplier) reduction and the order-
+    grain verdict, so the two groupBys stack shuffle-free on a single
+    repartition (guide §2.4). The solo returned supplier still comes
+    from max(when(...)) — no ret x solo self-join — and supplier joins
+    as an AQE-chosen (unhinted) broadcast semi-join."""
     p = physical_plan(spark, "q21_sole_returned_supplier")
     assert p.count("lineitem.parquet") == 1, p
-    assert "partial_max(CASE WHEN" in p, p
+    assert "max(CASE WHEN" in p, p
     assert "LeftSemi" in p and "SortMergeJoin" not in p
-    # three keyed exchanges: (order,supplier) grain, order grain, final
-    # per-supplier count — none of the old duplicated-subtree pairs
-    assert len(re.findall(r"Exchange hashpartitioning", p)) == 3, p
+    # two keyed exchanges: the shared l_orderkey repartition feeding
+    # both grains, and the final per-supplier count
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2, p
 
 
 def test_asof_single_shuffle(spark):
