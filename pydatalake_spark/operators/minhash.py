@@ -124,6 +124,31 @@ def cap_bucket_size(
     return bb.join(F.broadcast(hot), on=keys, how="left_anti")
 
 
+def _band_self_join(bb: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing a (band, bucket) cell.
+
+    r12: both self-join sides keep the SAME projection until after the
+    exchange — canonically-equal children let ReuseExchange (and AQE's
+    stage cache) materialize ONE shuffle of the band table instead of
+    two (guide §2.4; same fix as phash/simhash band joins). The per-side
+    id renames happen above the join.
+    """
+    x, y = bb.alias("__ba"), bb.alias("__bb")
+    return (
+        x.join(
+            y,
+            (F.col("__ba.band") == F.col("__bb.band"))
+            & (F.col("__ba.bucket") == F.col("__bb.bucket")),
+        )
+        .filter(F.col(f"__ba.{id_col}") < F.col(f"__bb.{id_col}"))
+        .select(
+            F.col(f"__ba.{id_col}").alias("id_a"),
+            F.col(f"__bb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -142,16 +167,7 @@ def lsh_candidate_pairs(
     bb = band_buckets(sig, id_col, num_hashes, num_bands)
     if max_bucket_size is not None:
         bb = cap_bucket_size(bb, max_bucket_size)
-    a = bb.select(
-        F.col(id_col).alias("id_a"), "band", "bucket"
-    )
-    b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _band_self_join(bb, id_col)
 
 
 def near_dup_pairs(
@@ -193,14 +209,7 @@ def near_dup_pairs(
         )
     sets = sig.select(F.col(id_col), F.col("shingles").alias("sset"))
     bb = band_buckets(sig, id_col, num_hashes, num_bands)
-    a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _band_self_join(bb, id_col)
     # the sets side is CORPUS-SIZED (every doc's shingle array): hint it
     # to a sort-merge join so Catalyst can never choose to broadcast it.
     # Static size estimates for aggregated array columns undershoot badly
@@ -288,14 +297,7 @@ def minhash_jaccard_estimate(
     )
     sig = cache_once(sig)
     bb = band_buckets(sig, id_col, num_hashes, num_bands)
-    a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _band_self_join(bb, id_col)
     mharr = F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)])
     side = sig.select(
         F.col(id_col), mharr.alias("mhs"), F.col("shingles").alias("sset")

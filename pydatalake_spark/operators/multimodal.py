@@ -558,24 +558,31 @@ def phash_near_dup(
             )
         ).alias("bk"),
     ).select("media_id", "phash", "bk.band", "bk.key")
-    a = bands.select(
-        F.col("media_id").alias("id_a"),
-        F.col("phash").alias("ha"),
-        "band",
-        "key",
+    # r12: both self-join sides keep the SAME projection until after the
+    # exchange — plan-identical children canonicalize equal, so Spark's
+    # ReuseExchange rule materializes ONE shuffle (and, critically, ONE
+    # MapInPandas decode+hash pass) and feeds the join from it twice.
+    # The old shape renamed media_id/phash per side BEFORE the exchange,
+    # which broke canonical equality and re-decoded the whole corpus on
+    # each side (guide §2.4 — remove shuffles outright; §7.2 duplicated
+    # subtrees).
+    x, y = bands.alias("__pa"), bands.alias("__pb")
+    ham = F.bit_count(
+        F.col("__pa.phash").bitwiseXOR(F.col("__pb.phash"))
     )
-    b = bands.select(
-        F.col("media_id").alias("id_b"),
-        F.col("phash").alias("hb"),
-        "band",
-        "key",
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        x.join(
+            y,
+            (F.col("__pa.band") == F.col("__pb.band"))
+            & (F.col("__pa.key") == F.col("__pb.key")),
+        )
+        .filter(F.col("__pa.media_id") < F.col("__pb.media_id"))
         .filter(ham <= max_hamming)
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .select(
+            F.col("__pa.media_id").alias("id_a"),
+            F.col("__pb.media_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
         .distinct()
     )
 

@@ -198,29 +198,30 @@ def simhash_near_dup(
         F.col("bb.band").alias("band"),
         F.col("bb.val").alias("val"),
     )
-    a = bb.select(
-        F.col(id_col).alias("id_a"),
-        F.col("sh_hi").alias("hi_a"),
-        F.col("sh_lo").alias("lo_a"),
-        "band",
-        "val",
-    )
-    c = bb.select(
-        F.col(id_col).alias("id_b"),
-        F.col("sh_hi").alias("hi_b"),
-        F.col("sh_lo").alias("lo_b"),
-        "band",
-        "val",
-    )
-    hd = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    )
+    # r12: identical projections on both self-join sides until after the
+    # exchange — canonically-equal children let ReuseExchange (planning
+    # time and AQE stage cache at runtime) materialize ONE shuffle of the
+    # band table and ONE fingerprint pass instead of two (guide §2.4;
+    # same fix as phash_near_dup). The per-side renames now happen in the
+    # final projection, above the join.
+    x, y = bb.alias("__sa"), bb.alias("__sb")
+    hd = F.bit_count(
+        F.col("__sa.sh_hi").bitwiseXOR(F.col("__sb.sh_hi"))
+    ) + F.bit_count(F.col("__sa.sh_lo").bitwiseXOR(F.col("__sb.sh_lo")))
     return (
-        a.join(c, on=["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        x.join(
+            y,
+            (F.col("__sa.band") == F.col("__sb.band"))
+            & (F.col("__sa.val") == F.col("__sb.val")),
+        )
+        .filter(F.col(f"__sa.{id_col}") < F.col(f"__sb.{id_col}"))
         .withColumn("hamming", hd.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col(f"__sa.{id_col}").alias("id_a"),
+            F.col(f"__sb.{id_col}").alias("id_b"),
+            "hamming",
+        )
         .distinct()
     )
 
