@@ -50,6 +50,29 @@ def shingle_sets(
     return df.select(F.col(id_col), F.array_distinct(sh).alias("sset"))
 
 
+def _inv_self_join_inter(inv: DataFrame, id_col: str) -> DataFrame:
+    """(id_a < id_b, inter): per-pair co-occurrence counts from the
+    inverted index's self-equi-join on shingle.
+
+    r12: identical projections on both self-join sides until after the
+    exchange — canonically-equal children let ReuseExchange / the AQE
+    stage cache materialize ONE shuffle of the inverted index instead of
+    two (guide §2.4; same fix as the minhash/simhash/phash band joins).
+    The per-side id renames happen above the join.
+    """
+    x, y = inv.alias("__ja"), inv.alias("__jb")
+    return (
+        x.join(y, F.col("__ja.shingle") == F.col("__jb.shingle"))
+        .filter(F.col(f"__ja.{id_col}") < F.col(f"__jb.{id_col}"))
+        .select(
+            F.col(f"__ja.{id_col}").alias("id_a"),
+            F.col(f"__jb.{id_col}").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -92,14 +115,7 @@ def ngram_jaccard_pairs(
         sets = cache_once(sets)
         inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
         sizes = sets.select(F.col(id_col), F.size("sset").alias("n"))
-    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
-    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _inv_self_join_inter(inv, id_col)
     return (
         inter.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a"
@@ -206,14 +222,7 @@ def ngram_containment_pairs(
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
     inv = cache_once(inv)
     sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = inv.select(F.col(id_col).alias("id_a"), "shingle")
-    b = inv.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = _inv_self_join_inter(inv, id_col)
     scored = (
         inter.join(
             sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")),
