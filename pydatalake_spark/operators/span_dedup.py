@@ -70,7 +70,16 @@ def _doc_window_counts(
     # (the CollapseProject re-inline hazard; ~20x slower)
     base = df.select(F.col(id_col), _safe_toks(text_col).alias("_toks"))
     wh = _window_hashes(F.col("_toks"))(window)
-    ex = base.select(F.col(id_col), F.explode(wh).alias("wh"))
+    # r12: ONE wh-keyed exchange serves BOTH the (doc, hash) grouping and
+    # the distinct-doc count window (guide §2.4): hash(wh) satisfies the
+    # clustering of groupBy(id, wh) AND of the wh-partitioned window, so
+    # neither plans its own shuffle. The old shape exchanged at (id, wh)
+    # grain first and re-exchanged by wh for the window — and since
+    # intra-doc window repeats are rare (cnt≈1), the (id, wh) partial agg
+    # it paid for collapsed almost nothing.
+    ex = base.select(F.col(id_col), F.explode(wh).alias("wh")).repartition(
+        "wh"
+    )
     g = ex.groupBy(id_col, "wh").agg(F.count("*").alias("cnt"))
     # rows of g are unique per (doc, hash): a count over the hash partition
     # IS the distinct-doc count, without a countDistinct shuffle.
@@ -139,9 +148,17 @@ def strip_dup_spans(
     )
     wh = _window_hashes(F.col("_toks"))(window)
 
+    # r12: pos is consumed TWICE (the duplicated-hash aggregation and the
+    # start-position semi-join). Pinning one wh-keyed repartition below
+    # both lets ReuseExchange materialize the tokenize+posexplode pass
+    # ONCE — the old plan re-tokenized the corpus per branch (the agg
+    # exchanged by wh itself; the broadcast-joined branch had no
+    # exchange to reuse at all) — and hash(wh) satisfies the clustering
+    # of the distinct-doc aggregation AND of the semi-join's left side
+    # when the dup set is too big to broadcast (guide §2.4/§7.2).
     pos = base0.select(
         F.col(id_col), F.posexplode(wh).alias("pos", "wh")
-    )
+    ).repartition("wh")
     dups = (
         pos.groupBy("wh")
         .agg(F.count_distinct(id_col).alias("nd"))

@@ -798,13 +798,21 @@ def unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(tokenize("text")).alias("token"))
     cf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = float(tok.count())
+    # r12: the corpus token total is Σc over the vocabulary-sized cf
+    # table, crossed in as a one-row broadcast — the old driver-side
+    # float(tok.count()) ran a SECOND full tokenize+explode pass over
+    # the corpus per call just to fetch this scalar (guide §1.2: don't
+    # compute things twice; §5: the driver should do no data work).
+    tot = cf.agg(F.sum("c").cast("double").alias("__total"))
     return (
         tok.join(cf, "token")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(-F.log(F.col("c") / F.lit(total))).alias("avg_surprisal"),
+            F.avg(-F.log(F.col("c") / F.col("__total"))).alias(
+                "avg_surprisal"
+            ),
         )
     )
 
