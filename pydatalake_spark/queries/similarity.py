@@ -689,21 +689,32 @@ def pipeline_embedding_curation_q(spark: SparkSession, sf: str) -> DataFrame:
     (candidates vs kept). The embedding twin of pipeline_clean_corpus_v3:
     dedup bounds redundancy, the cap bounds any one semantic region's
     share of the training mix."""
-    from pydatalake_spark.functions.split import cap_per_group
+    from pyspark.sql import Window
+
     from pydatalake_spark.operators.semdedup import semantic_dedup_numpy
 
     e = _t(spark, sf, "embeddings")
     sd = semantic_dedup_numpy(e, threshold=_SD_TAU)
     kept = sd.filter(F.col("keep")).select("vec_id", "cell")
-    capped = cap_per_group(kept, "cell", "vec_id", max_rows=100).select(
-        "vec_id", F.lit(1).alias("__kept")
+    # r12: cap membership IS a row_number predicate over the same cell
+    # partition the readout aggregates on, so the whole tail collapses to
+    # one window + one shuffle-free aggregation. The old shape ran
+    # cap_per_group as a second branch and re-joined it by vec_id —
+    # which re-executed the SemDeDup MapInPandas chain per branch (two
+    # Arrow passes over the corpus) and paid a join exchange (guide
+    # §2.4/§7.2). The rank order below replicates cap_per_group's
+    # documented (md5(key), key) contract exactly — keep them in sync.
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
     )
     return (
-        kept.join(capped, "vec_id", "left")
+        kept.withColumn("__rn", F.row_number().over(w))
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.sum(F.coalesce("__kept", F.lit(0))).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("__rn") <= 100, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
         )
     )
 
