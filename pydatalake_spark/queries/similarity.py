@@ -939,7 +939,13 @@ def rp_ann_recall_q(spark: SparkSession, sf: str) -> DataFrame:
     pr = rp_project(e, out_dim=_JL_K)
     full = e.select("vec_id", to_double_array("embedding").alias("dv"))
     qs_full = full.filter(F.col("vec_id") < 10)
-    qs_pr = pr.filter(F.col("vec_id") < 10)
+    # r12: project the FILTERED query rows — the projection is a pure
+    # per-row map, so filter-then-project equals project-then-filter,
+    # but a predicate cannot push through the opaque MapInPandas: the
+    # old pr.filter(...) form ran the full-corpus Arrow projection pass
+    # a second time just to keep 10 query rows (guide §4.1 — pass only
+    # the rows the function needs).
+    qs_pr = rp_project(e.filter(F.col("vec_id") < 10), out_dim=_JL_K)
 
     from pydatalake_spark.functions.vector import cosine
 
