@@ -84,14 +84,25 @@ _GATE_FRONT = [
     "train_test_split",
     "union_by_name",
     "zscore_outliers",
-    # (d) fill: stalest r09 rows (alphabetical prefix, 7 of 46)
-    "ann_bucket_candidates",
-    "array_functions",
-    "bigram_perplexity",
-    "bm25_search",
-    "cap_per_source",
-    "cast_projection",
-    "char_entropy",
+    # (d) r12-OPTIMIZATION implementation changes (plans restructured,
+    # results oracle-identical — re-gated per the (b) policy; they
+    # displace the optional stalest-r09 fill, which rolls to r13's
+    # forced set): q21 exchange sharing + supplier unhint; LPA argmax
+    # (near_dup_communities); band self-join exchange reuse
+    # (near_dup_pairs, image_phash_near_dup — simhash/ngram variants of
+    # the same change are exercised via pipeline_clean_corpus_v3 and
+    # strip_dup_spans in (c)); span-dedup exchange merge
+    # (dup_span_stats); the cap-branch fusion
+    # (pipeline_embedding_curation); query-side projection narrowing
+    # (rp_ann_recall). The CC convergence fold is exercised by
+    # pipeline_clean_corpus_v3 in (c).
+    "q21_sole_returned_supplier",
+    "near_dup_communities",
+    "near_dup_pairs",
+    "image_phash_near_dup",
+    "dup_span_stats",
+    "pipeline_embedding_curation",
+    "rp_ann_recall",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]
