@@ -92,7 +92,7 @@ def connected_components(
         "cluster_id", F.col("node")
     )
     label_ids: list[int] = []
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # min over (own label, neighbors' labels). The self rows are
         # tagged so the SAME aggregation also emits each node's previous
         # label (every node has exactly one self row): convergence then
@@ -120,7 +120,14 @@ def connected_components(
             )
             .drop("_old")
         )
-        changed = new_labels.filter("_changed").limit(1).count()
+        # round 1 always changes a label on any non-empty symmetric edge
+        # set (every edge links two distinct nodes; the larger one's min
+        # drops), so its convergence scan is a guaranteed-true job —
+        # skip it (r12; on an EMPTY edge set this merely costs one extra
+        # no-op round before the round-2 scan returns 0)
+        changed = (
+            1 if it == 0 else new_labels.filter("_changed").limit(1).count()
+        )
         # the changed-count was the last reader of the PREVIOUS label
         # generation — reap its blocks before the next round allocates
         _reap(new_labels, label_ids)

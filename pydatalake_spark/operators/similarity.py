@@ -787,10 +787,20 @@ def hard_triplets_numpy(
                 {"q_id": out_q, "c_id": out_c, "sim": out_s, "kind": out_k}
             )
 
+    # r12: pin ONE (q_id, kind)-keyed repartition below BOTH rank
+    # branches — the exchange subtrees are then canonically identical,
+    # so ReuseExchange / the AQE stage cache materializes the corpus
+    # scoring MapInPandas pass ONCE (the old shape filtered by kind
+    # BELOW each branch's window exchange, making the exchanges
+    # distinct: the full matmul pass ran twice — guide §2.4/§7.2). The
+    # repartition satisfies both windows' clustering, so neither plans
+    # its own shuffle; each sorts only its kind's slice, with the exact
+    # original orderings (ties, NaN and null placement unchanged).
     cand = (
         fan_out(corpus)
         .select(id_col, vec_col, label_col)
         .mapInPandas(score, out_schema)
+        .repartition("q_id", "kind")
     )
     w_neg = Window.partitionBy("q_id", "kind").orderBy(
         F.col("sim").desc(), F.col("c_id").asc()

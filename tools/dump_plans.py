@@ -27,7 +27,9 @@ PICKS = {
         "LSH band self-join = hash equi-join; shingle arrays never shuffle"
     ),
     "dup_span_stats": (
-        "window-hash keyed exchanges only; partial agg before each"
+        "r12: ONE wh-keyed exchange serves both the (doc, hash) "
+        "grouping and the distinct-doc count window (no intervening "
+        "shuffle); doc-grain readout is the only other exchange"
     ),
     "semantic_dedup": (
         "fused assignment: (id, cell, vector) from one mapInPandas, no "
@@ -84,11 +86,10 @@ PICKS = {
         "customers broadcast, no detail re-join or final aggregation"
     ),
     "q21_sole_returned_supplier": (
-        "r10 single-pass verdict: lineitem reduces once to "
-        "(order, supplier) grain then once to order grain (the solo "
-        "returned supplier is max over returned suppliers — no "
-        "ret x solo self-join of the reduced grain); supplier "
-        "broadcast semi-join; final per-supplier count"
+        "r10 single-pass verdict + r12 exchange sharing: ONE lineitem "
+        "exchange (hash by l_orderkey) feeds both the (order, supplier) "
+        "reduction and the order-grain verdict shuffle-free; supplier "
+        "semi-join unhinted (AQE build-side); final per-supplier count"
     ),
     "pipeline_decontaminated_corpus": (
         "dedup exchange keyed by the 16-byte md5 fingerprint, never "
