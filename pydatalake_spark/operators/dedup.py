@@ -96,7 +96,29 @@ def _auto_hot_keys(
     skew-safe); a second bounded collect runs only when the first pass
     found a hot key. A key is hot when it owns ``AUTO_HOT_SHARE`` of
     sampled rows and the sample is big enough for skew to matter.
+
+    r12: the probe verdict is memoized per (application, plan semantic
+    hash, keys) — repeated dedups of the same input (a bench re-run, a
+    pipeline retry) skip the probe jobs. Safe even on a hash collision:
+    the hot list only picks WHICH physically-equivalent plan runs (cold
+    window ∪ hot agg covers any key partition), never what the result
+    is.
     """
+    try:
+        memo_key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+            tuple(keys),
+            # the probe knobs are module-level tunables — a re-tuned
+            # probe must re-run, not serve the old verdict
+            AUTO_PROBE_FRACTION,
+            AUTO_HOT_SHARE,
+            AUTO_MIN_SAMPLED,
+        )
+    except Exception:  # pragma: no cover - analysis failure → no memo
+        memo_key = None
+    if memo_key is not None and memo_key in _AUTO_PROBE_MEMO:
+        return _AUTO_PROBE_MEMO[memo_key]
     probe = (
         df.select(*keys)
         .sample(fraction=AUTO_PROBE_FRACTION, seed=7)
@@ -106,6 +128,8 @@ def _auto_hot_keys(
     row = probe.agg(F.sum("_c").alias("_n"), F.max("_c").alias("_mx")).first()
     n = row["_n"] or 0
     if n < AUTO_MIN_SAMPLED or row["_mx"] / n < AUTO_HOT_SHARE:
+        if memo_key is not None:
+            _AUTO_PROBE_MEMO[memo_key] = None
         return None
     hot = (
         probe.filter(F.col("_c") >= AUTO_HOT_SHARE * n)
@@ -113,7 +137,13 @@ def _auto_hot_keys(
         .limit(int(1 / AUTO_HOT_SHARE) + 1)
         .collect()
     )
-    return [{k: r[k] for k in keys} for r in hot]
+    result = [{k: r[k] for k in keys} for r in hot]
+    if memo_key is not None:
+        _AUTO_PROBE_MEMO[memo_key] = result
+    return result
+
+
+_AUTO_PROBE_MEMO: dict = {}
 
 
 def _auto_method(df: DataFrame, keys: Sequence[str]) -> str:
