@@ -3505,31 +3505,31 @@ def corpus_datacard_q(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", "lang",
         n_tokens.alias("n_tokens"), quality.alias("q"),
     )
-    by_lang = per_doc.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("c")
+    # r12: every output metric is derivable from the (source, lang)
+    # grain, so the whole card is ONE tokenize pass + two tiny
+    # partial-aggregated reductions (guide §2.3/§2.4). The old shape
+    # consumed per_doc twice (the by_lang branch AND the final join
+    # branch — the tokenize+quality expressions ran twice over the
+    # corpus), sorted a per-source window for the argmax, and re-joined.
+    # Equivalences: n_langs = count of non-null-lang grain rows ==
+    # countDistinct(lang); top_lang = min(struct(-c, lang)) == the
+    # row_number (c DESC, lang ASC) pick; avg_quality = Σq/Σdocs
+    # (reassociated double sum, ~1e-15 — far inside the 9-digit canon,
+    # like every grouped avg in the registry).
+    bl = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_tokens").alias("tt"),
+        F.sum("q").alias("sq"),
     )
-    top_lang = (
-        by_lang.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.col("c").desc(), F.col("lang").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("source", F.col("lang").alias("top_lang"))
+    top = F.min(
+        F.struct((-F.col("c")).alias("nc"), F.col("lang").alias("l"))
     )
-    return (
-        per_doc.join(top_lang, "source")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.avg("q").alias("avg_quality"),
-            F.countDistinct("lang").cast("long").alias("n_langs"),
-            F.min("top_lang").alias("top_lang"),
-        )
+    return bl.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("tt").cast("long").alias("total_tokens"),
+        (F.sum("sq") / F.sum("c")).alias("avg_quality"),
+        F.count(F.col("lang")).cast("long").alias("n_langs"),
+        top["l"].alias("top_lang"),
     )
 
 
