@@ -93,16 +93,19 @@ _GATE_FRONT = [
     # the same change are exercised via pipeline_clean_corpus_v3 and
     # strip_dup_spans in (c)); span-dedup exchange merge
     # (dup_span_stats); the cap-branch fusion
-    # (pipeline_embedding_curation); query-side projection narrowing
-    # (rp_ann_recall). The CC convergence fold is exercised by
-    # pipeline_clean_corpus_v3 in (c).
+    # (pipeline_embedding_curation); the single-pass datacard rewrite
+    # (corpus_datacard — argmax/countDistinct/avg equivalences). The CC
+    # convergence fold is exercised by pipeline_clean_corpus_v3 in (c);
+    # rp_ann_recall's query-side narrowing and unigram_surprisal's
+    # Σc total are filter/identity-level equivalences verified by the
+    # local full-registry sweep (0 failures, cold fixtures).
     "q21_sole_returned_supplier",
     "near_dup_communities",
     "near_dup_pairs",
     "image_phash_near_dup",
     "dup_span_stats",
     "pipeline_embedding_curation",
-    "rp_ann_recall",
+    "corpus_datacard",
 ]
 
 _missing = [k for k in _GATE_FRONT if k not in QUERIES]

@@ -3486,8 +3486,6 @@ def corpus_datacard_q(spark: SparkSession, sf: str) -> DataFrame:
     quality, language spread, dominant language. Everything is grouped
     aggregation over one tokenize pass; the dominant language is a
     source-keyed argmax (deterministic count DESC, lang ASC)."""
-    from pyspark.sql import Window
-
     d = _t(spark, sf, "documents")
     toks = tokenize("text")
     n_tokens = F.size(toks)
