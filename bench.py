@@ -814,20 +814,53 @@ def main() -> None:
             n: q["exponent"]
             for n, q in detail["scaling_probe"]["queries"].items()
         }
-    line = json.dumps(out)
-    # hard guard: never exceed the driver's tail window — shed the bulky
-    # per-query dict FIRST so the compact diagnostics (worst ratios,
-    # probe exponents) survive
+    # The driver records the LAST 2000 chars of stdout and json-parses
+    # the line out of that tail (measured: every BENCH_r*.json tail is
+    # exactly 2000 chars when the output is longer; round 2's 4k line
+    # came back parsed:null). r12 shed the whole per-query dict whenever
+    # the line exceeded 1900 — which at ~110 bench queries was ALWAYS —
+    # so PERF_r12 had per_query:{} and empty low-core scaling ratios
+    # (r12 VERDICT item 2). r13 fix: compact JSON separators, then fill
+    # the remaining budget with per-query entries in deterministic
+    # BENCH_QUERIES order (same order every run, so the 32-core and
+    # low-core lines carry ~the same names and per-query scaling ratios
+    # are computable). The FULL per-query map is always in
+    # BENCH_DETAIL.json; nothing else is removed from the line.
+    LINE_BUDGET = 1900
+
+    def _dump(o) -> str:
+        return json.dumps(o, separators=(",", ":"))
+
+    line = _dump(out)
+    if len(line) > LINE_BUDGET:
+        # cache_served_ratios is diagnostic-only and fully present in
+        # BENCH_DETAIL.json (ratios + cold_first_run) — shed it first
+        out.pop("cache_served_ratios", None)
+        line = _dump(out)
+    if len(line) > LINE_BUDGET:
+        qfull = out.pop("queries", {})
+        base_len = len(_dump(out)) + len(',"queries":{}')
+        kept: dict = {}
+        used = base_len
+        for n in BENCH_QUERIES:
+            if n not in qfull:
+                continue
+            entry = len(_dump({n: qfull[n]})) - 1  # minus one brace, plus comma
+            if used + entry <= LINE_BUDGET:
+                kept[n] = qfull[n]
+                used += entry
+        out["queries"] = kept
+        line = _dump(out)
+    # hard guard (should be unreachable): never exceed the tail window
     for drop in (
         "queries",
-        "cache_served_ratios",
         "worst_ratios",
         "probe_exponents",
     ):
-        if len(line) <= 1900:
+        if len(line) <= LINE_BUDGET:
             break
         out.pop(drop, None)
-        line = json.dumps(out)
+        line = _dump(out)
     print(line)
     spark.stop()
 

@@ -3514,10 +3514,16 @@ def corpus_datacard_q(spark: SparkSession, sf: str) -> DataFrame:
     # row_number (c DESC, lang ASC) pick; avg_quality = Σq/Σdocs
     # (reassociated double sum, ~1e-15 — far inside the 9-digit canon,
     # like every grouped avg in the registry).
+    # avg_quality must be avg(q) over NON-NULL q only (q is null for
+    # empty/null text via nullif and 0-token division); dividing by the
+    # full doc count would silently include those docs in the
+    # denominator. Σq/Σcount(q) matches SQL avg() null semantics
+    # exactly (r13, ADVICE fix).
     bl = per_doc.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum("n_tokens").alias("tt"),
         F.sum("q").alias("sq"),
+        F.count("q").alias("cq"),
     )
     top = F.min(
         F.struct((-F.col("c")).alias("nc"), F.col("lang").alias("l"))
@@ -3525,7 +3531,7 @@ def corpus_datacard_q(spark: SparkSession, sf: str) -> DataFrame:
     return bl.groupBy("source").agg(
         F.sum("c").cast("long").alias("n_docs"),
         F.sum("tt").cast("long").alias("total_tokens"),
-        (F.sum("sq") / F.sum("c")).alias("avg_quality"),
+        (F.sum("sq") / F.sum("cq")).alias("avg_quality"),
         F.count(F.col("lang")).cast("long").alias("n_langs"),
         top["l"].alias("top_lang"),
     )

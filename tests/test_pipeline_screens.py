@@ -126,3 +126,49 @@ def test_session_cache_rebuilds_on_corpus_rewrite(spark, tmp_path):
         f.write(b"x")
     _session_cached(spark, cache2, sf, lambda: FakeDF())
     assert FakeDF.unpersisted
+
+
+def test_corpus_datacard_avg_quality_null_semantics(spark, tmp_path):
+    """r13 ADVICE fix: avg_quality must be avg(q) over NON-NULL q only.
+    q is null for empty-text (nullif(length,0)) and null-text docs; the
+    r12 fused form divided Σq by the FULL doc count, silently counting
+    those docs in the denominator. Pins parity against the DuckDB oracle
+    on a corpus that contains exactly those docs (the sf fixtures have
+    none, so the gate can't see this edge)."""
+    import duckdb
+
+    from pydatalake_spark.queries import QUERIES
+    from pydatalake_spark.queries.text import ORACLE
+
+    sf = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [
+            (1, "the and a spark join. stream of data", "en", "web", 36),
+            (2, "", "en", "web", 0),          # empty text -> q null
+            (3, None, "en", "web", None),     # null text  -> q null
+            (4, "sur le pont d avignon on y danse", "fr", "web", 32),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.toPandas().to_parquet(os.path.join(sf, "documents.parquet"))
+
+    out = QUERIES["corpus_datacard"](spark, sf).collect()
+    assert len(out) == 1
+    row = out[0]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    orow = con.execute(ORACLE["corpus_datacard"]).fetchall()[0]
+    ocols = [d[0] for d in con.execute(ORACLE["corpus_datacard"]).description]
+    oracle = dict(zip(ocols, orow))
+
+    assert row.n_docs == oracle["n_docs"] == 4
+    assert row.n_langs == oracle["n_langs"]
+    assert row.top_lang == oracle["top_lang"]
+    # the load-bearing check: null-q docs excluded from the denominator
+    assert abs(row.avg_quality - oracle["avg_quality"]) < 1e-12

@@ -5,7 +5,12 @@ over the same parquet tables, then compares row count, column names, and an
 order-insensitive canonical value hash (sorted rows, timestamps → UTC
 microseconds, floats → 9 significant digits, NULLs first).
 
-Usage: python tools/check_parity.py [--wipe-fixtures] [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--wipe-fixtures] [--dump-on-fail]
+       [sf_dir] [query ...]
+
+``--dump-on-fail`` writes BOTH engines' full canonical row sets for any
+red query to ``PARITY_FAIL_<query>.json`` so a mismatch carries its own
+evidence (which group, which value, which side) instead of just a hash.
 
 ``--wipe-fixtures`` cold-wipes every session-shared on-disk fixture cache
 (the $TMPDIR Delta tables) before running, so a fixture-lifecycle bug —
@@ -31,6 +36,10 @@ from pydatalake_spark.queries.tables import TABLES
 WIPE_FIXTURES = "--wipe-fixtures" in sys.argv
 if WIPE_FIXTURES:
     sys.argv.remove("--wipe-fixtures")
+
+DUMP_ON_FAIL = "--dump-on-fail" in sys.argv
+if DUMP_ON_FAIL:
+    sys.argv.remove("--dump-on-fail")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -152,6 +161,27 @@ def main() -> int:
                 print(f"   spark-only: {x[:200]!r}")
             for x in list(oset - sset)[:2]:
                 print(f"   oracle-only: {x[:200]!r}")
+            if DUMP_ON_FAIL:
+                import json
+
+                out = Path(__file__).resolve().parent.parent / (
+                    f"PARITY_FAIL_{name}.json"
+                )
+                out.write_text(
+                    json.dumps(
+                        {
+                            "query": name,
+                            "sf_dir": SF_DIR,
+                            "cols": sorted(scols),
+                            "spark_only": sorted(sset - oset),
+                            "oracle_only": sorted(oset - sset),
+                            "spark_rows": sorted(sset),
+                            "oracle_rows": sorted(oset),
+                        },
+                        indent=1,
+                    )
+                )
+                print(f"   dumped: {out}")
         else:
             print(f"PASS {name} ({sn} rows)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
