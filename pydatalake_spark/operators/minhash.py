@@ -128,10 +128,17 @@ def _band_self_join(bb: DataFrame, id_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing a (band, bucket) cell.
 
     r12: both self-join sides keep the SAME projection until after the
-    exchange — canonically-equal children let ReuseExchange (and AQE's
-    stage cache) materialize ONE shuffle of the band table instead of
-    two (guide §2.4; same fix as phash/simhash band joins). The per-side
-    id renames happen above the join.
+    exchange, so the children canonicalize equal. r13 evidence caveat
+    (ADVICE r12): that lets ReuseExchange/the AQE stage cache
+    materialize ONE band shuffle only in the SHUFFLE-join regime over an
+    UNCACHED upstream — over a cached relation each side gets its own
+    `TableCacheQueryStage` (Spark 4 AQE) and the exchanges above two
+    distinct cache stages never unify, and in the broadcast regime there
+    is no exchange to reuse at all. Callers therefore `cache_once` the
+    narrow band table itself (r13): the InMemoryRelation's blocks are
+    computed ONCE and shared by both sides in EVERY regime — what is
+    duplicated is at most a cache scan + the narrow (id, band, bucket)
+    shuffle, never the upstream fingerprint/signature compute.
     """
     x, y = bb.alias("__ba"), bb.alias("__bb")
     return (
@@ -162,9 +169,18 @@ def lsh_candidate_pairs(
 
     ``max_bucket_size`` optionally drops hot buckets (see
     `cap_bucket_size`) — recall-bounded but explosion-proof.
+
+    r13: the signature AND band tables are cached — the signature table
+    is shared with `near_dup_pairs`/`minhash_jaccard_estimate` (same
+    plan → same CacheManager entry via `cache_once`), and the cached
+    band table guarantees the signature pass runs ONCE regardless of
+    join strategy (see `_band_self_join`; before this, the broadcast
+    regime re-computed the full signature chain on both join sides).
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    bb = band_buckets(sig, id_col, num_hashes, num_bands)
+    sig = cache_once(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    )
+    bb = cache_once(band_buckets(sig, id_col, num_hashes, num_bands))
     if max_bucket_size is not None:
         bb = cap_bucket_size(bb, max_bucket_size)
     return _band_self_join(bb, id_col)
@@ -208,7 +224,10 @@ def near_dup_pairs(
             minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
         )
     sets = sig.select(F.col(id_col), F.col("shingles").alias("sset"))
-    bb = band_buckets(sig, id_col, num_hashes, num_bands)
+    # r13: cached band table — both self-join sides read ONE materialized
+    # copy in every join regime (see _band_self_join); narrow
+    # (id, band, bucket) rows only
+    bb = cache_once(band_buckets(sig, id_col, num_hashes, num_bands))
     cand = _band_self_join(bb, id_col)
     # the sets side is CORPUS-SIZED (every doc's shingle array): hint it
     # to a sort-merge join so Catalyst can never choose to broadcast it.
@@ -296,7 +315,10 @@ def minhash_jaccard_estimate(
         df, id_col, text_col, num_hashes, shingle_size
     )
     sig = cache_once(sig)
-    bb = band_buckets(sig, id_col, num_hashes, num_bands)
+    # r13: cached band table (see _band_self_join) — plan-equal with
+    # near_dup_pairs'/lsh_candidate_pairs' band table, so the family
+    # shares ONE cache entry per corpus
+    bb = cache_once(band_buckets(sig, id_col, num_hashes, num_bands))
     cand = _band_self_join(bb, id_col)
     mharr = F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)])
     side = sig.select(

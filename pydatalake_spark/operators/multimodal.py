@@ -540,7 +540,17 @@ def phash_near_dup(
     candidate join is a hash equi-join on (band, key) — ids and two longs
     move, never payloads.
     """
-    h = perceptual_hashes(df, decode_stub=decode_stub)
+    # r13: cache the (media_id, phash) fingerprint table — 16 bytes/row
+    # of metadata, the guide §8 lightweight proxy. The r12 plan-identity
+    # trick deduplicated the MapInPandas decode+hash pass only in the
+    # SHUFFLE-join regime (ReuseExchange); in the broadcast regime the
+    # streamed side has no exchange to reuse and the corpus was decoded
+    # TWICE per query (ADVICE r12). Cached blocks are computed once and
+    # read by both join sides in every regime; eviction degrades to
+    # recompute, never failure.
+    from pydatalake_spark.session import cache_once
+
+    h = cache_once(perceptual_hashes(df, decode_stub=decode_stub))
     bands = h.select(
         "media_id",
         "phash",
@@ -558,14 +568,10 @@ def phash_near_dup(
             )
         ).alias("bk"),
     ).select("media_id", "phash", "bk.band", "bk.key")
-    # r12: both self-join sides keep the SAME projection until after the
-    # exchange — plan-identical children canonicalize equal, so Spark's
-    # ReuseExchange rule materializes ONE shuffle (and, critically, ONE
-    # MapInPandas decode+hash pass) and feeds the join from it twice.
-    # The old shape renamed media_id/phash per side BEFORE the exchange,
-    # which broke canonical equality and re-decoded the whole corpus on
-    # each side (guide §2.4 — remove shuffles outright; §7.2 duplicated
-    # subtrees).
+    # Both self-join sides keep the SAME projection until after the
+    # exchange (r12) so ReuseExchange can still unify the band shuffle in
+    # the shuffle-join regime; the compute-once guarantee itself now
+    # comes from the cached fingerprint table above (r13).
     x, y = bands.alias("__pa"), bands.alias("__pb")
     ham = F.bit_count(
         F.col("__pa.phash").bitwiseXOR(F.col("__pb.phash"))

@@ -198,12 +198,19 @@ def simhash_near_dup(
         F.col("bb.band").alias("band"),
         F.col("bb.val").alias("val"),
     )
-    # r12: identical projections on both self-join sides until after the
-    # exchange — canonically-equal children let ReuseExchange (planning
-    # time and AQE stage cache at runtime) materialize ONE shuffle of the
-    # band table and ONE fingerprint pass instead of two (guide §2.4;
-    # same fix as phash_near_dup). The per-side renames now happen in the
-    # final projection, above the join.
+    # r12 kept both self-join sides plan-identical below the exchange so
+    # ReuseExchange can unify them — but that only fires in the
+    # SHUFFLE-join regime over an uncached upstream (r13/ADVICE r12: in
+    # the broadcast regime there is no exchange to reuse and the
+    # fingerprint pass ran TWICE; over a cached upstream Spark 4's
+    # per-side TableCacheQueryStage blocks the unification anyway).
+    # r13: cache the narrow (id, sh_hi, sh_lo, band, val) band table —
+    # its blocks are computed once and BOTH sides read them in every
+    # join regime; the duplicated work is at most a cache scan + the
+    # narrow band shuffle, never the fingerprint pass.
+    from pydatalake_spark.session import cache_once
+
+    bb = cache_once(bb)
     x, y = bb.alias("__sa"), bb.alias("__sb")
     hd = F.bit_count(
         F.col("__sa.sh_hi").bitwiseXOR(F.col("__sb.sh_hi"))

@@ -371,3 +371,16 @@ def test_resize_images_real_box_filter(spark):
     buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
     assert buf.shape == (48,)
     assert (buf == 137).all()
+
+
+def test_fingerprint_table_cached_once(spark):
+    """r13: phash_near_dup caches the (media_id, phash) fingerprint
+    table, so the MapInPandas decode+hash pass runs ONCE regardless of
+    join strategy (the r12 ReuseExchange idiom only covered the
+    shuffle-join regime — in the broadcast regime the corpus was decoded
+    twice). cache_once registers by plan equality, so a plan-equal
+    rebuild of the fingerprint table must report a storage level."""
+    media = _media(spark)
+    phash_near_dup(media, max_hamming=8)  # plan build registers the cache
+    sl = perceptual_hashes(media).storageLevel
+    assert sl.useMemory or sl.useDisk

@@ -1624,3 +1624,23 @@ def test_suggest_num_planes_keeps_occupancy_linear(spark):
         for r in embedding_near_dup(e, num_planes=p).collect()
     }
     assert auto == explicit
+
+
+def test_minhash_band_table_cached_once(spark):
+    """r13: the LSH band table is cache_once'd, so both self-join sides
+    read ONE materialized copy in every join regime, and the plan-equal
+    band tables of lsh_candidate_pairs / near_dup_pairs /
+    minhash_jaccard_estimate share a single CacheManager entry."""
+    from pydatalake_spark.operators.minhash import (
+        band_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pydatalake_spark.queries.tables import load_table
+    from pydatalake_spark.session import cache_once
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lsh_candidate_pairs(docs, num_hashes=8, num_bands=2, shingle_size=3)
+    sig = cache_once(minhash_signatures(docs, "doc_id", "text", 8, 3))
+    sl = band_buckets(sig, "doc_id", 8, 2).storageLevel
+    assert sl.useMemory or sl.useDisk
