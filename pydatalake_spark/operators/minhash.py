@@ -124,6 +124,25 @@ def cap_bucket_size(
     return bb.join(F.broadcast(hot), on=keys, how="left_anti")
 
 
+def _cached_band_table(
+    sig: DataFrame, id_col: str, num_hashes: int, num_bands: int
+) -> DataFrame:
+    """The (id, band, bucket) LSH index, cached. All minhash-family
+    operators build this table with the identical plan, so `cache_once`
+    resolves them to ONE CacheManager entry per corpus — the band
+    derivation runs once and both self-join sides read the blocks in
+    every join regime (r13).
+
+    Deliberately NOT cached pre-partitioned on the join key: that shape
+    (measured r13) makes the shuffle-regime self-join exchange-free, but
+    AQE cannot skew-split a cached scan — and hot LSH buckets are this
+    operator's documented skew hazard — while at bench SF it stores the
+    exploded table 32-way-partitioned for no broadcast-regime benefit
+    (simhash/phash A/B showed a consistent +0.13s warm regression). Two
+    AQE-skew-splittable narrow band shuffles beat one skew-frozen one."""
+    return cache_once(band_buckets(sig, id_col, num_hashes, num_bands))
+
+
 def _band_self_join(bb: DataFrame, id_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing a (band, bucket) cell.
 
@@ -180,7 +199,7 @@ def lsh_candidate_pairs(
     sig = cache_once(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
     )
-    bb = cache_once(band_buckets(sig, id_col, num_hashes, num_bands))
+    bb = _cached_band_table(sig, id_col, num_hashes, num_bands)
     if max_bucket_size is not None:
         bb = cap_bucket_size(bb, max_bucket_size)
     return _band_self_join(bb, id_col)
@@ -224,10 +243,10 @@ def near_dup_pairs(
             minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
         )
     sets = sig.select(F.col(id_col), F.col("shingles").alias("sset"))
-    # r13: cached band table — both self-join sides read ONE materialized
-    # copy in every join regime (see _band_self_join); narrow
-    # (id, band, bucket) rows only
-    bb = cache_once(band_buckets(sig, id_col, num_hashes, num_bands))
+    # r13: cached pre-partitioned band table — both self-join sides read
+    # ONE materialized copy exchange-free in every join regime (see
+    # _cached_band_table); narrow (id, band, bucket) rows only
+    bb = _cached_band_table(sig, id_col, num_hashes, num_bands)
     cand = _band_self_join(bb, id_col)
     # the sets side is CORPUS-SIZED (every doc's shingle array): hint it
     # to a sort-merge join so Catalyst can never choose to broadcast it.
@@ -315,10 +334,10 @@ def minhash_jaccard_estimate(
         df, id_col, text_col, num_hashes, shingle_size
     )
     sig = cache_once(sig)
-    # r13: cached band table (see _band_self_join) — plan-equal with
-    # near_dup_pairs'/lsh_candidate_pairs' band table, so the family
-    # shares ONE cache entry per corpus
-    bb = cache_once(band_buckets(sig, id_col, num_hashes, num_bands))
+    # r13: cached pre-partitioned band table (see _cached_band_table) —
+    # plan-equal with near_dup_pairs'/lsh_candidate_pairs' band table,
+    # so the family shares ONE cache entry per corpus
+    bb = _cached_band_table(sig, id_col, num_hashes, num_bands)
     cand = _band_self_join(bb, id_col)
     mharr = F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)])
     side = sig.select(

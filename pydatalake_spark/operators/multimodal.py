@@ -524,30 +524,21 @@ def perceptual_hashes(
     )
 
 
-def phash_near_dup(
-    df: DataFrame,
-    max_hamming: int = 8,
-    decode_stub: str = "fake",
-) -> DataFrame:
-    """(id_a, id_b, hamming): media pairs whose dHashes differ in at most
-    ``max_hamming`` of 64 bits.
+def _banded_hashes(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
+    """The (media_id, phash, band, key) LSH index over a CACHED
+    (media_id, phash) fingerprint table — 16 bytes/row of metadata, the
+    guide §8 lightweight proxy (the image payload never rides any of
+    this).
 
-    Same banded shape as SimHash text dedup (operators/simhash.py): the
-    64-bit hash splits into four 16-bit bands; any pair within Hamming
-    distance 3 shares at least one exact band (pigeonhole), and the default
-    radius 8 keeps the miss probability of band-blocking low while the
-    verify step (codegen ``bit_count(xor)``) keeps output exact. The
-    candidate join is a hash equi-join on (band, key) — ids and two longs
-    move, never payloads.
-    """
-    # r13: cache the (media_id, phash) fingerprint table — 16 bytes/row
-    # of metadata, the guide §8 lightweight proxy. The r12 plan-identity
-    # trick deduplicated the MapInPandas decode+hash pass only in the
-    # SHUFFLE-join regime (ReuseExchange); in the broadcast regime the
-    # streamed side has no exchange to reuse and the corpus was decoded
-    # TWICE per query (ADVICE r12). Cached blocks are computed once and
-    # read by both join sides in every regime; eviction degrades to
-    # recompute, never failure.
+    r13: the r12 plan-identity trick deduplicated the MapInPandas
+    decode+hash pass only in the SHUFFLE-join regime (ReuseExchange); in
+    the broadcast regime the streamed side has no exchange to reuse and
+    the corpus was decoded TWICE per query (ADVICE r12). Caching the
+    fingerprint table makes the decode run once in every regime
+    (eviction degrades to recompute); the band explode over the cached
+    blocks is shift/mask expressions, cheap per side. (Caching the
+    exploded band table pre-partitioned instead measured +0.15s warm at
+    sf0.1 — 4x the cache bytes — and freezes AQE skew splitting.)"""
     from pydatalake_spark.session import cache_once
 
     h = cache_once(perceptual_hashes(df, decode_stub=decode_stub))
@@ -568,10 +559,26 @@ def phash_near_dup(
             )
         ).alias("bk"),
     ).select("media_id", "phash", "bk.band", "bk.key")
-    # Both self-join sides keep the SAME projection until after the
-    # exchange (r12) so ReuseExchange can still unify the band shuffle in
-    # the shuffle-join regime; the compute-once guarantee itself now
-    # comes from the cached fingerprint table above (r13).
+    return bands
+
+
+def phash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 8,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """(id_a, id_b, hamming): media pairs whose dHashes differ in at most
+    ``max_hamming`` of 64 bits.
+
+    Same banded shape as SimHash text dedup (operators/simhash.py): the
+    64-bit hash splits into four 16-bit bands; any pair within Hamming
+    distance 3 shares at least one exact band (pigeonhole), and the default
+    radius 8 keeps the miss probability of band-blocking low while the
+    verify step (codegen ``bit_count(xor)``) keeps output exact. The
+    candidate join is a hash equi-join on (band, key) — ids and two longs
+    move, never payloads.
+    """
+    bands = _banded_hashes(df, decode_stub=decode_stub)
     x, y = bands.alias("__pa"), bands.alias("__pb")
     ham = F.bit_count(
         F.col("__pa.phash").bitwiseXOR(F.col("__pb.phash"))

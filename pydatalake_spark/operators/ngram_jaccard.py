@@ -125,7 +125,14 @@ def ngram_jaccard_pairs(
             max_df,
         )
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
-        inv = cache_once(inv)
+        # r13: cache PRE-PARTITIONED on the join key — InMemoryTableScan
+        # preserves the cached plan's output partitioning, so both
+        # self-join sides read the index exchange-free in the shuffle
+        # regime (the one inverted-index shuffle runs inside the cache
+        # build; Spark 4's per-side TableCacheQueryStage otherwise blocks
+        # exchange reuse over a cached relation). Hot-shingle skew in
+        # that one shuffle is bounded by the max_df prune above.
+        inv = cache_once(inv.repartition("shingle"))
         sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     else:
         sets = cache_once(sets)
@@ -182,8 +189,10 @@ def ngram_jaccard_pairs_against(
         hot = _hot_shingles(df_counts, max_df)
         inv_c = inv_c.join(F.broadcast(hot), on="shingle", how="left_anti")
         inv_b = inv_b.join(F.broadcast(hot), on="shingle", how="left_anti")
-    inv_c = cache_once(inv_c)
-    inv_b = cache_once(inv_b)
+    # r13: pre-partitioned caches — the batch-vs-corpus join consumes
+    # both indexes exchange-free (see ngram_jaccard_pairs)
+    inv_c = cache_once(inv_c.repartition("shingle"))
+    inv_b = cache_once(inv_b.repartition("shingle"))
     n_c = inv_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c"))
     n_b = inv_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b"))
     inter = (
@@ -234,7 +243,8 @@ def ngram_containment_pairs(
             max_df,
         )
         inv = inv.join(F.broadcast(hot), on="shingle", how="left_anti")
-    inv = cache_once(inv)
+    # r13: pre-partitioned cache — see ngram_jaccard_pairs
+    inv = cache_once(inv.repartition("shingle"))
     sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = _inv_self_join_inter(inv, id_col)
     scored = (

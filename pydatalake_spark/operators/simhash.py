@@ -208,6 +208,9 @@ def simhash_near_dup(
     # its blocks are computed once and BOTH sides read them in every
     # join regime; the duplicated work is at most a cache scan + the
     # narrow band shuffle, never the fingerprint pass.
+    # (Deliberately not cached pre-partitioned: AQE cannot skew-split a
+    # cached scan, and hot band values are the skew hazard; measured
+    # +0.13s warm at sf0.1 for zero broadcast-regime benefit.)
     from pydatalake_spark.session import cache_once
 
     bb = cache_once(bb)

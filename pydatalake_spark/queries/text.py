@@ -3792,16 +3792,25 @@ def source_novelty_q(spark: SparkSession, sf: str) -> DataFrame:
     # one registration across the family)
     sets = cache_once(shingle_sets(d, shingle_size=_MH_K))
     inv = sets.select("doc_id", F.explode("sset").alias("shingle"))
+    # r13 (VERDICT item 9, guide §2.3 "aggregate before you shuffle"):
+    # the old shape joined the FULL inverted index back onto the
+    # first-owner table on shingle — a data-sized, skew-exposed shuffle
+    # of raw postings. But the join only existed to count, per doc, the
+    # shingles it first-owns — and that count is derivable join-free:
+    # n_new(doc) = |{shingles: min(doc_id over owners) = doc}|, i.e. a
+    # count over the first-owner table keyed by first_doc. Both
+    # data-sized exchanges that remain (per-doc posting count, per-
+    # shingle min) are algebraic with map-side partial aggregation, so a
+    # boilerplate shingle collapses to one row per map partition before
+    # it ever crosses the network — the raw-postings join shuffle (and
+    # its hot-shingle partition) is gone outright.
+    n_sh = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     own = inv.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        inv.join(own, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum(
-                (F.col("first_doc") == F.col("doc_id")).cast("long")
-            ).alias("n_new"),
-        )
+    n_new = own.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    per = n_sh.join(n_new, "doc_id", "left").select(
+        "doc_id", "n_sh", F.coalesce("n_new", F.lit(0)).alias("n_new")
     )
     return (
         per.join(d.select("doc_id", "source"), "doc_id")

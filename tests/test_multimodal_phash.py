@@ -374,12 +374,12 @@ def test_resize_images_real_box_filter(spark):
 
 
 def test_fingerprint_table_cached_once(spark):
-    """r13: phash_near_dup caches the (media_id, phash) fingerprint
-    table, so the MapInPandas decode+hash pass runs ONCE regardless of
-    join strategy (the r12 ReuseExchange idiom only covered the
-    shuffle-join regime — in the broadcast regime the corpus was decoded
-    twice). cache_once registers by plan equality, so a plan-equal
-    rebuild of the fingerprint table must report a storage level."""
+    """r13: phash_near_dup caches the banded fingerprint table, so the
+    MapInPandas decode+hash pass runs ONCE regardless of join strategy
+    (the r12 ReuseExchange idiom only covered the shuffle-join regime —
+    in the broadcast regime the corpus was decoded twice). cache_once
+    registers by plan equality, so a plan-equal rebuild of the banded
+    table must report a storage level."""
     media = _media(spark)
     phash_near_dup(media, max_hamming=8)  # plan build registers the cache
     sl = perceptual_hashes(media).storageLevel

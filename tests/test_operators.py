@@ -1632,7 +1632,7 @@ def test_minhash_band_table_cached_once(spark):
     band tables of lsh_candidate_pairs / near_dup_pairs /
     minhash_jaccard_estimate share a single CacheManager entry."""
     from pydatalake_spark.operators.minhash import (
-        band_buckets,
+        _cached_band_table,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -1642,5 +1642,5 @@ def test_minhash_band_table_cached_once(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     lsh_candidate_pairs(docs, num_hashes=8, num_bands=2, shingle_size=3)
     sig = cache_once(minhash_signatures(docs, "doc_id", "text", 8, 3))
-    sl = band_buckets(sig, "doc_id", 8, 2).storageLevel
+    sl = _cached_band_table(sig, "doc_id", 8, 2).storageLevel
     assert sl.useMemory or sl.useDisk
