@@ -129,7 +129,7 @@ def _auto_hot_keys(
     n = row["_n"] or 0
     if n < AUTO_MIN_SAMPLED or row["_mx"] / n < AUTO_HOT_SHARE:
         if memo_key is not None:
-            _AUTO_PROBE_MEMO[memo_key] = None
+            _memo_put(memo_key, None)
         return None
     hot = (
         probe.filter(F.col("_c") >= AUTO_HOT_SHARE * n)
@@ -139,11 +139,27 @@ def _auto_hot_keys(
     )
     result = [{k: r[k] for k in keys} for r in hot]
     if memo_key is not None:
-        _AUTO_PROBE_MEMO[memo_key] = result
+        _memo_put(memo_key, result)
     return result
 
 
 _AUTO_PROBE_MEMO: dict = {}
+# bound the memo (ADVICE r12): a long-lived driver running many distinct
+# dedup plans must not accumulate entries forever, and entries from a
+# previous application are dead weight (the applicationId in the key can
+# never match again)
+_AUTO_PROBE_MEMO_MAX = 256
+
+
+def _memo_put(memo_key: tuple, value) -> None:
+    app_id = memo_key[0]
+    stale = [k for k in _AUTO_PROBE_MEMO if k[0] != app_id]
+    for k in stale:
+        del _AUTO_PROBE_MEMO[k]
+    while len(_AUTO_PROBE_MEMO) >= _AUTO_PROBE_MEMO_MAX:
+        # dicts preserve insertion order: drop the oldest entry
+        del _AUTO_PROBE_MEMO[next(iter(_AUTO_PROBE_MEMO))]
+    _AUTO_PROBE_MEMO[memo_key] = value
 
 
 def _auto_method(df: DataFrame, keys: Sequence[str]) -> str:
