@@ -1644,3 +1644,47 @@ def test_minhash_band_table_cached_once(spark):
     sig = cache_once(minhash_signatures(docs, "doc_id", "text", 8, 3))
     sl = _cached_band_table(sig, "doc_id", 8, 2).storageLevel
     assert sl.useMemory or sl.useDisk
+
+
+def test_minhash_signatures_arrow_matches_expr(spark):
+    """r13: the Arrow mapInPandas signature tier must be bit-identical to
+    the r12 Catalyst-expression form — shingling (incl. the short-doc
+    whole-string shingle), array_distinct order, md5 hex windows, and the
+    lexicographic min — including the null-text, empty-text, and
+    repeated-space edges the corpus fixtures don't contain."""
+    from pydatalake_spark.operators.minhash import (
+        _minhash_signatures_expr,
+        minhash_signatures,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    def canon(df):
+        return sorted(
+            (
+                r["doc_id"],
+                tuple(r["shingles"]),
+                tuple(r[f"mh_{j}"] for j in range(8)),
+            )
+            for r in df.collect()
+        )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert canon(minhash_signatures(docs)) == canon(
+        _minhash_signatures_expr(docs)
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one"),
+            (5, "one two"),
+            (6, "a  b c a  b c"),          # empty tokens + repeats
+            (7, " padded   text here "),
+        ],
+        "doc_id long, text string",
+    )
+    assert canon(minhash_signatures(edge)) == canon(
+        _minhash_signatures_expr(edge)
+    )
